@@ -1,0 +1,82 @@
+"""Deterministic pipeline configuration.
+
+The reference derives its MinHash permutations from an *unseeded*
+``java.util.Random`` (reference MinHashLSH.java:254-263), which makes its
+output irreproducible (SURVEY.md §2.6).  The rebuild replaces explicit
+permutations with a seeded universal-hash family h_j(x) = (a_j*x + b_j) mod p
+over shingle ids — the standard MinHash formulation (MMDS ch. 3), and what
+MLlib's MinHashLSH does internally.  All randomness flows from ``seed``.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+# Mersenne prime 2^31 - 1: the classic universal-hashing modulus. Products
+# a * x stay < 2^31 * 2^31 = 2^62 < 2^63, so the arithmetic is exact in
+# 64-bit integers on both the Spark side and the DuckDB oracle side.
+MERSENNE_PRIME = 2_147_483_647
+
+
+@dataclass(frozen=True)
+class MinHashLSHConfig:
+    """Parameters of the shingle -> MinHash -> LSH -> verify pipeline.
+
+    Mirrors the reference driver's constants (reference Main.java:53-57:
+    k=3, signatureSize=numBands*rows, jaccardThreshold) but seeded and with
+    band-indexed keys (the reference omits the band index from the bucket
+    key — SURVEY.md §2.7).
+    """
+
+    k: int = 3                 # shingle length, chars, overlapping stride 1
+    num_hashes: int = 16       # signature length
+    num_bands: int = 4         # LSH bands; rows_per_band = num_hashes // num_bands
+    threshold: float = 0.8     # exact-Jaccard verification threshold
+    seed: int = 42
+    prime: int = MERSENNE_PRIME
+    # 'rank': shingle id = dense lexicographic rank of the vocabulary
+    #   (deterministic, SQL-expressible -> used by the DuckDB oracle twin).
+    # 'xxhash': shingle id = xxhash64(shingle) mod p (no vocabulary pass,
+    #   no global sort -> the 100 TB scale path; not SQL-oracle-checkable).
+    id_strategy: str = "rank"
+
+    def __post_init__(self) -> None:
+        if self.num_hashes % self.num_bands != 0:
+            raise ValueError("num_hashes must be divisible by num_bands")
+        if self.id_strategy not in ("rank", "xxhash"):
+            raise ValueError(f"unknown id_strategy {self.id_strategy!r}")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_hashes // self.num_bands
+
+    def hash_params(self) -> list[tuple[int, int]]:
+        """Seeded (a_j, b_j) coefficients for h_j(x) = (a_j*x + b_j) mod p.
+
+        a in [1, p-1] (non-degenerate), b in [0, p-1].  Same literals are
+        embedded in the DuckDB oracle SQL so both engines compute identical
+        signatures.
+        """
+        rng = random.Random(self.seed)
+        return [
+            (rng.randint(1, self.prime - 1), rng.randint(0, self.prime - 1))
+            for _ in range(self.num_hashes)
+        ]
+
+
+# Flagship config used by __spark_entry__ and the benchmarks.  b=4, r=4
+# puts the LSH s-curve threshold (1/b)^(1/r) ~= 0.71, appropriate for the
+# 0.8-Jaccard verification threshold the reference's README promises
+# (reference README.md:2-3).
+FLAGSHIP = MinHashLSHConfig()
+
+# Golden-parity config for the reference's 5-line demo corpus
+# (reference src/main/resources/documents.txt).  The reference's own
+# threshold filter is vacuous (it compares a signature with itself —
+# reference MinHashLSH.java:176), so its committed "pairs" output is simply
+# every co-bucketed pair.  The two golden pairs have true 3-gram Jaccard
+# 0.35 and 0.456; all other pairs are <= 0.107.  With r=1 (16 bands of one
+# row) recall at j>=0.35 is ~1-(1-j)^16 > 0.999, and exact verification at
+# threshold 0.3 separates the golden pairs from the rest deterministically.
+GOLDEN = MinHashLSHConfig(k=3, num_hashes=16, num_bands=16, threshold=0.3, seed=42)

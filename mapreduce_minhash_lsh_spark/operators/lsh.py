@@ -1,0 +1,83 @@
+"""LSH banding + candidate generation (P4, J1, F2) — reference job 2's
+shuffle/reduce side, rebuilt as a band-key equi-self-join.
+
+Reference: signatures are split into bands whose values (comma-joined,
+WITHOUT the band index — a defect: buckets from different bands merge,
+MinHashLSH.java:138-142) key an MR shuffle; one reducer then does an
+O(m^2) nested-loop over each bucket (MinHashLSH.java:168-193) with a
+vacuous similarity filter (it compares a signature to itself, :176).
+
+Rebuild: band key = (band_idx, joined values) — band-indexed, fixing the
+collision defect — and candidates come from a hash/sort-merge *equi-join*
+of the band table with itself, which Spark shuffles, spills, and
+AQE-skew-splits; the quadratic work is bounded per bucket and
+parallelized instead of serialized into one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
+
+
+def band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """Wide signatures -> (doc_id, band, band_key).
+
+    band_key joins the band's r minhash values with ',' in hash order —
+    same encoding as the reference (MinHashLSH.java:135-141) plus the
+    band index carried alongside.  posexplode keeps this a pure map-side
+    reshape (no shuffle).
+    """
+    r = cfg.rows_per_band
+    keys = F.array(*[
+        F.concat_ws(",", *[F.col(f"mh_{band * r + i}") for i in range(r)])
+        for band in range(cfg.num_bands)
+    ])
+    return signatures.select(
+        "doc_id", F.posexplode(keys).alias("band", "band_key")
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: MinHashLSHConfig,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, band, band_key) -> distinct (doc_id_a < doc_id_b) pairs.
+
+    ``max_bucket_size`` caps pathological buckets (near-identical boiler-
+    plate at web scale makes single buckets with 10^6 members -> 10^12
+    pairs); dropping them trades recall for survival and is standard
+    practice at 100 TB.  AQE skew-join handles moderate skew below the cap.
+    """
+    if max_bucket_size is not None:
+        sized = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+        bands = (
+            bands.join(
+                sized.where(F.col("_n") <= max_bucket_size), ["band", "band_key"]
+            ).drop("_n")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidates(
+    doc_shingles: DataFrame,
+    cfg: MinHashLSHConfig,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) -> candidate pairs, end to end."""
+    return candidate_pairs(
+        band_keys(minhash_signatures(doc_shingles, cfg), cfg), cfg, max_bucket_size
+    )

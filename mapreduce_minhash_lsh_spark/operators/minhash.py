@@ -1,0 +1,66 @@
+"""MinHash signatures (P3) — the algorithmic core of reference job 2.
+
+Reference: per line, build a dense one-hot against the vocabulary
+(MinHashLSH.java:74-85, O(vocab) per doc) then for each permutation scan
+for the first hot position (:87-109, O(n^2) via indexOf).  Rebuild: the
+textbook equivalent min over a universal hash family,
+
+    sig_j(doc) = min over shingles s of  (a_j * id(s) + b_j) mod p
+
+computed as ONE ``groupBy(doc_id)`` with ``num_hashes`` min-aggregates —
+a single shuffle, map-side partial aggregation for free, no vectors
+materialized, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions.hashing import affine_hash, xxhash_id
+from mapreduce_minhash_lsh_spark.operators.shingling import vocabulary
+
+
+def shingle_ids(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, shingle_id) under cfg.id_strategy.
+
+    'rank'  : broadcast-join against the lexicographic vocabulary (small
+              vocab) or shuffle-join (large) — Catalyst/AQE picks; exactly
+              reproducible in SQL for the oracle.
+    'xxhash': pure map-side hash, no vocabulary, no extra shuffle — the
+              scale path.
+    """
+    if cfg.id_strategy == "xxhash":
+        return doc_shingles.select(
+            "doc_id", xxhash_id(F.col("shingle"), cfg.prime).alias("shingle_id")
+        )
+    vocab = vocabulary(doc_shingles)
+    return doc_shingles.join(vocab, "shingle").select("doc_id", "shingle_id")
+
+
+def minhash_signatures(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, mh_0 .. mh_{n-1}) wide signature.
+
+    One shuffle on doc_id; the n mins ride the same exchange (the
+    reference needed a whole MR job plus a distributed-cache fan-out for
+    this step — MinHashLSH.java:43-143).
+    """
+    ids = shingle_ids(doc_shingles, cfg)
+    aggs = [
+        F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(cfg.hash_params())
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
+def signatures_long(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """(doc_id, h, minhash) long format — the SQL-oracle-friendly shape."""
+    wide = minhash_signatures(doc_shingles, cfg)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("h"), F.col(f"mh_{j}").alias("minhash"))
+        for j in range(cfg.num_hashes)
+    ])
+    return wide.select("doc_id", F.explode(pairs).alias("x")).select(
+        "doc_id", F.col("x.h").alias("h"), F.col("x.minhash").alias("minhash")
+    )

@@ -1,0 +1,70 @@
+"""Shingling operators — the reference's job 1 (Shingling.java) rebuilt.
+
+Reference job 1: map each line to its char 3-grams, shuffle on shingle,
+reduce to `shingle -> csv-joined posting list` (Shingling.java:33-65) with
+a map-side combiner (:45-54).  In Spark the combiner is the automatic
+partial aggregation inside ``groupBy().agg()`` — no user code (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.functions.shingles import shingle_array, shingle_set
+
+
+def explode_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """documents -> (doc_id, shingle), one row per (doc, k-gram).
+
+    ``distinct=True`` gives set semantics (what MinHash/Jaccard need);
+    ``distinct=False`` preserves multiplicity like the reference's posting
+    lists (P1, Shingling.java:33-42).  Empty texts yield no rows.
+    """
+    arr = shingle_set(F.col(text_col), k) if distinct else shingle_array(F.col(text_col), k)
+    return (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("shingle"))
+    )
+
+
+def shingle_postings(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index: shingle -> sorted posting list of doc ids
+    (A1/A2, Shingling.java:45-65; multiplicity preserved to match the
+    committed golden output, e.g. "oth" -> [57, 57])."""
+    return (
+        explode_shingles(docs, k, id_col, text_col, distinct=False)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+
+
+def vocabulary(doc_shingles: DataFrame) -> DataFrame:
+    """Distinct shingles with a dense 1-based lexicographic rank
+    (shingle_id) — the deterministic id domain for the 'rank' MinHash
+    strategy and its DuckDB oracle twin.
+
+    The reference's vocabulary is the keySet of job 1's output, iterated in
+    HashMap order (MinHashLSH.java:55-71,80) — nondeterministic; the rank
+    fixes that.  Scale note (SCALE.md): the global sort behind row_number
+    is a single-task bottleneck at 100 TB — the 'xxhash' strategy skips the
+    vocabulary entirely and is the production path; 'rank' exists for
+    deterministic parity testing at oracle scale.
+    """
+    w = Window.orderBy("shingle")
+    return (
+        doc_shingles.select("shingle")
+        .distinct()
+        .select("shingle", F.row_number().over(w).cast("long").alias("shingle_id"))
+    )

@@ -1,0 +1,54 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs on local[N] (single JVM), but every setting here is
+chosen for the 1000-executor / 100 TB deployment described in SCALE.md:
+AQE re-plans shuffles at runtime (partition coalescing + skew-join
+splitting — our band-key self-join is the skew hot spot), Arrow makes the
+few pandas-UDF paths batch-transfer instead of row-at-a-time, and the
+session timezone is pinned to UTC so timestamp semantics match the
+naive-UTC parquet testdata and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce-minhash-lsh-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable knobs to a session we didn't build (the
+    driver hands us one in ``__spark_entry__.entry``)."""
+    for key, val in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - conf may be static
+            pass
+    return spark

@@ -1,0 +1,68 @@
+"""Table catalog over the parquet testdata + the reference's text source.
+
+Covers SURVEY.md §2.1:
+  S1 text-line scan   -> ``read_text_docs`` (stable doc ids without the
+                         reference's byte-offset hack, Shingling.java:33,40)
+  S1 parquet scan     -> ``load_table`` (columnar, predicate-pushdown-able)
+  S4 CSV sink+header  -> ``write_csv`` (reference hand-writes headers in
+                         Reducer.setup — Shingling.java:68-74)
+  S5 overwrite        -> mode("overwrite") (reference deletes the output
+                         dir by hand — Shingling.java:98-100)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql plans)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text file -> DataFrame[doc_id: long, text: string].
+
+    The reference uses the line's *byte offset* as its row id (an MR
+    artifact of TextInputFormat — reference Shingling.java:30,40).  We use
+    the 0-based line number: stable, partition-order-independent via a
+    single-file sort. For the multi-TB path prefer parquet with explicit
+    ids (``load_table``); this source exists for reference-corpus parity.
+    """
+    lines = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return lines.select(
+        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Quoted CSV with header, overwrite — the reference's sink contract
+    (S4/S5) without the hand-rolled header/quote code."""
+    df.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

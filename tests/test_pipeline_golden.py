@@ -1,0 +1,107 @@
+"""End-to-end golden parity with the reference's committed output
+(results/pairs/part-r-00000) plus pipeline-level unit checks."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import GOLDEN, MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, lsh_candidates
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
+from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+from mapreduce_minhash_lsh_spark.operators.similarity import (
+    exact_jaccard,
+    similar_pairs,
+    symmetric_pairs,
+)
+from tests.conftest import GOLDEN_PAIRS
+from tests.test_shingling import shingles_py
+
+
+def test_flagship_reproduces_golden_pairs(spark, golden_docs):
+    """SURVEY.md §5.1: the flagship pipeline on the verbatim 5-line corpus
+    must reproduce the undirected golden pair set. The reference's own 0.8
+    threshold never filtered (self-compare bug, MinHashLSH.java:176); the
+    golden pairs' true Jaccard is 0.35 / 0.456 vs <=0.107 for the rest, so
+    verified threshold 0.3 (GOLDEN config) separates them exactly."""
+    result = similar_pairs(golden_docs, GOLDEN)
+    got = {(r.doc_id_a, r.doc_id_b) for r in result.collect()}
+    assert got == GOLDEN_PAIRS
+
+
+def test_symmetric_output_contract(spark, golden_docs):
+    """Job 3 emits both directions (4 rows for 2 pairs)."""
+    sym = symmetric_pairs(similar_pairs(golden_docs, GOLDEN))
+    got = {(r.doc_id_a, r.doc_id_b) for r in sym.collect()}
+    assert got == {(0, 2), (2, 0), (3, 4), (4, 3)}
+
+
+def test_exact_jaccard_matches_python(spark, golden_docs):
+    """exact_jaccard on all 10 pairs == brute-force Python set Jaccard."""
+    texts = {r.doc_id: r.text for r in golden_docs.collect()}
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(sorted(texts), 2)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    sh = explode_shingles(golden_docs, k=3)
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard(all_pairs, sh).collect()
+    }
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = set(shingles_py(texts[a])), set(shingles_py(texts[b]))
+        expected = len(A & B) / len(A | B)
+        if expected == 0.0:
+            assert (a, b) not in got  # no common shingle -> no row
+        else:
+            assert abs(got[(a, b)] - expected) < 1e-12
+
+
+def test_signature_and_band_shapes(spark, golden_docs):
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    sh = explode_shingles(golden_docs, cfg.k)
+    sig = minhash_signatures(sh, cfg)
+    assert sig.columns == ["doc_id"] + [f"mh_{j}" for j in range(8)]
+    assert sig.count() == 5
+    bands = band_keys(sig, cfg)
+    assert bands.count() == 5 * 4
+    # every band key is r comma-joined non-negative ints
+    for row in bands.collect():
+        parts = row.band_key.split(",")
+        assert len(parts) == cfg.rows_per_band
+        assert all(0 <= int(p) < cfg.prime for p in parts)
+    assert bands.select("band").distinct().count() == 4
+
+
+def test_determinism_same_seed(spark, golden_docs):
+    cfg = MinHashLSHConfig(num_hashes=16, num_bands=8, seed=7)
+    sh = explode_shingles(golden_docs, cfg.k)
+    a = sorted(map(tuple, lsh_candidates(sh, cfg).collect()))
+    b = sorted(map(tuple, lsh_candidates(sh, cfg).collect()))
+    assert a == b
+
+
+def test_identical_docs_always_pair(spark):
+    """j=1 pairs collide in every band — recall 1.0 regardless of seed."""
+    docs = spark.createDataFrame(
+        [(0, "the same text"), (1, "the same text"), (2, "unrelated words")],
+        ["doc_id", "text"],
+    )
+    cfg = MinHashLSHConfig(num_hashes=4, num_bands=2, seed=123)
+    got = similar_pairs(docs, cfg, threshold=0.99)
+    assert [(r.doc_id_a, r.doc_id_b, r.jaccard) for r in got.collect()] == [(0, 1, 1.0)]
+
+
+def test_max_bucket_size_caps_hot_buckets(spark):
+    """100 identical docs -> one hot bucket per band; cap drops them."""
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text") for i in range(100)], ["doc_id", "text"]
+    )
+    cfg = MinHashLSHConfig(num_hashes=4, num_bands=2)
+    sh = explode_shingles(docs, cfg.k)
+    uncapped = lsh_candidates(sh, cfg)
+    assert uncapped.count() == 100 * 99 // 2
+    capped = lsh_candidates(sh, cfg, max_bucket_size=10)
+    assert capped.count() == 0
