@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship similar-pairs query on sf0.001.
+queries()      -> every implemented operator from SURVEY.md §2 (+ the
+                  training-data-pipeline extensions), as (spark, sf_dir)
+                  callables.
+oracle_sql()   -> DuckDB twins computing identical results (same seeded
+                  hash literals, same aliases); see
+                  mapreduce_minhash_lsh_spark/registry.py.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver may import this file from anywhere; make the package importable.
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from mapreduce_minhash_lsh_spark import registry
+from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+from mapreduce_minhash_lsh_spark.session import tune_existing
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate pairs of the sf0.001 documents corpus with
+    exact Jaccard >= 0.8 (finds the 28 planted near-dup pairs)."""
+    tune_existing(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return similar_pairs(docs, registry.PIPELINE_CFG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()
