@@ -1,0 +1,123 @@
+"""Deduplication family for training-data pipelines.
+
+  * exact_dedup        — hash-groupBy on content (or any key columns)
+  * ngram_jaccard_pairs— exact all-pairs n-gram Jaccard (brute force via
+                         the shingle equi-join; quadratic in co-occurring
+                         docs — use on samples/buckets, the LSH pipeline
+                         in operators/similarity.py is the scale path)
+  * near_dup_groups    — connected components over a similar-pairs edge
+                         list (iterative min-label propagation — no
+                         GraphFrames dependency), giving dedup group ids
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+from mapreduce_minhash_lsh_spark.operators.similarity import exact_jaccard
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 row per key tuple: representative (min id) + count.
+    One shuffle on the key hash; at 100 TB dedup on a digest column
+    (xxhash64/sha2 of content) instead of raw text to shrink the exchange."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def duplicate_ids(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Ids to DROP under exact dedup (everything but the min id per group)."""
+    w_keys = [F.col(k) for k in keys]
+    keep = df.groupBy(*w_keys).agg(F.min(id_col).alias("keep_id"))
+    return (
+        df.join(keep, keys)
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("drop_id"), "keep_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard for every co-shingled pair (doc_id_a < doc_id_b).
+
+    Ground truth for LSH recall measurement.  The shingle self-join is
+    quadratic in documents sharing a shingle — bound the input (sample,
+    bucket, or partition) before calling at scale.
+    """
+    sh = explode_shingles(docs, k)
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list
+    (doc_id_a, doc_id_b) -> (doc_id, group_id = min doc id of component).
+
+    Iterative label propagation: every node adopts the min label among
+    itself and its neighbours until fixpoint.  Converges in O(diameter)
+    rounds; near-dup components are tiny cliques in practice, so a handful
+    of iterations suffice.  Each round is one join + one groupBy (both on
+    doc_id); localCheckpoint truncates the growing lineage so Catalyst
+    doesn't replan an ever-deeper DAG.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select("doc_id_a", "doc_id_b")
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_id_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_id_b == labels.doc_id)
+            .groupBy("doc_id_a")
+            .agg(F.min("group_id").alias("nbr_min"))
+            .withColumnRenamed("doc_id_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

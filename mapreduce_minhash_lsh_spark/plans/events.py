@@ -1,0 +1,81 @@
+"""Time-series analytics over the events table.
+
+All bucketing/gap arithmetic is done on integer epochs (unix seconds /
+microseconds), never on session-timezone-dependent calendar functions,
+so results are identical on any driver configuration and match the
+naive-UTC parquet data exactly.  The streaming variants of these live in
+``streaming/`` (same logic via Structured Streaming windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+SESSION_GAP_US = 1_800 * 1_000_000  # 30 min
+
+
+def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h windows per event type: counts, distinct users, exact sum."""
+    e = load_table(spark, sf, "events")
+    hour = (F.expr("ts_us div 3600000000") * 3600).cast("long")
+    return (
+        e.groupBy("event_type", hour.alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf: str, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min idle.
+
+    Classic two-window formulation (lag -> boundary flag -> running sum);
+    both windows share one hash-partition-by-user shuffle — Catalyst plans
+    a single Exchange.  Scale note: state per user is one row ordering,
+    no driver involvement; skewed power-users are bounded by their own
+    event counts.
+    """
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts_us").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id", "event_id", "us", "value",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id", "us", "value", F.sum("is_new").over(run).alias("session_id")
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def event_type_shares(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type share of total events — scalar-subquery/window-total shape."""
+    e = load_table(spark, sf, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(total)).alias("share"),
+    )

@@ -1,0 +1,130 @@
+"""TPC-H-style relational plans, written for the 100 TB plan shape:
+
+  * dimension joins are explicitly ``F.broadcast`` (region/nation/
+    customer/supplier are tiny next to orders/lineitem — never shuffle
+    the fact table for them);
+  * every aggregate that sums doubles goes through an exact
+    DECIMAL(38,6) sum and is cast back to double, so results are
+    partition-order independent (bit-identical across runs, engines,
+    and cluster sizes — a correctness property, not just a test nicety);
+  * filters sit directly on the scan so Catalyst pushes them into the
+    parquet reader (verify with .explain: PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+
+def _dec(col: F.Column | str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)")
+
+
+def _dsum(col: F.Column | str, alias: str) -> F.Column:
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+def pricing_summary(spark: SparkSession, sf: str, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table; partial
+    aggregation makes this shuffle only num_groups rows per partition."""
+    l = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") <= cutoff)
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(
+    spark: SparkSession, sf: str, segment: str = "BUILDING",
+    cutoff: str = "1998-01-01", n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into the
+    orders⋈lineitem join, aggregate, deterministic top-n."""
+    cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == segment)
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(n)
+    )
+
+
+def region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — broadcast region->nation->customer chain,
+    shuffle only on the fact side keys."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """Window top-k: rank orders within each customer (no global sort)."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).where(F.col("rn") <= n)
+    )
+
+
+def rollup_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-sets coverage;
+    NULL grouping keys coalesced to 'ALL' for unambiguous hashing."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n_rows",
+        )
+    )
+
+
+def distinct_parts_per_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) coverage — expands to two-phase distinct aggregation."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )

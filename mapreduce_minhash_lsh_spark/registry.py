@@ -236,3 +236,281 @@ def q_similar_pairs_symmetric(spark: SparkSession, sf: str) -> DataFrame:
     """P6/A4: both directions, distinct — reference job 3's output contract
     (CollectCandidates.java:32-51)."""
     return symmetric_pairs(similar_pairs(load_table(spark, sf, "documents"), _CFG))
+
+
+# --------------------------------------------------------------------------
+# Relational plans (the general query-engine surface: scan/filter/project,
+# aggregation, broadcast star joins, windows, rollup, distinct)
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.plans import events as _events  # noqa: E402
+from mapreduce_minhash_lsh_spark.plans import tpch as _tpch  # noqa: E402
+
+_Q1_AGGS = """
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order"""
+
+register(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,{_Q1_AGGS}
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)(_tpch.pricing_summary)
+
+register(
+    "q3_top_revenue_orders",
+    """SELECT o_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10""",
+)(_tpch.top_revenue_orders)
+
+register(
+    "q5_region_revenue",
+    """SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+)(_tpch.region_revenue)
+
+register(
+    "window_top_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders)
+WHERE rn <= 3""",
+)(_tpch.top_orders_per_customer)
+
+register(
+    "rollup_quantity",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)(_tpch.rollup_quantity)
+
+register(
+    "distinct_parts_per_flag",
+    """SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+)(_tpch.distinct_parts_per_flag)
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling-window rollup, sessionization, shares (all integer-epoch
+# based -> timezone-independent)
+# --------------------------------------------------------------------------
+
+register(
+    "events_hourly",
+    """SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600""",
+)(_events.hourly_rollup)
+
+register(
+    "events_sessionize",
+    f"""WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_events.SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, us, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id""",
+)(_events.sessionize)
+
+register(
+    "event_type_shares",
+    """WITH counts AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+SELECT event_type, n_events,
+       CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS share
+FROM counts""",
+)(_events.event_type_shares)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (tokens, quality, language ID, fingerprints) + dedup family
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.functions import text as _text  # noqa: E402
+from mapreduce_minhash_lsh_spark.operators import dedup as _dedup  # noqa: E402
+
+_SW = ", ".join(f"'{w}'" for w in _text.QUALITY_STOPWORDS)
+
+
+@register(
+    "text_stats",
+    f"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(length(text) - length(translate(text, '.,!?;:', '')) AS BIGINT) AS n_punct
+FROM documents WHERE length(text) > 0""",
+)
+def q_text_stats(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        _text.n_tokens(t).alias("n_tokens"),
+        (F.length(t).cast("double") / _text.n_tokens(t)).alias("chars_per_token"),
+        _text.stopword_count(t, _text.QUALITY_STOPWORDS).alias("n_stopwords"),
+        (
+            _text.stopword_count(t, _text.QUALITY_STOPWORDS).cast("double")
+            / _text.n_tokens(t)
+        ).alias("stopword_ratio"),
+        _text.punct_count(t).alias("n_punct"),
+    )
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(chr(39)+w+chr(39) for w in words)})))"
+        for lang, words in _text.LANG_STOPWORDS
+    }
+    langs = [lang for lang, _ in _text.LANG_STOPWORDS]
+    clauses = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} >= {score[later]}" for later in langs[i + 1 :]
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    f"""SELECT doc_id, lang, {_lang_case_sql()} AS pred_lang
+FROM documents WHERE length(text) > 0""",
+)
+def q_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", "lang", _text.predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""SELECT doc_id,
+  CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1)) * CAST(pw AS BIGINT)) % {_text.MERSENNE_PRIME} AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id, text, unnest(range(1, least(length(text), {_text.FP_PREFIX}) + 1)) AS i
+  FROM documents WHERE length(text) > 0
+) chars
+JOIN (SELECT unnest(range(1, {_text.FP_PREFIX} + 1)) AS i, unnest({_text.FP_POWS}) AS pw) pows
+  USING (i)
+GROUP BY doc_id""",
+)
+def q_doc_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", _text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+register(
+    "exact_dedup_text",
+    """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text HAVING COUNT(*) > 1""",
+)(lambda spark, sf: _dedup.exact_dedup(load_table(spark, sf, "documents"), ["text"]))
+
+register(
+    "dedup_by_lang_source",
+    """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY lang, source HAVING COUNT(*) > 1""",
+)(
+    lambda spark, sf: _dedup.exact_dedup(
+        load_table(spark, sf, "documents"), ["lang", "source"]
+    )
+)
+
+# Exact all-pairs n-gram Jaccard on a deterministic 1-in-50 sample (the
+# brute-force ground truth; quadratic, so sampled — the LSH pipeline is
+# the full-corpus path).
+_NGRAM_T = 0.5
+
+@register(
+    "ngram_jaccard_sample",
+    f"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+ssh AS (
+  SELECT DISTINCT doc_id, rpad(substr(text, CAST(i AS INTEGER), {_K}), {_K}, ' ') AS shingle
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM sdocs WHERE length(text) > 0)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= {_NGRAM_T}""",
+)
+def q_ngram_jaccard_sample(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 50 == 0)
+    return _dedup.ngram_jaccard_pairs(docs, k=_CFG.k, threshold=_NGRAM_T)
+
+
+@register(
+    "near_dup_groups",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src""",
+)
+def q_near_dup_groups(spark, sf):
+    """Connected components over the flagship similar-pairs edges; oracle
+    is a recursive-CTE transitive closure (components are tiny cliques)."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    return _dedup.near_dup_groups(pairs)
