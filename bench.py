@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a count() action (no driver-side collect
+of result data).  The session is warmed with a trivial action first so
+JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mapreduce_minhash_lsh_spark import registry
+from mapreduce_minhash_lsh_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship pipeline + one representative per operator
+# family (relational agg, star join, window, sessionization, text, dedup,
+# similarity search, fingerprints).
+HEADLINE = [
+    "similar_pairs",
+    "near_dup_groups",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "window_top_orders_per_customer",
+    "events_hourly",
+    "events_sessionize",
+    "text_stats",
+    "doc_fingerprint",
+    "simhash",
+    "ann_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # warm up the JVM/session
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline-suite-seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

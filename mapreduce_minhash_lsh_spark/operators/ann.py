@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+  * ``cosine_topk`` — brute force: broadcast the (small) query set and
+    scan the corpus once; exact, O(|Q| * |corpus|).  The correctness
+    baseline, and the right plan whenever |Q| is small.
+  * ``lsh_topk`` — random-hyperplane (SRP) bucketing: 100 TB scale path.
+    Corpus is hashed once to sign-pattern buckets; queries probe only
+    their own bucket.  Approximate (recall < 1); cross-checked against
+    brute force in tests.
+
+Everything is built-in expressions; the exact-decimal dot products make
+results bit-stable across partitionings (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MERSENNE_PRIME
+from mapreduce_minhash_lsh_spark.functions.vectors import (
+    cosine_from_parts,
+    dot_exact,
+    norm2_exact,
+)
+
+
+def norms(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(F.col(id_col), norm2_exact(F.col(vec_col)).alias("n2"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Plan: broadcast queries against the corpus scan (one pass, no
+    shuffle of the corpus), then a per-query window top-k.
+    """
+    n = norms(emb, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
+    nq = n.select(F.col(id_col).alias("query_id"), F.col("n2").alias("n2_q"))
+    nc = n.select(F.col(id_col).alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    scored = (
+        pairs.select(
+            "query_id", "neighbor_id",
+            dot_exact(F.col("q_vec"), F.col("c_vec")).alias("dot"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_from_parts(F.col("dot"), F.col("n2_q"), F.col("n2_c")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter_margin: float = 1e-6,
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — embedding near-dup.
+
+    Two phases:
+      1. *Prefilter*: broadcast the corpus as a dense matrix and stream
+         partitions through an Arrow-batched NumPy matmul (mapInPandas)
+         — each executor scores a block of rows against the broadcast
+         side in one BLAS call instead of per-pair lambda evaluation.
+         Candidates are kept at ``threshold - prefilter_margin``; the
+         margin (1e-6) exceeds the ~1e-11 double-vs-scaled-int gap by 5
+         orders of magnitude, so no true pair can be lost.
+      2. *Confirm*: survivors (a tiny set) are re-scored with the exact
+         order-independent scaled-integer dot (functions/vectors.py) —
+         the values the DuckDB oracle reproduces bit-for-bit.
+
+    Scale note: the broadcast side must fit in executor memory (same
+    contract as any broadcast join; ~1 GB <-> 4M x 64-dim float32).
+    Beyond that, bucket first (``srp_bucket``) and run this per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = np.asarray(pdf[id_col].values, dtype=np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = np.inf
+    unit = mat / nrm[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+    cut = threshold - prefilter_margin
+
+    def block_score(batches):
+        b_ids, b_unit = bc.value
+        for batch in batches:
+            a_ids = np.asarray(batch[id_col].values, dtype=np.int64)
+            a_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_nrm[a_nrm == 0] = np.inf
+            cos = (a_mat / a_nrm[:, None]) @ b_unit.T
+            ai, bi = np.nonzero((cos >= cut) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi]}
+            )
+
+    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        block_score, schema="vec_id_a long, vec_id_b long"
+    )
+    # exact confirm on the (small) candidate set
+    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a", "vec_id_b",
+            cosine_from_parts(
+                dot_exact(F.col("va"), F.col("vb")),
+                norm2_exact(F.col("va")),
+                norm2_exact(F.col("vb")),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5) from the
+    affine family — no RNG state, reproducible everywhere."""
+    planes = []
+    for j in range(n_planes):
+        a = (2 * seed + 1) * (2 * j + 3) % MERSENNE_PRIME
+        row = [
+            (((a * (i + 1) + j + 1) * 2654435761) % MERSENNE_PRIME)
+            / MERSENNE_PRIME - 0.5
+            for i in range(dim)
+        ]
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42) -> F.Column:
+    """Signed-random-projection bucket id: n_planes sign bits packed into
+    a long.  Map-side only — the corpus is hashed in one pass."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(_srp_planes(dim, n_planes, seed)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket the corpus once, multi-probe each
+    query's bucket plus its n_planes hamming-1 neighbours (flip one sign
+    bit — the standard multiprobe trick), exact-rank within the probed
+    set.  Work per query ~ (n_planes+1)/2^n_planes of the corpus; recall
+    measured in tests/test_ann.py."""
+    cb = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    base = srp_bucket(F.col(vec_col), dim, n_planes, seed)
+    probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("bucket"),
+    )
+    pairs = cb.join(F.broadcast(qb), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_from_parts(
+            dot_exact(F.col("q_vec"), F.col("c_vec")),
+            norm2_exact(F.col("q_vec")),
+            norm2_exact(F.col("c_vec")),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= k)
+    )

@@ -75,7 +75,9 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     doc_id); localCheckpoint truncates the growing lineage so Catalyst
     doesn't replan an ever-deeper DAG.
     """
-    spark = pairs.sparkSession
+    # Materialize the edge list eagerly: the incoming pairs may carry an
+    # arbitrarily deep lineage (e.g. the whole LSH pipeline) that must not
+    # be replayed once per iteration.
     edges = (
         pairs.select("doc_id_a", "doc_id_b")
         .unionByName(
@@ -85,7 +87,7 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("doc_id_a").alias("doc_id"))
@@ -119,5 +121,4 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels

@@ -1,0 +1,97 @@
+"""MLlib flagship path: CountVectorizer(binary) -> MinHashLSH ->
+approxSimilarityJoin / approxNearestNeighbors.
+
+This is the BASELINE.json-prescribed approach ("DataFrame + MLlib LSH")
+and implements the same intended algorithm as the explicit operator path
+(operators/minhash.py, operators/lsh.py): binary shingle vectors replace
+the reference's dense one-hot (MinHashLSH.java:74-85), MLlib's seeded
+perfect-hash family replaces the unseeded permutations (:248-266), and
+``approxSimilarityJoin`` performs the banded bucket-join plus the
+*correct* distance filter the reference botched (:176).
+
+Kept separate from the explicit path because MLlib vectors aren't
+SQL-expressible — the DuckDB oracle runs against the explicit path, and
+tests/test_mllib.py cross-checks the two paths agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions.shingles import shingle_set
+
+
+def mllib_similar_pairs(
+    docs: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents -> (doc_id_a, doc_id_b, jaccard) via MLlib LSH.
+
+    ``approxSimilarityJoin``'s JaccardDistance is exact on the binary
+    vectors, so ``jaccard`` here equals the explicit path's exact
+    shingle-set Jaccard; only candidate *recall* differs (different hash
+    family).  Empty-shingle docs are excluded (MinHashLSH requires >=1
+    non-zero entry), matching the explicit path's behaviour.
+    """
+    threshold = cfg.threshold if threshold is None else threshold
+    shingled = (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                shingle_set(F.col(text_col), cfg.k).alias("shingles"))
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    cv_model = cv.fit(shingled)
+    vectors = cv_model.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=cfg.num_hashes, seed=cfg.seed,
+    )
+    model = lsh.fit(vectors)
+    joined = model.approxSimilarityJoin(
+        vectors, vectors, 1.0 - threshold, distCol="jaccard_distance"
+    )
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            (F.lit(1.0) - F.col("jaccard_distance")).alias("jaccard"),
+        )
+    )
+
+
+def mllib_top_k_neighbors(
+    docs: DataFrame,
+    key_text: str,
+    k: int,
+    cfg: MinHashLSHConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """approxNearestNeighbors for one probe text: top-k most similar docs."""
+    shingled = (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                shingle_set(F.col(text_col), cfg.k).alias("shingles"))
+    )
+    cv_model = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True
+    ).fit(shingled)
+    vectors = cv_model.transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=cfg.num_hashes, seed=cfg.seed,
+    ).fit(vectors)
+    probe = cv_model.transform(
+        docs.sparkSession.createDataFrame([(key_text,)], ["text"])
+        .select(shingle_set(F.col("text"), cfg.k).alias("shingles"))
+    ).head().features
+    return model.approxNearestNeighbors(vectors, probe, k).select(
+        "doc_id", (F.lit(1.0) - F.col("distCol")).alias("jaccard")
+    )

@@ -19,39 +19,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.operators.lsh import lsh_candidates
+from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+
+# Signature-agreement prefilter slack: the positionwise-agreement MinHash
+# estimator has sd sqrt(j(1-j)/n); 0.21 is ~3 sd at n=32, j=0.8, so pairs
+# at the threshold survive w.p. ~0.999 while the j~0.5 candidate
+# background (which dominates the candidate list) is mostly eliminated
+# before the exact verify join.  Part of the pipeline SPEC — the DuckDB
+# oracle applies the identical integer cutoff.
+EST_SLACK = 0.21
+
+
+def min_agree(cfg: MinHashLSHConfig, threshold: float) -> int:
+    import math
+
+    return max(0, math.ceil((threshold - EST_SLACK) * cfg.num_hashes))
 
 
 def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     """Annotate (doc_id_a, doc_id_b) pairs with exact shingle-set Jaccard.
 
-    Plan shape: sizes = one groupBy; intersections = pairs ⋈ shingles_a
-    (fan-out bounded by |shingles(a)|) ⋈ shingles_b on (doc, shingle);
-    then two joins against the small sizes table (broadcast-able).
+    Plan shape: collect each candidate doc's shingle set ONCE (groupBy
+    doc), then two equi-joins attach the arrays to the pair and the
+    intersection is a JVM-side ``array_intersect`` — per-pair O(n_a+n_b)
+    with no row fan-out.  (The naive alternative — exploding pairs
+    against the shingle relation — shuffles |pairs| x |shingles/doc|
+    rows; at 100 TB that's the difference between a bounded verify stage
+    and a shuffle explosion.)  Only candidate docs' sets are built: the
+    groupBy is semi-join-pruned by the pair list.
     """
-    sizes = doc_shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = doc_shingles.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    sh_b = doc_shingles.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "doc_id_a")
-        .join(sh_b, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("n_common"))
+    cand_docs = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    sets = (
+        doc_shingles.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh_set").alias("set_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh_set").alias("set_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        inter.join(na, "doc_id_a")
-        .join(nb, "doc_id_b")
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
             (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                n_common.cast("double")
+                / (F.size("set_a") + F.size("set_b") - n_common)
             ).alias("jaccard"),
         )
+        .where(F.col("jaccard") > 0)
     )
 
 
@@ -70,9 +97,48 @@ def similar_pairs(
     see SCALE.md.
     """
     threshold = cfg.threshold if threshold is None else threshold
-    doc_shingles = explode_shingles(docs, cfg.k)
-    cands = lsh_candidates(doc_shingles, cfg, max_bucket_size)
+    # The shingle relation feeds MinHash AND verification, and the
+    # candidate list feeds three branches of the verify join.  A lazy
+    # persist is NOT enough for cands: all three branches belong to one
+    # action, race on the cold cache, and each recomputes the whole LSH
+    # stage.  Eagerly materializing the (small) candidate list runs LSH
+    # exactly once and truncates the lineage under the verify join.
+    doc_shingles = explode_shingles(docs, cfg.k).persist()
+    sig = minhash_signatures(doc_shingles, cfg).persist()
+    cands = candidate_pairs(band_keys(sig, cfg), cfg, max_bucket_size)
+    cands = signature_prefilter(cands, sig, cfg, threshold).localCheckpoint(eager=True)
     return exact_jaccard(cands, doc_shingles).where(F.col("jaccard") >= threshold)
+
+
+def signature_prefilter(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float,
+) -> DataFrame:
+    """Drop candidate pairs whose positionwise signature agreement (the
+    classic MinHash Jaccard estimate, free once signatures exist) is more
+    than EST_SLACK below threshold.  Integer cutoff -> engine-exact; the
+    LSH candidate background is j~0.5 noise, so this typically shrinks
+    the exact-verify stage ~5x with negligible (=3 sd) recall cost."""
+    cut = min_agree(cfg, threshold)
+    if cut <= 0:
+        return pairs
+    arr = F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)])
+    sa = signatures.select(F.col("doc_id").alias("doc_id_a"), arr.alias("sig_a"))
+    sb = signatures.select(F.col("doc_id").alias("doc_id_b"), arr.alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .where(agree >= cut)
+        .select("doc_id_a", "doc_id_b")
+    )
 
 
 def symmetric_pairs(pairs: DataFrame) -> DataFrame:

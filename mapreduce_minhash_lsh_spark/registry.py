@@ -38,12 +38,14 @@ from mapreduce_minhash_lsh_spark.operators.similarity import (
 )
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 
-# Oracle-checked pipeline config: 32 hashes in 4 bands of 8 rows puts the
-# LSH s-curve threshold at (1/4)^(1/8) ~= 0.84 — steep between the
-# corpus's j~0.5 word-soup background and the j>=0.9 planted near-dups,
-# which keeps the candidate set (and so the verification join) bounded at
-# sf0.01 driver scale.  'rank' strategy so the DuckDB twin is exact.
-PIPELINE_CFG = MinHashLSHConfig(num_hashes=32, num_bands=4, threshold=0.8)
+# Oracle-checked pipeline config: 128 hashes in 8 bands of 16 rows.  The
+# documents corpus has a j~0.6 char-3-gram background (word-soup from a
+# small vocabulary), so the s-curve must be steep ABOVE 0.6: r=16 catches
+# j=0.6 pairs w.p. 8*0.6^16 ~= 0.2% (bounded candidate set) while j>=0.9
+# planted near-dups are caught w.p. 1-(1-0.9^16)^8 ~= 0.81 and j>=0.95
+# w.p. 0.99 — then exact verification makes precision 1.  'rank' strategy
+# so the DuckDB twin is exact.
+PIPELINE_CFG = MinHashLSHConfig(num_hashes=128, num_bands=8, threshold=0.8)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
@@ -120,11 +122,26 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
+# Signature-agreement prefilter (operators/similarity.py EST_SLACK): the
+# integer cutoff makes it engine-exact.
+from mapreduce_minhash_lsh_spark.operators.similarity import min_agree as _min_agree
+
+_AGREE_CTE = f"""
+candf AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig ga ON ga.doc_id = c.doc_id_a
+  JOIN sig gb ON gb.doc_id = c.doc_id_b AND gb.h = ga.h
+  GROUP BY c.doc_id_a, c.doc_id_b
+  HAVING SUM(CASE WHEN ga.minhash = gb.minhash THEN 1 ELSE 0 END)
+         >= {_min_agree(_CFG, _CFG.threshold)}
+)"""
+
 _JACCARD_CTE = """
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
-  FROM cand c
+  FROM candf c
   JOIN sh sa ON sa.doc_id = c.doc_id_a
   JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_id_a, c.doc_id_b
@@ -137,7 +154,7 @@ jac AS (
   JOIN sizes nb ON nb.doc_id = i.doc_id_b
 )"""
 
-_PIPELINE_CTES = ",".join([_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE, _CAND_CTE, _JACCARD_CTE])
+_PIPELINE_CTES = ",".join([_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE, _CAND_CTE, _AGREE_CTE, _JACCARD_CTE])
 
 
 # --------------------------------------------------------------------------
@@ -514,3 +531,126 @@ def q_near_dup_groups(spark, sf):
     is a recursive-CTE transitive closure (components are tiny cliques)."""
     pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
     return _dedup.near_dup_groups(pairs)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings + SimHash fingerprints
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.operators import ann as _ann  # noqa: E402
+from mapreduce_minhash_lsh_spark.operators import simhash as _simhash  # noqa: E402
+
+# Exact-decimal dot/norm fragments (see functions/vectors.py for why).
+# Scaled-integer dot product (see functions/vectors.py): floor each double
+# product to 1e-12 quanta, sum exactly in int64, divide back — associative,
+# so identical across engines and partition orders.
+_DOT = ("CAST(SUM(CAST(floor(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) "
+        "* 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0")
+
+_NORMS_CTE = f"""
+norms AS (
+  SELECT vec_id, {_DOT.format(x='v', y='v')} AS n2
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+  GROUP BY vec_id
+)"""
+
+
+@register(
+    "ann_topk",
+    f"""WITH qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+qe AS (SELECT vec_id AS query_id, unnest(embedding) AS qv,
+              generate_subscripts(embedding, 1) AS i FROM qv),
+ce AS (SELECT vec_id AS neighbor_id, unnest(embedding) AS cv,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT query_id, neighbor_id, {_DOT.format(x='qv', y='cv')} AS dot
+  FROM qe JOIN ce USING (i)
+  WHERE query_id != neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+{_NORMS_CTE.lstrip()},
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= 5""",
+)
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for a deterministic 1-in-50 query sample."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return _ann.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""WITH ae AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {_DOT.format(x='a.v', y='b.v')} AS dot
+  FROM ae a JOIN ae b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+{_NORMS_CTE.lstrip()}
+SELECT vec_id_a, vec_id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_id_a
+JOIN norms nb ON nb.vec_id = vec_id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5""",
+)
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.5)."""
+    return _ann.cosine_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
+
+
+register("ann_lsh_topk", None)(
+    lambda spark, sf: _ann.lsh_topk(
+        load_table(spark, sf, "embeddings"),
+        load_table(spark, sf, "embeddings").where(F.col("vec_id") % 50 == 0),
+        k=5,
+    )
+)
+
+_SH_A, _SH_B = _PARAMS[0]
+_POW2_LIST = list(_simhash._POW2)
+
+@register(
+    "simhash",
+    f"""WITH {_SH_CTE}, {_VOCAB_CTE},
+ids AS (SELECT sh.doc_id, v.shingle_id FROM sh JOIN vocab v USING (shingle)),
+hashed AS (
+  SELECT doc_id, (CAST({_SH_A} AS BIGINT) * shingle_id + {_SH_B}) % {_P} AS h
+  FROM ids
+),
+votes AS (
+  SELECT doc_id, bit, pw,
+         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed
+  CROSS JOIN (SELECT unnest({list(range(_simhash.N_BITS))}) AS bit,
+                     unnest({_POW2_LIST}) AS pw)
+  GROUP BY doc_id, bit, pw
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id""",
+)
+def q_simhash(spark, sf):
+    """32-bit SimHash fingerprints over the shingle set (Charikar 2002)."""
+    docs = load_table(spark, sf, "documents")
+    return _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
+
+
+@register("simhash_near_pairs", None)
+def q_simhash_near_pairs(spark, sf):
+    """Hamming<=3 SimHash pairs via the chunk-banding equi-join (rows-only
+    check: the banding join is cross-validated against brute force in
+    tests/test_simhash.py)."""
+    docs = load_table(spark, sf, "documents")
+    fp = _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
+    return _simhash.simhash_near_pairs(fp, max_hamming=3)

@@ -1,0 +1,71 @@
+"""ANN operators: brute-force correctness and SRP-LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.ann import cosine_pairs, cosine_topk, lsh_topk
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(100).cache()
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    got = cosine_topk(emb, queries, k=3).collect()
+
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    for q in [v for v in rows if v % 20 == 0]:
+        qv = rows[q]
+        sims = []
+        for c, cv in rows.items():
+            if c == q:
+                continue
+            dot = sum(float(a) * float(b) for a, b in zip(qv, cv))
+            na = math.sqrt(sum(float(a) ** 2 for a in qv))
+            nb = math.sqrt(sum(float(b) ** 2 for b in cv))
+            sims.append((c, dot / (na * nb)))
+        expected = sorted(sims, key=lambda t: (-t[1], t[0]))[:3]
+        got_q = sorted(
+            [(r.neighbor_id, r.cosine) for r in got if r.query_id == q],
+            key=lambda t: -t[1],
+        )
+        assert [c for c, _ in got_q] == [c for c, _ in expected]
+        for (_, a), (_, b) in zip(got_q, expected):
+            assert abs(a - b) < 1e-9
+
+
+def test_lsh_topk_recall(spark):
+    """SRP bucketing must recover a solid fraction of true top-5 at 8 planes
+    (single-probe; recall < 1 by design, see operators/ann.py)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_planes=4).collect()
+    true_sets = {}
+    for r in exact:
+        true_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.3  # single-probe 4-plane baseline; multiprobe raises it
+    # every returned neighbour must be genuinely in the query's bucket-local
+    # ranking: cosine values must match the exact computation
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+
+
+def test_cosine_pairs_symmetric_threshold(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(60).cache()
+    pairs = cosine_pairs(emb, threshold=-1.0).collect()
+    n = emb.count()
+    assert len(pairs) == n * (n - 1) // 2  # threshold -1 keeps all pairs
+    for r in pairs:
+        assert r.vec_id_a < r.vec_id_b
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
