@@ -654,3 +654,54 @@ def q_simhash_near_pairs(spark, sf):
     docs = load_table(spark, sf, "documents")
     fp = _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
     return _simhash.simhash_near_pairs(fp, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing, streaming, MLlib path
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.multimodal import binary as _binary  # noqa: E402
+
+
+@register(
+    "multimodal_features",
+    f"""SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) % 2147483647 AS BIGINT) AS checksum,
+  CAST((CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) % 2147483647 AS BIGINT) % 256) AS DOUBLE) / 255.0 AS feat0,
+  CAST(octet_length(encode(text)) AS DOUBLE)
+      / (octet_length(encode(text)) + 100.0) AS feat1
+FROM (
+  SELECT doc_id, text, unnest(range(1, least(length(text), {_binary.CHECKSUM_PREFIX}) + 1)) AS i
+  FROM documents WHERE length(text) > 0
+)
+GROUP BY doc_id, text""",
+)
+def q_multimodal_features(spark, sf):
+    """Binary-column feature extraction via Arrow-batched mapInPandas —
+    the multimodal plumbing exercised end to end on synthesized blobs
+    (ASCII text bytes), with a SQL twin on the byte values."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return _binary.extract_features(_binary.docs_as_blobs(docs))
+
+
+@register("streaming_events_hourly", None)
+def q_streaming_events_hourly(spark, sf):
+    """Structured Streaming tumbling-window rollup drained with
+    AvailableNow (rows-only check here; equality with the batch twin is
+    asserted in tests/test_streaming.py)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_hourly_rollup
+
+    return streaming_hourly_rollup(spark, sf)
+
+
+@register("mllib_similar_pairs", None)
+def q_mllib_similar_pairs(spark, sf):
+    """MLlib CountVectorizer + MinHashLSH approxSimilarityJoin flagship
+    (vectors aren't SQL-expressible -> rows-only; cross-path agreement
+    with the explicit pipeline is asserted in tests/test_mllib.py)."""
+    from mapreduce_minhash_lsh_spark.operators.mllib import mllib_similar_pairs
+
+    return mllib_similar_pairs(
+        load_table(spark, sf, "documents"), MinHashLSHConfig(num_hashes=32, num_bands=4)
+    )

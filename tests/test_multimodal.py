@@ -1,0 +1,51 @@
+"""Multimodal binary plumbing: schema, batching, determinism, stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_minhash_lsh_spark.multimodal.binary import (
+    decode_image,
+    docs_as_blobs,
+    extract_features,
+    fake_decode,
+    resize_stub,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_features_match_python_on_blobs(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    blobs = docs_as_blobs(docs)
+    feats = {r.id: r for r in extract_features(blobs).collect()}
+    for row in docs.collect():
+        blob = row.text.encode("utf-8")
+        n, checksum, f0, f1 = fake_decode(blob)
+        got = feats[row.doc_id]
+        assert (got.n_bytes, got.checksum) == (n, checksum)
+        assert abs(got.feat0 - f0) < 1e-12 and abs(got.feat1 - f1) < 1e-12
+
+
+def test_feature_schema_stable(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    df = extract_features(docs_as_blobs(docs))
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,n_bytes:bigint,checksum:bigint,feat0:double,feat1:double>"
+    )
+
+
+def test_partitioning_invariance(spark):
+    """mapInPandas features must not depend on partitioning/batch shape."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(100)
+    one = extract_features(docs_as_blobs(docs).coalesce(1)).collect()
+    many = extract_features(docs_as_blobs(docs).repartition(16)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_real_decoders_are_explicit_stubs(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    docs = load_table(spark, SF_SMALL, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        resize_stub(docs_as_blobs(docs), 64, 64)

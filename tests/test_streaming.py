@@ -1,0 +1,46 @@
+"""Structured Streaming jobs drained with AvailableNow must equal their
+batch twins on the static testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.plans.events import hourly_rollup
+from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from mapreduce_minhash_lsh_spark.streaming.jobs import (
+    incremental_similar_pairs,
+    streaming_dedup,
+    streaming_hourly_rollup,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_streaming_hourly_equals_batch(spark):
+    got = streaming_hourly_rollup(spark, SF_SMALL)
+    batch = hourly_rollup(spark, SF_SMALL).drop("n_users")
+    g = {(r.event_type, r.hour_epoch): (r.n_events, r.sum_value) for r in got.collect()}
+    b = {(r.event_type, r.hour_epoch): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_dedup_keeps_each_id_once(spark):
+    got = streaming_dedup(spark, SF_SMALL)
+    n_ids = load_table(spark, SF_SMALL, "events").select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_incremental_similar_pairs_equals_batch(spark):
+    """The foreachBatch incremental pipeline must find the same pair SET
+    as one batch run (same seeded config => same signatures/buckets;
+    candidate generation is batch-order-independent because every
+    cross/intra-batch bucket pair is considered)."""
+    cfg = MinHashLSHConfig(num_hashes=32, num_bands=4)
+    inc = incremental_similar_pairs(spark, SF_SMALL, cfg)
+    batch = similar_pairs(load_table(spark, SF_SMALL, "documents"), cfg)
+    inc_pairs = {(r.doc_id_a, r.doc_id_b) for r in inc.collect()}
+    batch_pairs = {(r.doc_id_a, r.doc_id_b) for r in batch.collect()}
+    assert inc_pairs == batch_pairs
