@@ -705,3 +705,75 @@ def q_mllib_similar_pairs(spark, sf):
     return mllib_similar_pairs(
         load_table(spark, sf, "documents"), MinHashLSHConfig(num_hashes=32, num_bands=4)
     )
+
+
+# --------------------------------------------------------------------------
+# Token counting (BPE-ish regex classes) + per-doc top-k similarity search
+# --------------------------------------------------------------------------
+
+_TOK_WORD = "[A-Za-z]+"
+_TOK_NUM = "[0-9]+"
+_TOK_OTHER = r"[^A-Za-z0-9\s]"
+
+
+@register(
+    "token_counts",
+    f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_TOK_WORD}')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{_TOK_NUM}')) AS BIGINT) AS n_numbers,
+  CAST(len(regexp_extract_all(text, '{_TOK_OTHER}')) AS BIGINT) AS n_other,
+  CAST(len(regexp_extract_all(text, '{_TOK_WORD}|{_TOK_NUM}|{_TOK_OTHER}')) AS BIGINT) AS n_tokens
+FROM documents WHERE length(text) > 0""",
+)
+def q_token_counts(spark, sf):
+    """BPE-ish tokenization census: word / number / symbol token classes
+    via regexp (the pre-tokenizer split most BPE vocabularies assume)."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_TOK_WORD)).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(_TOK_NUM)).cast("long").alias("n_numbers"),
+        F.regexp_count(t, F.lit(_TOK_OTHER)).cast("long").alias("n_other"),
+        F.regexp_count(t, F.lit(f"{_TOK_WORD}|{_TOK_NUM}|{_TOK_OTHER}"))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "similar_topk",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sym AS (
+  SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}
+  UNION ALL
+  SELECT doc_id_b, doc_id_a, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}
+)
+SELECT doc_id_a AS doc_id, doc_id_b AS neighbor_id, jaccard, rank FROM (
+  SELECT doc_id_a, doc_id_b, jaccard,
+         CAST(row_number() OVER (PARTITION BY doc_id_a
+                                 ORDER BY jaccard DESC, doc_id_b) AS INTEGER) AS rank
+  FROM sym)
+WHERE rank <= 3""",
+)
+def q_similar_topk(spark, sf):
+    """Top-3 most-similar documents per doc (north-star text similarity
+    search): verified LSH pairs, both directions, windowed top-k."""
+    from pyspark.sql import Window
+
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"),
+            F.col("doc_id_a").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id_a").orderBy(F.desc("jaccard"), F.asc("doc_id_b"))
+    return (
+        sym.select(
+            F.col("doc_id_a").alias("doc_id"),
+            F.col("doc_id_b").alias("neighbor_id"),
+            "jaccard",
+            F.row_number().over(w).alias("rank"),
+        ).where(F.col("rank") <= 3)
+    )

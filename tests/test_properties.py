@@ -1,0 +1,69 @@
+"""Property-based checks (SURVEY.md §5.4): the Spark expressions must
+agree with the plain-Python spec on arbitrary inputs, and the exact
+Jaccard must satisfy the metric axioms."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+from mapreduce_minhash_lsh_spark.operators.similarity import exact_jaccard
+from tests.test_shingling import shingles_py
+
+# Text without surrogates; includes whitespace/quotes/delimiters the
+# reference corrupts (SURVEY.md §2.7).
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_shingling_matches_python_spec(spark, docs_texts):
+    docs = spark.createDataFrame(list(enumerate(docs_texts)), ["doc_id", "text"])
+    got = (
+        explode_shingles(docs, k=3, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("s"))
+        .collect()
+    )
+    got_map = {r.doc_id: r.s for r in got}
+    for i, t in enumerate(docs_texts):
+        assert got_map.get(i, []) == sorted(shingles_py(t)), repr(t)
+
+
+@SLOW
+@given(st.lists(texts.filter(lambda t: len(t) > 0), min_size=2, max_size=5))
+def test_jaccard_axioms(spark, docs_texts):
+    """j(a,a)=1; 0<j<=1; spark == python on every co-shingled pair."""
+    docs = spark.createDataFrame(list(enumerate(docs_texts)), ["doc_id", "text"])
+    sh = explode_shingles(docs, k=3)
+    ids = list(range(len(docs_texts)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.product(ids, ids)], ["doc_id_a", "doc_id_b"]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard(pairs, sh).collect()
+    }
+    sets = {i: set(shingles_py(t)) for i, t in enumerate(docs_texts)}
+    for a, b in itertools.product(ids, ids):
+        inter = sets[a] & sets[b]
+        expected = len(inter) / len(sets[a] | sets[b]) if inter else None
+        if expected is None:
+            assert (a, b) not in got
+        else:
+            assert abs(got[(a, b)] - expected) < 1e-12
+            if a == b:
+                assert got[(a, b)] == 1.0
+            assert got[(a, b)] == got[(b, a)]

@@ -1,0 +1,52 @@
+"""Sources & sinks (SURVEY.md §2.1): CSV round-trip with quoting,
+overwrite semantics, text source with stable doc ids."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from mapreduce_minhash_lsh_spark.sources.tables import (
+    read_text_docs,
+    register_views,
+    write_csv,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_csv_roundtrip_with_hostile_values(spark):
+    """S4/P8: quoted CSV survives commas, quotes, '-', and the literal
+    header substrings the reference mishandles (SURVEY.md §2.7)."""
+    rows = [
+        (0, 'contains,comma'),
+        (1, 'contains"quote'),
+        (2, "contains-dash-like-the-reference-delimiter"),
+        (3, "Shingling,rowsOffset"),  # looks like the reference's header
+        (4, "Hash|pipe"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out")
+        write_csv(df, path)
+        back = spark.read.option("header", True).csv(path)
+        got = {(int(r.id), r.val) for r in back.collect()}
+        assert got == set(rows)
+        # S5: overwrite replaces, never appends
+        write_csv(df.limit(2), path)
+        assert spark.read.option("header", True).csv(path).count() == 2
+
+
+def test_read_text_docs_stable_ids(spark):
+    docs = read_text_docs(spark, "/root/reference/src/main/resources/documents.txt")
+    rows = sorted((r.doc_id, r.text) for r in docs.collect())
+    assert [i for i, _ in rows] == [0, 1, 2, 3, 4]
+    assert rows[0][1] == "I ate an apple."
+    assert rows[4][1].startswith("This sentence has a lot")
+
+
+def test_register_views_exposes_all_tables(spark):
+    register_views(spark, SF_SMALL)
+    assert spark.sql("select count(*) c from documents").head().c == 500
+    assert spark.sql(
+        "select count(*) c from lineitem join orders on l_orderkey = o_orderkey"
+    ).head().c > 0
