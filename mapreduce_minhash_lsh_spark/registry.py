@@ -699,12 +699,18 @@ def q_streaming_events_hourly(spark, sf):
 def q_mllib_similar_pairs(spark, sf):
     """MLlib CountVectorizer + MinHashLSH approxSimilarityJoin flagship
     (vectors aren't SQL-expressible -> rows-only; cross-path agreement
-    with the explicit pipeline is asserted in tests/test_mllib.py)."""
+    with the explicit pipeline is asserted in tests/test_mllib.py).
+
+    Runs on a deterministic 1-in-5 sample: MLlib's LSH uses one hash per
+    band (r=1), so on this corpus's j~0.6 background nearly EVERY pair
+    co-buckets and gets exact-distance checked — approxSimilarityJoin
+    degenerates to brute force here (50s on the full sf0.01 corpus).
+    The explicit pipeline's r=16 banding is the scalable path; this
+    entry exists to cover the MLlib surface."""
     from mapreduce_minhash_lsh_spark.operators.mllib import mllib_similar_pairs
 
-    return mllib_similar_pairs(
-        load_table(spark, sf, "documents"), MinHashLSHConfig(num_hashes=32, num_bands=4)
-    )
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    return mllib_similar_pairs(docs, MinHashLSHConfig(num_hashes=32, num_bands=4))
 
 
 # --------------------------------------------------------------------------
@@ -776,4 +782,112 @@ def q_similar_topk(spark, sf):
             "jaccard",
             F.row_number().over(w).alias("rank"),
         ).where(F.col("rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# General query-engine breadth: simple filter-agg, semi/anti joins, set
+# operations, calendar functions, and the SQL-text interface
+# --------------------------------------------------------------------------
+
+_Q6_REV = "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)"
+
+register(
+    "q6_forecast_revenue",
+    f"""SELECT {_Q6_REV} AS revenue, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)(
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    .agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+)
+
+register(
+    "customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)(
+    lambda spark, sf: load_table(spark, sf, "customer").join(
+        load_table(spark, sf, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+)
+
+register(
+    "suppliers_with_lineitems",
+    """SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)""",
+)(
+    lambda spark, sf: load_table(spark, sf, "supplier").join(
+        load_table(spark, sf, "lineitem"),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+)
+
+register(
+    "partkeys_never_ordered",
+    """SELECT p_partkey AS partkey FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem""",
+)(
+    lambda spark, sf: load_table(spark, sf, "part")
+    .select(F.col("p_partkey").alias("partkey"))
+    .exceptAll(
+        load_table(spark, sf, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    )
+    .distinct()
+)
+
+register(
+    "orders_by_year_priority",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CAST(year(o_orderdate) AS INTEGER), o_orderpriority""",
+)(
+    lambda spark, sf: load_table(spark, sf, "orders")
+    .groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+    )
+    .agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_total"),
+    )
+)
+
+
+@register(
+    "sql_interface",
+    """SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus""",
+)
+def q_sql_interface(spark, sf):
+    """The engine's SQL-text surface: the query is planned by Catalyst
+    from SQL, not the DataFrame DSL (spark.sql over registered views)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           GROUP BY o_orderstatus"""
     )

@@ -29,6 +29,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # Calendar functions (year/date_trunc) are session-timezone dependent;
+    # the testdata timestamps are naive-UTC and the DuckDB oracle reads
+    # them naively, so pin UTC regardless of who built this session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and expose ts_us
