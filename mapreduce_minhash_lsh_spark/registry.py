@@ -701,7 +701,7 @@ def q_mllib_similar_pairs(spark, sf):
     (vectors aren't SQL-expressible -> rows-only; cross-path agreement
     with the explicit pipeline is asserted in tests/test_mllib.py).
 
-    Runs on a deterministic 1-in-5 sample: MLlib's LSH uses one hash per
+    Runs on a deterministic prefix sample (doc_id < 250): MLlib's LSH uses one hash per
     band (r=1), so on this corpus's j~0.6 background nearly EVERY pair
     co-buckets and gets exact-distance checked — approxSimilarityJoin
     degenerates to brute force here (50s on the full sf0.01 corpus).
@@ -709,7 +709,7 @@ def q_mllib_similar_pairs(spark, sf):
     entry exists to cover the MLlib surface."""
     from mapreduce_minhash_lsh_spark.operators.mllib import mllib_similar_pairs
 
-    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 250)
     return mllib_similar_pairs(docs, MinHashLSHConfig(num_hashes=32, num_bands=4))
 
 
