@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch twin is plans/events.sessionize (two windows over a user
+shuffle).  Streaming can't window over the future, so state carries each
+user's OPEN session across micro-batches: events arrive grouped by
+user_id, the open session absorbs them, and every >30-min gap CLOSES a
+session, which is emitted downstream.  The final open session per user
+stays in state (a real deployment emits it via timeout; on a drained
+AvailableNow run it simply never closes — the test accounts for that).
+
+State is four scalars per user — bounded, partitioned, no driver
+involvement: the canonical shape for a custom stateful operator the
+built-in windows can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
+
+from mapreduce_minhash_lsh_spark.plans.events import SESSION_GAP_US
+from mapreduce_minhash_lsh_spark.streaming.jobs import _events_stream
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+
+def _close_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    user_id = key[0]
+    events = pd.concat(list(pdfs), ignore_index=True)
+    events = events.sort_values(["us", "event_id"])
+    if state.exists:
+        start_us, end_us, n, total = state.get
+    else:
+        start_us = None
+        end_us = n = total = 0
+    closed: list[tuple[int, int, int, int, float]] = []
+    for us, value in zip(events["us"], events["value"]):
+        us = int(us)
+        if start_us is None:
+            start_us, end_us, n, total = us, us, 1, float(value)
+        elif us - end_us > SESSION_GAP_US:
+            closed.append((user_id, start_us, end_us, n, total))
+            start_us, end_us, n, total = us, us, 1, float(value)
+        else:
+            end_us, n, total = us, n + 1, total + float(value)
+    state.update((start_us, end_us, n, total))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "start_us", "end_us", "n_events", "sum_value"]
+        )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream with AvailableNow, emitting every CLOSED
+    session (each user's final session stays open in state)."""
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts_us", "value", "event_time"
+    ).withColumnRenamed("ts_us", "us")
+    sessions = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _close_sessions,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("streaming_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("streaming_sessions")

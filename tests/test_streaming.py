@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.plans.events import hourly_rollup
+from mapreduce_minhash_lsh_spark.plans.events import hourly_rollup, sessionize
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 from mapreduce_minhash_lsh_spark.streaming.jobs import (
@@ -44,3 +44,25 @@ def test_incremental_similar_pairs_equals_batch(spark):
     inc_pairs = {(r.doc_id_a, r.doc_id_b) for r in inc.collect()}
     batch_pairs = {(r.doc_id_a, r.doc_id_b) for r in batch.collect()}
     assert inc_pairs == batch_pairs
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState closed sessions == batch sessions minus each
+    user's final (still-open) session."""
+    from mapreduce_minhash_lsh_spark.streaming.sessions import streaming_sessionize
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in streaming_sessionize(spark, SF_SMALL).collect()
+    }
+    batch = sessionize(spark, SF_SMALL).collect()
+    last_session = {}
+    for r in batch:
+        if r.user_id not in last_session or r.session_id > last_session[r.user_id]:
+            last_session[r.user_id] = r.session_id
+    expected = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in batch
+        if r.session_id != last_session[r.user_id]
+    }
+    assert got == expected
