@@ -891,3 +891,156 @@ def q_sql_interface(spark, sf):
            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
            GROUP BY o_orderstatus"""
     )
+
+
+# --------------------------------------------------------------------------
+# Outer joins, exact order statistics, normalized dedup
+# --------------------------------------------------------------------------
+
+register(
+    "customer_order_counts",
+    """SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS sum_total
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name""",
+)(
+    lambda spark, sf: load_table(spark, sf, "customer")
+    .join(
+        load_table(spark, sf, "orders"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    .groupBy("c_custkey", "c_name")
+    .agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")), F.lit(0)
+        ).cast("double").alias("sum_total"),
+    )
+)
+
+
+@register(
+    "median_quantity",
+    """WITH o AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN l_quantity ELSE 0 END)
+         / (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 1.0 ELSE 2.0 END) AS median_qty,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM o GROUP BY l_returnflag, n""",
+)
+def q_median_quantity(spark, sf):
+    """EXACT median per group via rank windows (both engines pick the
+    identical middle element(s) under a fully deterministic order) —
+    order-statistics coverage without interpolation ambiguity."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    o = li.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return (
+        o.groupBy("l_returnflag", "n")
+        .agg(
+            (
+                F.sum(
+                    F.when((F.col("rn") == lo) | (F.col("rn") == hi), F.col("l_quantity"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.when(lo == hi, F.lit(1.0)).otherwise(F.lit(2.0))
+            ).alias("median_qty"),
+            F.max("n").cast("long").alias("n_rows"),
+        )
+        .drop("n")
+    )
+
+
+register(
+    "normalized_dedup",
+    """SELECT lower(trim(text)) AS norm_text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY lower(trim(text)) HAVING COUNT(*) > 1""",
+)(
+    lambda spark, sf: load_table(spark, sf, "documents")
+    .groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+    .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    .where(F.col("n_dups") > 1)
+)
+
+
+register(
+    "cube_quantity",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)(
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .cube("l_returnflag", "l_linestatus")
+    .agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+    .select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty", "n_rows",
+    )
+)
+
+register(
+    "price_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)""",
+)(
+    lambda spark, sf: load_table(spark, sf, "orders")
+    .groupBy(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bucket")
+    )
+    .agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+)
+
+register(
+    "nation_suppliers",
+    """SELECT n_name,
+       COUNT(s_suppkey) AS n_suppliers,
+       COALESCE(string_agg(s_name, ',' ORDER BY s_name), '') AS supplier_names
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_name""",
+)(
+    lambda spark, sf: load_table(spark, sf, "nation")
+    .join(
+        load_table(spark, sf, "supplier"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left",
+    )
+    .groupBy("n_name")
+    .agg(
+        F.count("s_suppkey").alias("n_suppliers"),
+        F.array_join(
+            F.sort_array(F.collect_list("s_name")), ","
+        ).alias("supplier_names"),
+    )
+)
