@@ -104,3 +104,38 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         "resize requires image codecs unavailable in this environment; "
         "the mapInPandas pattern is identical to extract_features"
     )
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame binary, n_frames int"
+FRAME_SIZE = 32  # bytes per pseudo-frame in the deterministic stand-in
+
+
+def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: emit every k-th frame of each blob
+    as its own row (binary), via the same Arrow-batched mapInPandas
+    contract as extract_features.
+
+    Without a real container/codec the "frames" are fixed-size byte
+    chunks (FRAME_SIZE) — the row-explosion shape, schema, and batching
+    are exactly what an ffmpeg-backed decoder drops into; swap
+    ``chunk_frames`` for the codec call and nothing else changes.
+    """
+
+    def chunk_frames(blob: bytes) -> list[bytes]:
+        return [
+            blob[i : i + FRAME_SIZE] for i in range(0, len(blob), FRAME_SIZE)
+        ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for rid, blob in zip(pdf["id"], pdf["media"]):
+                frames = chunk_frames(bytes(blob) if blob is not None else b"")
+                n = len(frames)
+                for idx in range(0, n, every_k):
+                    out_rows.append((rid, idx, frames[idx], n))
+            yield pd.DataFrame(
+                out_rows, columns=["id", "frame_idx", "frame", "n_frames"]
+            )
+
+    return media.select("id", "media").mapInPandas(batches, schema=FRAME_SCHEMA)

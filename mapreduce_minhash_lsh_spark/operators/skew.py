@@ -1,0 +1,74 @@
+"""Skew-handling utilities: salted joins and bucketed co-location.
+
+AQE's skew-join splitting handles moderate skew automatically
+(session.py enables it); these are the explicit tools for the cases AQE
+can't fix:
+
+  * ``salted_join`` — a hot-key inner join where ONE side has a few
+    pathological keys (a boilerplate band bucket, a bot user_id).  The
+    hot side gets a random salt in [0, n); the small side is replicated
+    n ways.  Correct for inner equi-joins; n trades replication cost
+    against parallelism.
+  * ``write_bucketed`` / co-located reads — pre-shuffle both fact tables
+    into the same bucket layout once, then every subsequent equi-join on
+    the bucket key runs with NO exchange (verified by plan in
+    tests/test_skew.py).  This is the 100 TB answer to "we join these
+    two tables every day".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys in ``big``: salt the big side,
+    replicate the small side across all salts, join on (key, salt)."""
+    if how != "inner":
+        raise ValueError("salted_join supports inner joins only")
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=0) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated_small = small.select("*", salts)
+    return (
+        salted_big.join(replicated_small, [on, "_salt"], "inner").drop("_salt")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: one shuffle
+    now, zero shuffles for every future equi-join/aggregation on
+    ``bucket_col`` between tables sharing the layout."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A stale location from a previous session blocks saveAsTable even
+    # after the catalog entry is gone — clear it (local warehouse only).
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table, format="parquet")
+
+
+def bucketed_join(spark: SparkSession, left: str, right: str, on: str) -> DataFrame:
+    """Join two co-bucketed tables — Catalyst sees the matching output
+    partitionings and plans a sort-merge join without any Exchange."""
+    return spark.table(left).join(spark.table(right), on)

@@ -49,3 +49,26 @@ def test_real_decoders_are_explicit_stubs(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         resize_stub(docs_as_blobs(docs), 64, 64)
+
+
+def test_frame_sampling_shape_and_determinism(spark):
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        FRAME_SIZE,
+        frame_sample,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    frames = frame_sample(docs_as_blobs(docs), every_k=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.id, []).append(r)
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        blob = texts[doc_id]
+        expected_total = (len(blob) + FRAME_SIZE - 1) // FRAME_SIZE
+        assert all(r.n_frames == expected_total for r in rows)
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == list(
+            range(0, expected_total, 3)
+        )
+        for r in rows:
+            assert bytes(r.frame) == blob[r.frame_idx * FRAME_SIZE : (r.frame_idx + 1) * FRAME_SIZE]

@@ -1,0 +1,68 @@
+"""Skew/bucketing utilities: correctness AND plan-shape assertions."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", n_salts=4)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables must join with zero shuffles — the plan contains
+    no Exchange operator (this is the property that matters at 100 TB)."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    write_bucketed(orders, "b_orders", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    # At toy scale the planner prefers a broadcast join (which bypasses
+    # bucketed reads entirely); disable it to exercise the plan shape
+    # that matters on a cluster, where neither fact table broadcasts.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        expected = li.join(orders, "l_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
