@@ -1044,3 +1044,31 @@ GROUP BY n_name""",
         ).alias("supplier_names"),
     )
 )
+
+
+@register(
+    "string_functions",
+    """SELECT doc_id,
+  substr(text, 1, 10) AS prefix10,
+  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+  concat(lang, '/', source) AS lang_source,
+  to_base64(encode(substr(text, 1, 12))) AS b64_prefix,
+  replace(substr(text, 1, 20), ' ', '_') AS snake_prefix,
+  reverse(substr(text, 1, 8)) AS rev_prefix
+FROM documents WHERE length(text) > 0""",
+)
+def q_string_functions(spark, sf):
+    """The reference's full string-function surface (SURVEY.md §2.6:
+    substring/pad, split/join via concat, contains, Base64) plus
+    replace/reverse — all JVM built-ins, one scan, no shuffle."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        t.substr(1, 10).alias("prefix10"),
+        F.when(t.contains("spark"), 1).otherwise(0).alias("has_spark"),
+        F.concat(F.col("lang"), F.lit("/"), F.col("source")).alias("lang_source"),
+        F.base64(F.encode(t.substr(1, 12), "UTF-8")).alias("b64_prefix"),
+        F.replace(t.substr(1, 20), F.lit(" "), F.lit("_")).alias("snake_prefix"),
+        F.reverse(t.substr(1, 8)).alias("rev_prefix"),
+    )

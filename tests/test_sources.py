@@ -50,3 +50,26 @@ def test_register_views_exposes_all_tables(spark):
     assert spark.sql(
         "select count(*) c from lineitem join orders on l_orderkey = o_orderkey"
     ).head().c > 0
+
+
+def test_partitioned_parquet_sink(spark):
+    """S4/S5 partitioned sink: partition column becomes directory layout,
+    and a partition-pruned read only touches its slice."""
+    import os
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table, write_parquet
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "by_lang")
+        write_parquet(docs, path, partition_by=["lang"])
+        langs = {r.lang for r in docs.select("lang").distinct().collect()}
+        assert {p.split("=")[1] for p in os.listdir(path) if p.startswith("lang=")} == langs
+        en = spark.read.parquet(path).where("lang = 'en'")
+        assert en.count() == docs.where("lang = 'en'").count()
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            en.explain("formatted")
+        assert "PartitionFilters: [isnotnull(lang" in buf.getvalue()
