@@ -11,7 +11,7 @@ MLlib's MinHashLSH does internally.  All randomness flows from ``seed``.
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Mersenne prime 2^31 - 1: the classic universal-hashing modulus. Products
 # a * x stay < 2^31 * 2^31 = 2^62 < 2^63, so the arithmetic is exact in

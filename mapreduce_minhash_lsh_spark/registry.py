@@ -32,7 +32,6 @@ from mapreduce_minhash_lsh_spark.operators.shingling import (
     vocabulary,
 )
 from mapreduce_minhash_lsh_spark.operators.similarity import (
-    exact_jaccard,
     similar_pairs,
     symmetric_pairs,
 )

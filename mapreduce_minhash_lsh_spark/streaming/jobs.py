@@ -117,10 +117,7 @@ def incremental_similar_pairs(
     from mapreduce_minhash_lsh_spark.operators.lsh import band_keys
     from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
     from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
-    from mapreduce_minhash_lsh_spark.operators.similarity import (
-        exact_jaccard,
-        signature_prefilter,
-    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import exact_jaccard
 
     threshold = cfg.threshold if threshold is None else threshold
     docs = load_table(spark, sf_dir, "documents")

@@ -3,7 +3,6 @@ batch twins on the static testdata."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
