@@ -1071,3 +1071,14 @@ def q_string_functions(spark, sf):
         F.replace(t.substr(1, 20), F.lit(" "), F.lit("_")).alias("snake_prefix"),
         F.reverse(t.substr(1, 8)).alias("rev_prefix"),
     )
+
+
+register("ann_ivf_topk", None)(
+    lambda spark, sf: __import__(
+        "mapreduce_minhash_lsh_spark.operators.ann", fromlist=["ivf_topk"]
+    ).ivf_topk(
+        load_table(spark, sf, "embeddings"),
+        load_table(spark, sf, "embeddings").where(F.col("vec_id") % 50 == 0),
+        k=5, n_lists=16, n_probe=3,
+    )
+)
