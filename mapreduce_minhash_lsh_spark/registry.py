@@ -1082,3 +1082,105 @@ register("ann_ivf_topk", None)(
         k=5, n_lists=16, n_probe=3,
     )
 )
+
+
+_QSW = ", ".join(f"'{w}'" for w in _text.QUALITY_STOPWORDS)
+_Q_SWR = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_QSW}))) AS DOUBLE) / len(string_split(text, ' '))"
+_Q_PR = "CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE) / length(text)"
+_Q_CPT = "CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))"
+
+
+@register(
+    "quality_scores",
+    f"""SELECT doc_id,
+  0.5 * least({_Q_SWR} * 4, 1.0)
+  + 0.3 * (1.0 - least({_Q_PR} * 5, 1.0))
+  + 0.2 * (CASE WHEN {_Q_CPT} >= 3 AND {_Q_CPT} <= 12 THEN 1.0 ELSE 0.0 END)
+  AS quality
+FROM documents WHERE length(text) > 0""",
+)
+def q_quality_scores(spark, sf):
+    """Composite document quality heuristic (stopword presence up,
+    punctuation spam down, degenerate token lengths down) — the filter a
+    training-data pipeline applies before expensive processing."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", _text.quality_score(F.col("text")).alias("quality"))
+
+
+register(
+    "dedup_drop_ids",
+    """WITH keep AS (
+  SELECT lang, source, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY lang, source
+)
+SELECT doc_id AS drop_id, keep_id
+FROM documents JOIN keep USING (lang, source)
+WHERE doc_id != keep_id""",
+)(
+    lambda spark, sf: _dedup.duplicate_ids(
+        load_table(spark, sf, "documents"), ["lang", "source"]
+    )
+)
+
+
+@register(
+    "word_bigram_jaccard_sample",
+    """WITH sdocs AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE doc_id % 50 = 0 AND length(text) > 0),
+wsh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM sdocs)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM wsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM wsh a JOIN wsh b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= 0.5""",
+)
+def q_word_bigram_jaccard_sample(spark, sf):
+    """Word-2-gram Jaccard on the 1-in-50 sample — the token-level
+    near-dup metric (char-3-gram is the reference's; word n-grams are
+    what web-scale dedup typically uses)."""
+    toks = F.split(F.col("text"), " ")
+    # one-token docs have no bigrams; without this guard Spark's
+    # sequence(1, 0) DESCENDS and element_at throws (DuckDB's range(1,1)
+    # is just empty) — exclude them up front on both paths
+    docs = (
+        load_table(spark, sf, "documents")
+        .where((F.col("doc_id") % 50 == 0) & (F.size(toks) >= 2))
+    )
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    wsh = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    sizes = wsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        wsh.alias("a")
+        .join(wsh.alias("b"), "bigram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return (
+        inter.join(na, "doc_id_a").join(nb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(jac >= 0.5)
+    )
