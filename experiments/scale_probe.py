@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Reproducible scaling probe behind SCALE.md §7: replicate the sf0.1
+documents corpus REPLICAS-fold (each replica a j~0.97 near-dup of its
+original) and measure the flagship pipeline's candidate count, output,
+and wall-clock under the production ('xxhash') id strategy.
+
+    python3 experiments/scale_probe.py [REPLICAS=10]
+
+Prints one JSON line per run so results can be tracked across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
+from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+from mapreduce_minhash_lsh_spark.session import get_spark
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1).count()
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            (
+                F.concat(F.col("text"), F.lit(f" copy{i}")) if i else F.col("text")
+            ).alias("text"),
+        )
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(64).localCheckpoint(eager=True)
+    n_docs = big.count()
+
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8, id_strategy="xxhash"
+    )
+    t0 = time.perf_counter()
+    sh = explode_shingles(big, cfg.k).persist()
+    cands = candidate_pairs(band_keys(minhash_signatures(sh, cfg), cfg), cfg)
+    n_cands = cands.count()
+    t_cand = time.perf_counter() - t0
+    n_pairs = similar_pairs(big, cfg).count()
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "replicas": replicas,
+        "docs": n_docs,
+        "candidates": n_cands,
+        "verified_pairs": n_pairs,
+        "candidate_stage_sec": round(t_cand, 1),
+        "total_sec": round(total, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

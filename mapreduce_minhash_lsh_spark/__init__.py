@@ -21,7 +21,18 @@ Layout:
   multimodal/    -- binary-column (image/audio) plumbing, decode stubbed
 """
 
-from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.config import FLAGSHIP, GOLDEN, MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.session import get_spark
 
-__all__ = ["MinHashLSHConfig"]
+__all__ = ["MinHashLSHConfig", "FLAGSHIP", "GOLDEN", "get_spark", "similar_pairs"]
 __version__ = "0.1.0"
+
+
+def similar_pairs(docs, cfg=None, **kwargs):
+    """Convenience re-export of the flagship operator
+    (operators/similarity.similar_pairs) with the default config."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        similar_pairs as _sp,
+    )
+
+    return _sp(docs, cfg or FLAGSHIP, **kwargs)

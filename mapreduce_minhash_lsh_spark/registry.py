@@ -1184,3 +1184,28 @@ def q_word_bigram_jaccard_sample(spark, sf):
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .where(jac >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# Sketches: approximate distinct counts / quantiles (rows-only — sketch
+# internals differ across engines by design; accuracy bounds are asserted
+# against exact twins in tests/test_sketches.py)
+# --------------------------------------------------------------------------
+
+register("events_users_hll", None)(
+    lambda spark, sf: load_table(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+)
+
+register("quantity_quantiles_approx", None)(
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        F.count("*").alias("n_rows"),
+    )
+)
