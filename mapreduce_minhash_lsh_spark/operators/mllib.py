@@ -95,3 +95,38 @@ def mllib_top_k_neighbors(
     return model.approxNearestNeighbors(vectors, probe, k).select(
         "doc_id", (F.lit(1.0) - F.col("distCol")).alias("jaccard")
     )
+
+
+def brp_embedding_neighbors(
+    emb: DataFrame,
+    threshold_euclid: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-neighbour pairs via MLlib BucketedRandomProjectionLSH
+    (Euclidean): the MLlib twin of operators/ann.srp_bucket; cross-checked
+    against exact distances in tests.  Returns (vec_id_a, vec_id_b, dist)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, threshold_euclid, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_id_a"),
+            F.col("datasetB.vec_id").alias("vec_id_b"),
+            F.col("dist"),
+        )
+    )

@@ -44,3 +44,33 @@ def test_mllib_top_k(spark, golden_docs):
     got = mllib_top_k_neighbors(golden_docs, "I ate an apple!", k=2, cfg=GOLDEN)
     ids = [r.doc_id for r in got.collect()]
     assert ids[0] == 0  # "I ate an apple." is the nearest neighbour
+
+
+def test_brp_neighbors_match_exact_distances(spark):
+    import math
+
+    from mapreduce_minhash_lsh_spark.operators.mllib import brp_embedding_neighbors
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(150).cache()
+    thresh = 10.0
+    got = brp_embedding_neighbors(emb, thresh, bucket_length=4.0, num_hash_tables=6)
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def dist(a, b):
+        return math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)))
+
+    found = {(r.vec_id_a, r.vec_id_b): r.dist for r in got.collect()}
+    # every reported pair's distance is exact and under the threshold
+    for (a, b), d in found.items():
+        assert abs(d - dist(rows[a], rows[b])) < 1e-6
+        assert d <= thresh
+    # recall vs brute force within-threshold pairs
+    ids = sorted(rows)
+    true = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if dist(rows[a], rows[b]) <= thresh
+    }
+    if true:
+        assert len(set(found) & true) / len(true) >= 0.5

@@ -105,3 +105,31 @@ def test_max_bucket_size_caps_hot_buckets(spark):
     assert uncapped.count() == 100 * 99 // 2
     capped = lsh_candidates(sh, cfg, max_bucket_size=10)
     assert capped.count() == 0
+
+
+def test_golden_csv_artifact_matches_reference(spark, tmp_path):
+    """End to end INCLUDING the sink: run the flagship on the verbatim
+    reference corpus, write the job-3-shaped CSV (Text1,Text2 both
+    directions), and compare content against the committed
+    results/pairs/part-r-00000 as an (unordered) row set."""
+    from mapreduce_minhash_lsh_spark.sources.tables import read_text_docs, write_csv
+
+    docs = read_text_docs(
+        spark, "/root/reference/src/main/resources/documents.txt"
+    )
+    pairs = symmetric_pairs(similar_pairs(docs, GOLDEN))
+    texts = docs.select("doc_id", "text")
+    out = (
+        pairs.join(texts.withColumnsRenamed({"doc_id": "doc_id_a", "text": "Text1"}), "doc_id_a")
+        .join(texts.withColumnsRenamed({"doc_id": "doc_id_b", "text": "Text2"}), "doc_id_b")
+        .select("Text1", "Text2")
+    )
+    path = str(tmp_path / "pairs_csv")
+    write_csv(out, path)
+    back = spark.read.option("header", True).csv(path)
+    got = {(r.Text1, r.Text2) for r in back.collect()}
+    ref_lines = open(
+        "/root/reference/src/main/resources/results/pairs/part-r-00000"
+    ).read().splitlines()
+    expected = {tuple(line.split(",", 1)) for line in ref_lines[1:]}
+    assert got == expected
