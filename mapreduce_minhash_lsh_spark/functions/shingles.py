@@ -36,7 +36,13 @@ def shingle_array(text: Column | str, k: int) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     positions = F.sequence(F.lit(1), F.length(c))
-    return F.transform(positions, lambda i: F.rpad(c.substr(i, F.lit(k)), k, " "))
+    grams = F.transform(positions, lambda i: F.rpad(c.substr(i, F.lit(k)), k, " "))
+    # Guard the empty-text contract at the expression level: Spark's
+    # sequence(1, 0) DESCENDS to [1, 0] (it does not produce an empty
+    # array), which would emit two bogus all-space shingles.
+    return F.when(F.length(c) > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_set(text: Column | str, k: int) -> Column:

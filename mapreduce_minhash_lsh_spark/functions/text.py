@@ -84,13 +84,16 @@ def predicted_lang(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Base-31 rolling hash of the first FP_PREFIX chars, mod 2^31-1.
-    Deterministic content fingerprint for exact-prefix dedup/bucketing."""
+    Deterministic content fingerprint for exact-prefix dedup/bucketing.
+    Empty text fingerprints to 0 (Spark's sequence(1, 0) would otherwise
+    descend and make element_at(pows, 0) a runtime error)."""
     pows = F.array(*[F.lit(p) for p in FP_POWS])
     terms = F.transform(
         F.sequence(F.lit(1), F.least(F.length(text), F.lit(FP_PREFIX))),
         lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long") * F.element_at(pows, i),
     )
-    return (
+    hashed = (
         F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
         % F.lit(MERSENNE_PRIME)
     )
+    return F.when(F.length(text) > 0, hashed).otherwise(F.lit(0).cast("long"))

@@ -27,6 +27,17 @@ from mapreduce_minhash_lsh_spark.functions.vectors import (
 )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every top-k variant: deterministic per-query rank
+    over (cosine desc, neighbor_id asc), keep k."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= k)
+    )
+
+
 def norms(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return emb.select(F.col(id_col), norm2_exact(F.col(vec_col)).alias("n2"))
 
@@ -63,12 +74,7 @@ def cosine_topk(
             cosine_from_parts(F.col("dot"), F.col("n2_q"), F.col("n2_c")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
-        ).where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_pairs(
@@ -213,12 +219,7 @@ def lsh_topk(
             norm2_exact(F.col("c_vec")),
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
-        ).where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def _centroids(
@@ -231,15 +232,14 @@ def _centroids(
     list (k x dim floats) is broadcast-sized by construction."""
     import numpy as np
 
-    w = Window.orderBy(id_col)
-    seeds = (
-        emb.select(id_col, vec_col, F.row_number().over(w).alias("_rn"))
-        .where(F.col("_rn") <= k)
-        .collect()
-    )
+    # Train on a bounded deterministic sample (lowest 4096 ids), never the
+    # full corpus — only the k x dim centroid list needs driver memory;
+    # corpus ASSIGNMENT in ivf_topk stays fully distributed.
+    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(4096)
+    seeds = sample.limit(k).collect()
     cents = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
     ids = np.arange(len(cents))
-    pdf = emb.select(id_col, vec_col).toPandas()
+    pdf = sample.toPandas()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     for _ in range(iters):
         # cosine assignment (normalized dot)
@@ -316,9 +316,4 @@ def ivf_topk(
             norm2_exact(F.col("c_vec")),
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
-        ).where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)

@@ -64,7 +64,7 @@ def ngram_jaccard_pairs(
     return exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
-def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list
     (doc_id_a, doc_id_b) -> (doc_id, group_id = min doc id of component).
 
@@ -74,6 +74,11 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     of iterations suffice.  Each round is one join + one groupBy (both on
     doc_id); localCheckpoint truncates the growing lineage so Catalyst
     doesn't replan an ever-deeper DAG.
+
+    Runs to CONVERGENCE by default — a silent iteration cap would return
+    wrong labels on a long-chain component (and diverge from the
+    transitive-closure oracle).  Pass ``max_iter`` to bound rounds
+    explicitly; exhaustion then raises rather than mislabeling.
     """
     # Materialize the edge list eagerly: the incoming pairs may carry an
     # arbitrarily deep lineage (e.g. the whole LSH pipeline) that must not
@@ -94,7 +99,9 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .select("doc_id", F.col("doc_id").alias("group_id"))
     )
-    for _ in range(max_iter):
+    iteration = 0
+    while True:
+        iteration += 1
         neighbor_min = (
             edges.join(labels, edges.doc_id_b == labels.doc_id)
             .groupBy("doc_id_a")
@@ -120,5 +127,9 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+        if max_iter is not None and iteration >= max_iter:
+            raise RuntimeError(
+                f"near_dup_groups did not converge within max_iter={max_iter} "
+                "rounds; raise the bound (component diameter exceeds it)"
+            )

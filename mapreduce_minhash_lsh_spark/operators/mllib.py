@@ -53,8 +53,11 @@ def mllib_similar_pairs(
         numHashTables=cfg.num_hashes, seed=cfg.seed,
     )
     model = lsh.fit(vectors)
+    # approxSimilarityJoin filters dist < threshold STRICTLY; widen the
+    # join threshold a hair and re-apply the inclusive >= ourselves so
+    # exact-threshold pairs match the explicit path's semantics.
     joined = model.approxSimilarityJoin(
-        vectors, vectors, 1.0 - threshold, distCol="jaccard_distance"
+        vectors, vectors, 1.0 - threshold + 1e-9, distCol="jaccard_distance"
     )
     return (
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
@@ -63,6 +66,7 @@ def mllib_similar_pairs(
             F.col("datasetB.doc_id").alias("doc_id_b"),
             (F.lit(1.0) - F.col("jaccard_distance")).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -92,6 +96,13 @@ def mllib_top_k_neighbors(
         docs.sparkSession.createDataFrame([(key_text,)], ["text"])
         .select(shingle_set(F.col("text"), cfg.k).alias("shingles"))
     ).head().features
+    if probe.numNonzeros() == 0:
+        # probe shares no shingle with the vocabulary (or is empty):
+        # MinHashLSH requires >=1 non-zero entry — the correct answer is
+        # "no neighbours", not a py4j exception.
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, jaccard double"
+        )
     return model.approxNearestNeighbors(vectors, probe, k).select(
         "doc_id", (F.lit(1.0) - F.col("distCol")).alias("jaccard")
     )

@@ -95,6 +95,10 @@ def similar_pairs(
     ``doc_shingles`` feeds both MinHash and verification; Catalyst plans
     it, and at scale a .persist() on the shingle relation is worthwhile —
     see SCALE.md.
+
+    Note: the internal persists use the default MEMORY_AND_DISK level and
+    are left to LRU eviction; when looping over many corpora in one
+    long-lived session, call ``spark.catalog.clearCache()`` between runs.
     """
     threshold = cfg.threshold if threshold is None else threshold
     # The shingle relation feeds MinHash AND verification, and the

@@ -20,7 +20,15 @@ SESSION_GAP_US = 1_800 * 1_000_000  # 30 min
 def hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1h windows per event type: counts, distinct users, exact sum."""
     e = load_table(spark, sf, "events")
-    hour = (F.expr("ts_us div 3600000000") * 3600).cast("long")
+    # floor division, not `div` (which truncates toward zero): pre-1970
+    # timestamps must land in the same bucket as DuckDB's `//` and the
+    # streaming window twin.  (ts_us - pmod) is an exact multiple of the
+    # divisor and < 2^53, so the double division is exact.
+    us_per_hour = F.lit(3_600_000_000)
+    hour = (
+        ((F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_hour)) / us_per_hour)
+        .cast("long") * 3600
+    )
     return (
         e.groupBy("event_type", hour.alias("hour_epoch"))
         .agg(

@@ -162,21 +162,30 @@ def incremental_similar_pairs(
         got = exact_jaccard(intra, sh).where(F.col("jaccard") >= threshold)
         state["pairs"].extend(got.collect())
 
-    # Simulate a stream over the static corpus: rate-limit to ~4 batches.
-    n = docs.count()
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
-    query = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Simulate a stream over the static corpus with REAL multi-batch
+    # arrival: the source is one parquet file (=> one availableNow batch),
+    # so re-split it into 4 files first and feed them one per trigger —
+    # otherwise the cross-batch seen-store path would never execute.
+    import shutil
+    import tempfile
+
+    split_dir = tempfile.mkdtemp(prefix="inc_docs_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
     rows = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in state["pairs"]}
     return spark.createDataFrame(
         sorted(rows), ["doc_id_a", "doc_id_b", "jaccard"]
