@@ -1209,3 +1209,51 @@ register("quantity_quantiles_approx", None)(
         F.count("*").alias("n_rows"),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured (JSON) extraction + correlated-subquery shape
+# --------------------------------------------------------------------------
+
+register(
+    "events_json_extract",
+    """SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type""",
+)(
+    lambda spark, sf: load_table(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.max(F.get_json_object("props", "$.k").cast("long")).alias("max_k"),
+    )
+)
+
+register(
+    "orders_above_customer_avg",
+    """WITH cavg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+FROM orders JOIN cavg USING (o_custkey)
+WHERE o_totalprice > avg_price""",
+)(
+    lambda spark, sf: (lambda orders: (
+        orders.join(
+            orders.groupBy("o_custkey").agg(
+                (
+                    F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+                    / F.count("*")
+                ).alias("avg_price")
+            ),
+            "o_custkey",
+        )
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    ))(load_table(spark, sf, "orders"))
+)
