@@ -1257,3 +1257,60 @@ WHERE o_totalprice > avg_price""",
         .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
     ))(load_table(spark, sf, "orders"))
 )
+
+
+@register(
+    "purchases_with_last_view",
+    """WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS _ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _side,
+         event_id AS _tie,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS p_value,
+         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_ts
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+carried AS (
+  SELECT user_id, _side, p_id, p_value,
+         last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+         last_value(v_ts IGNORE NULLS) OVER w AS view_ts_us,
+         _ts AS purchase_ts_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _side, _tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, p_id AS purchase_event_id, purchase_ts_us, p_value AS purchase_value,
+       view_event_id, view_ts_us
+FROM carried
+WHERE _side = 1 AND view_event_id IS NOT NULL""",
+)
+def q_purchases_with_last_view(spark, sf):
+    """As-of join (operators/asof.py): each purchase matched to the same
+    user's most recent preceding view — the point-in-time lookup Spark
+    has no built-in operator for, composed as union + ordered window."""
+    from mapreduce_minhash_lsh_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    return asof_join(
+        purchases, views,
+        key="user_id",
+        left_ts="purchase_ts_us", right_ts="view_ts_us",
+        right_payload=["view_event_id", "view_ts_us"],
+        left_tie="purchase_event_id", right_tie="view_event_id",
+    ).select(
+        "user_id", "purchase_event_id", "purchase_ts_us", "purchase_value",
+        F.col("right_view_event_id").alias("view_event_id"),
+        F.col("right_view_ts_us").alias("view_ts_us"),
+    )

@@ -1,0 +1,42 @@
+"""As-of join semantics: backward match, inclusive ties, inner behavior."""
+
+from __future__ import annotations
+
+from mapreduce_minhash_lsh_spark.operators.asof import asof_join
+
+
+def test_asof_backward_inclusive_and_inner(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, 10),   # matches right at 90
+            (1, 50, 11),    # nothing at-or-before 50 -> dropped (inner)
+            (1, 90, 12),    # exact-timestamp tie -> matches right at 90
+            (2, 200, 20),   # matches right at 150, not user 1's rows
+        ],
+        ["user_id", "l_ts", "l_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 900), (1, 60, 600), (2, 150, 1500), (2, 300, 3000)],
+        ["user_id", "r_ts", "r_id"],
+    )
+    got = {
+        r.l_id: r.right_r_id
+        for r in asof_join(
+            left, right,
+            key="user_id", left_ts="l_ts", right_ts="r_ts",
+            right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+        ).collect()
+    }
+    assert got == {10: 900, 12: 900, 20: 1500}
+
+
+def test_asof_picks_latest_of_equal_right_timestamps(spark):
+    left = spark.createDataFrame([(1, 100, 1)], ["user_id", "l_ts", "l_id"])
+    right = spark.createDataFrame(
+        [(1, 90, 901), (1, 90, 902)], ["user_id", "r_ts", "r_id"]
+    )
+    rows = asof_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+    ).collect()
+    assert [r.right_r_id for r in rows] == [902]  # higher tie id wins
