@@ -1,0 +1,54 @@
+"""Range (interval) join: match rows to [lo, hi) intervals.
+
+Spark has no dedicated range-join operator (Databricks' runtime adds
+hints; OSS plans non-equi joins as BroadcastNestedLoopJoin).  Two
+formulations:
+
+  * ``range_join`` — general: broadcast the (small) interval table and
+    join on the non-equi predicate.  Correct for arbitrary intervals;
+    cost = |rows| x |intervals| comparisons, fine while intervals fit a
+    broadcast and number in the thousands.
+  * ``uniform_range_join`` — scale path when intervals form a uniform
+    grid: compute the bucket index arithmetically and equi-join on it —
+    a hash join, no nested loop, no comparison blowup.  (The same trick
+    that turns the LSH band join and price_histogram into equi-joins.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    rows: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """rows ⨝ intervals on lo <= value < hi (intervals broadcast)."""
+    pred = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return rows.join(F.broadcast(intervals), pred)
+
+
+def uniform_range_join(
+    rows: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    step: float,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Equi-join formulation for a uniform grid of width ``step``:
+    bucket(value) == bucket(lo) replaces the range predicate."""
+    bucket = lambda c: F.floor(c / F.lit(step)).cast("long")  # noqa: E731
+    r = rows.withColumn("_bucket", bucket(F.col(value_col)))
+    iv = intervals.withColumn("_bucket", bucket(F.col(lo_col)))
+    return (
+        r.join(F.broadcast(iv), "_bucket")
+        .where(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

@@ -1314,3 +1314,33 @@ def q_purchases_with_last_view(spark, sf):
         F.col("right_view_event_id").alias("view_event_id"),
         F.col("right_view_ts_us").alias("view_ts_us"),
     )
+
+
+_PRICE_BANDS = [(float(lo), float(lo + 250), f"band_{i}") for i, lo in enumerate(range(0, 2500, 250))]
+
+@register(
+    "parts_price_bands",
+    f"""WITH bands(lo, hi, band) AS (
+  SELECT * FROM (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _PRICE_BANDS)})
+)
+SELECT band, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band""",
+)
+def q_parts_price_bands(spark, sf):
+    """Range (interval) join: parts matched into price bands via the
+    broadcast non-equi join (operators/rangejoin.py); the uniform-grid
+    equi variant is cross-checked in tests."""
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import range_join
+
+    bands = spark.createDataFrame(_PRICE_BANDS, ["lo", "hi", "band"])
+    parts = load_table(spark, sf, "part")
+    return (
+        range_join(parts, bands, "p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+    )

@@ -40,3 +40,26 @@ def test_asof_picks_latest_of_equal_right_timestamps(spark):
         right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
     ).collect()
     assert [r.right_r_id for r in rows] == [902]  # higher tie id wins
+
+
+def test_uniform_range_join_equals_general(spark):
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import (
+        range_join,
+        uniform_range_join,
+    )
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+    parts = load_table(spark, "/root/testdata/sf0.001", "part")
+    bands = spark.createDataFrame(
+        [(float(lo), float(lo + 250), f"b{lo}") for lo in range(0, 2500, 250)],
+        ["lo", "hi", "band"],
+    )
+    a = sorted(
+        (r.p_partkey, r.band)
+        for r in range_join(parts, bands, "p_retailprice").collect()
+    )
+    b = sorted(
+        (r.p_partkey, r.band)
+        for r in uniform_range_join(parts, bands, "p_retailprice", step=250.0).collect()
+    )
+    assert a == b and len(a) > 0
