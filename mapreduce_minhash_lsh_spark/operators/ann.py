@@ -83,55 +83,84 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefilter_margin: float = 1e-6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — embedding near-dup.
 
-    Two phases:
-      1. *Prefilter*: broadcast the corpus as a dense matrix and stream
-         partitions through an Arrow-batched NumPy matmul (mapInPandas)
-         — each executor scores a block of rows against the broadcast
-         side in one BLAS call instead of per-pair lambda evaluation.
-         Candidates are kept at ``threshold - prefilter_margin``; the
-         margin (1e-6) exceeds the ~1e-11 double-vs-scaled-int gap by 5
-         orders of magnitude, so no true pair can be lost.
-      2. *Confirm*: survivors (a tiny set) are re-scored with the exact
+    Exact all-pairs is inherently O(n^2) comparisons; the design goal is
+    to distribute that work with bounded per-task memory and ZERO driver
+    materialization (no ``toPandas``/``collect`` of the corpus):
+
+      1. *Triangle block self-join*: every vector is hashed into one of
+         ``n_blocks`` blocks (xxhash64 — uniform regardless of id
+         structure) and replicated to each of the ``n_blocks`` unordered
+         block-pairs it participates in: (g,g) and (min(g,h),max(g,h))
+         for h != g.  Each unordered vector pair (a,b) lands in exactly
+         one group — the one keyed by its two block ids — so coverage is
+         complete and duplicate-free at ANY threshold (no LSH recall
+         loss; a threshold like 0.5 is far below where SRP banding could
+         be exhaustive).
+      2. *Prefilter*: per group, one Arrow-batched NumPy matmul
+         (``applyInPandas``) scores the left block against the right
+         block in a single BLAS call.  Candidates are kept at
+         ``threshold - prefilter_margin``; the margin (1e-6) exceeds the
+         ~1e-11 double-vs-scaled-int gap by 5 orders of magnitude, so no
+         true pair can be lost.
+      3. *Confirm*: survivors (a tiny set) are re-scored with the exact
          order-independent scaled-integer dot (functions/vectors.py) —
          the values the DuckDB oracle reproduces bit-for-bit.
 
-    Scale note: the broadcast side must fit in executor memory (same
-    contract as any broadcast join; ~1 GB <-> 4M x 64-dim float32).
-    Beyond that, bucket first (``srp_bucket``) and run this per bucket.
+    Scale contract: shuffle volume is ``n_blocks`` x corpus; per-task
+    memory is ~2n/n_blocks vectors (two blocks).  Size ``n_blocks`` ~
+    n_vectors x dim x 16 B / task_budget on a real cluster; parallelism
+    is n_blocks*(n_blocks+1)/2 groups.  Nothing touches the driver.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pdf = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
-    ids = np.asarray(pdf[id_col].values, dtype=np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    nrm[nrm == 0] = np.inf
-    unit = mat / nrm[:, None]
-    bc = spark.sparkContext.broadcast((ids, unit))
     cut = threshold - prefilter_margin
-
-    def block_score(batches):
-        b_ids, b_unit = bc.value
-        for batch in batches:
-            a_ids = np.asarray(batch[id_col].values, dtype=np.int64)
-            a_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+    blocks = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    group_pairs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(h)).alias("gi"),
+                F.greatest(F.col("blk"), F.lit(h)).alias("gj"),
             )
-            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            a_nrm[a_nrm == 0] = np.inf
-            cos = (a_mat / a_nrm[:, None]) @ b_unit.T
-            ai, bi = np.nonzero((cos >= cut) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi]}
-            )
+            for h in range(n_blocks)
+        ]
+    )
+    repl = (
+        emb.select(F.col(id_col), F.col(vec_col), blocks.alias("blk"))
+        .select(id_col, vec_col, "blk", F.explode(group_pairs).alias("grp"))
+        .select(
+            id_col, vec_col, "blk",
+            F.col("grp.gi").alias("gi"), F.col("grp.gj").alias("gj"),
+        )
+    )
 
-    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        block_score, schema="vec_id_a long, vec_id_b long"
+    def score_group(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        ids = np.asarray(pdf[id_col].values, dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        if len(ids) == 0:
+            return pd.DataFrame({"vec_id_a": ids, "vec_id_b": ids})
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0] = np.inf
+        unit = mat / nrm[:, None]
+        if gi == gj:
+            cos = unit @ unit.T
+            ai, bi = np.nonzero((cos >= cut) & (ids[:, None] < ids[None, :]))
+            a_ids, b_ids = ids[ai], ids[bi]
+        else:
+            left = np.asarray(pdf["blk"].values, dtype=np.int64) == gi
+            cos = unit[left] @ unit[~left].T
+            ai, bi = np.nonzero(cos >= cut)
+            la, rb = ids[left][ai], ids[~left][bi]
+            a_ids, b_ids = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"vec_id_a": a_ids, "vec_id_b": b_ids})
+
+    cand = repl.groupBy("gi", "gj").applyInPandas(
+        score_group, schema="vec_id_a long, vec_id_b long"
     )
     # exact confirm on the (small) candidate set
     a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
