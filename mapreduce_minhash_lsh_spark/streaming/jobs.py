@@ -107,68 +107,86 @@ def incremental_similar_pairs(
     sf_dir: str,
     cfg,
     threshold: float | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs discovered incrementally: stream the documents in
     micro-batches via foreachBatch, minhash each batch with the SAME
-    batch operators, accumulate signatures, and emit pairs between the
-    new batch and everything seen so far.  Demonstrates the
-    batch/streaming unification; returns the accumulated pair list.
+    batch operators, and join it against the accumulated signature
+    store.  Demonstrates the batch/streaming unification.
+
+    State lives entirely OFF the driver, in three append-only parquet
+    tables under ``state_dir`` (band store, shingle store, emitted
+    pairs), each written once per micro-batch and read fresh at the next
+    trigger.  Nothing is collect()ed and no union-of-checkpoints lineage
+    accumulates: batch N costs one scan of the store, not N replays.  On
+    a cluster, point ``state_dir`` at durable storage (S3/HDFS/Delta)
+    and the job is restartable; the default is a per-run temp dir
+    because the testdata corpus is finite.
+
+    Each document belongs to exactly one batch, and a pair (a, b) is
+    emitted exactly once — at the later of its two docs' batches (cross
+    pairs: current-vs-seen band join; intra pairs: current self-join) —
+    so the output needs no cross-batch dedup.
     """
     from mapreduce_minhash_lsh_spark.operators.lsh import band_keys
     from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
     from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
     from mapreduce_minhash_lsh_spark.operators.similarity import exact_jaccard
 
+    import shutil
+    import tempfile
+
     threshold = cfg.threshold if threshold is None else threshold
     docs = load_table(spark, sf_dir, "documents")
-    state = {"bands": None, "shingles": None, "pairs": []}
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="inc_state_")
+    bands_path = os.path.join(state_dir, "bands")
+    shingles_path = os.path.join(state_dir, "shingles")
+    pairs_path = os.path.join(state_dir, "pairs")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
         sh = explode_shingles(batch_df, cfg.k)
-        sig = minhash_signatures(sh, cfg)
-        bands = band_keys(sig, cfg).localCheckpoint(eager=True)
-        sh = sh.localCheckpoint(eager=True)
-        if state["bands"] is not None:
-            seen_b, seen_sh = state["bands"], state["shingles"]
-            cand = (
-                bands.alias("a")
-                .join(seen_b.alias("b"), ["band", "band_key"])
-                .where(F.col("a.doc_id") != F.col("b.doc_id"))
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("doc_id_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_id_b"),
-                )
-                .distinct()
+        bands = band_keys(minhash_signatures(sh, cfg), cfg)
+        # Append this batch to the durable store FIRST, then read the
+        # store back: one materialization per lineage, and every
+        # downstream reference is a plain parquet scan (no growing
+        # union-of-checkpoints plan).
+        sh.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            shingles_path
+        )
+        bands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            bands_path
+        )
+        all_bands = spark.read.parquet(bands_path)
+        all_sh = spark.read.parquet(shingles_path).drop("batch_id")
+        cur = all_bands.where(F.col("batch_id") == batch_id)
+        seen = all_bands.where(F.col("batch_id") < batch_id)
+        cross = (
+            cur.alias("a")
+            .join(seen.alias("b"), ["band", "band_key"])
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_id_b"),
             )
-            all_sh = seen_sh.unionByName(sh)
-            got = exact_jaccard(cand, all_sh).where(F.col("jaccard") >= threshold)
-            state["pairs"].extend(got.collect())
-            state["bands"] = seen_b.unionByName(bands)
-            state["shingles"] = seen_sh.unionByName(sh)
-        else:
-            state["bands"], state["shingles"] = bands, sh
-        # intra-batch pairs
+        )
         intra = (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "band_key"])
+            cur.alias("a")
+            .join(cur.alias("b"), ["band", "band_key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
                 F.col("a.doc_id").alias("doc_id_a"),
                 F.col("b.doc_id").alias("doc_id_b"),
             )
-            .distinct()
         )
-        got = exact_jaccard(intra, sh).where(F.col("jaccard") >= threshold)
-        state["pairs"].extend(got.collect())
+        cand = cross.unionByName(intra).distinct()
+        got = exact_jaccard(cand, all_sh).where(F.col("jaccard") >= threshold)
+        got.write.mode("append").parquet(pairs_path)
 
     # Simulate a stream over the static corpus with REAL multi-batch
     # arrival: the source is one parquet file (=> one availableNow batch),
     # so re-split it into 4 files first and feed them one per trigger —
     # otherwise the cross-batch seen-store path would never execute.
-    import shutil
-    import tempfile
-
     split_dir = tempfile.mkdtemp(prefix="inc_docs_")
     try:
         docs.repartition(4).write.mode("overwrite").parquet(split_dir)
@@ -184,9 +202,13 @@ def incremental_similar_pairs(
             .start()
         )
         query.awaitTermination()
+        result = (
+            spark.read.parquet(pairs_path)
+            .select("doc_id_a", "doc_id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
-    rows = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in state["pairs"]}
-    return spark.createDataFrame(
-        sorted(rows), ["doc_id_a", "doc_id_b", "jaccard"]
-    )
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result
