@@ -37,24 +37,40 @@ def asof_join(
     """
     left_tie = left_tie or left_ts
     right_tie = right_tie or right_ts
+    lt_type = left.schema[left_tie].dataType
+    rt_type = right.schema[right_tie].dataType
+    if lt_type != rt_type:
+        raise ValueError(
+            f"asof_join tie columns must have identical types to order the "
+            f"unioned stream: {left_tie}:{lt_type.simpleString()} vs "
+            f"{right_tie}:{rt_type.simpleString()}"
+        )
+    from pyspark.sql.types import StructField, StructType
+
     l_cols = [c for c in left.columns if c != key]
+    # The whole right payload rides in ONE struct: a right row's struct is
+    # non-null even when every field inside is null, so (a) the carried
+    # last(ignorenulls) can never splice a STALE field value from an older
+    # right row over the latest row's legitimate NULL, and (b) struct
+    # null-ness is an exact "was there any earlier right row" marker —
+    # "no match" and "matched, payload NULL" stay distinct.
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_payload]
+    )
     tagged_l = left.select(
         F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
-        F.col(left_tie).cast("long").alias("_tie"),
+        F.col(left_tie).alias("_tie"),
+        F.lit(None).cast(pay_type).alias("_r_pay"),
         *[F.col(c).alias(f"_l_{c}") for c in l_cols],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_payload
-        ],
     )
     tagged_r = right.select(
         F.col(key), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
-        F.col(right_tie).cast("long").alias("_tie"),
+        F.col(right_tie).alias("_tie"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_r_pay"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in l_cols
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
     )
     w = (
         Window.partitionBy(key)
@@ -62,18 +78,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_payload
-        ],
+        "*", F.last("_r_pay", ignorenulls=True).over(w).alias("_m_pay")
     )
     return (
         carried.where(F.col("_side") == 1)
+        .where(F.col("_m_pay").isNotNull())
         .select(
             F.col(key),
             *[F.col(f"_l_{c}").alias(c) for c in l_cols],
-            *[F.col(f"_m_{c}").alias(f"right_{c}") for c in right_payload],
+            *[F.col("_m_pay")[c].alias(f"right_{c}") for c in right_payload],
         )
-        .where(F.col(f"right_{right_payload[0]}").isNotNull())
     )

@@ -40,11 +40,23 @@ def uniform_range_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
 ) -> DataFrame:
-    """Equi-join formulation for a uniform grid of width ``step``:
-    bucket(value) == bucket(lo) replaces the range predicate."""
+    """Equi-join formulation on a bucket grid of width ``step``.
+
+    Each interval is exploded over EVERY bucket it overlaps
+    (``sequence(bucket(lo), bucket(hi))``), so results are complete for
+    arbitrary intervals — not just grid-aligned ones no wider than
+    ``step``; a value in a later bucket than ``bucket(lo)`` still meets
+    its interval.  The exact predicate re-applied after the equi-join
+    removes the boundary over-replication (``bucket(hi)`` when ``hi`` is
+    exactly grid-aligned).  Replication factor per interval is
+    ~width/step + 1 — choose ``step`` near the typical interval width.
+    """
     bucket = lambda c: F.floor(c / F.lit(step)).cast("long")  # noqa: E731
     r = rows.withColumn("_bucket", bucket(F.col(value_col)))
-    iv = intervals.withColumn("_bucket", bucket(F.col(lo_col)))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))),
+    )
     return (
         r.join(F.broadcast(iv), "_bucket")
         .where(

@@ -42,6 +42,55 @@ def test_asof_picks_latest_of_equal_right_timestamps(spark):
     assert [r.right_r_id for r in rows] == [902]  # higher tie id wins
 
 
+def test_asof_null_payload_is_matched_not_stale(spark):
+    """A matched right row whose payload is NULL must (a) be kept by the
+    inner join and (b) NOT be papered over with an older right row's
+    non-null payload."""
+    left = spark.createDataFrame([(1, 100, 1)], ["user_id", "l_ts", "l_id"])
+    right = spark.createDataFrame(
+        [(1, 60, 600), (1, 90, None)], ["user_id", "r_ts", "r_id"]
+    )
+    rows = asof_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        right_payload=["r_id"], left_tie="l_ts", right_tie="r_ts",
+    ).collect()
+    assert len(rows) == 1 and rows[0].right_r_id is None
+
+
+def test_asof_mismatched_tie_types_raise(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 100, "a")], ["user_id", "l_ts", "l_id"])
+    right = spark.createDataFrame([(1, 90, 900)], ["user_id", "r_ts", "r_id"])
+    with pytest.raises(ValueError, match="tie columns"):
+        asof_join(
+            left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+            right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+        )
+
+
+def test_uniform_range_join_unaligned_wide_intervals(spark):
+    """Intervals off the grid and wider than step must not lose matches."""
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import (
+        range_join,
+        uniform_range_join,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], ["rid", "v"]
+    )
+    ivs = spark.createDataFrame(
+        [(7.5, 43.25, "wide"), (50.0, 50.5, "narrow"), (80.1, 99.9, "tail")],
+        ["lo", "hi", "name"],
+    )
+    a = sorted((r.rid, r.name) for r in range_join(rows, ivs, "v").collect())
+    b = sorted(
+        (r.rid, r.name)
+        for r in uniform_range_join(rows, ivs, "v", step=10.0).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_uniform_range_join_equals_general(spark):
     from mapreduce_minhash_lsh_spark.operators.rangejoin import (
         range_join,
