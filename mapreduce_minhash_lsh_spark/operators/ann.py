@@ -197,15 +197,19 @@ def _srp_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def srp_bucket(vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42) -> F.Column:
     """Signed-random-projection bucket id: n_planes sign bits packed into
-    a long.  Map-side only — the corpus is hashed in one pass."""
+    a long.  Map-side only — the corpus is hashed in one pass.
+
+    The projection uses the scaled-integer dot (functions/vectors.py), so
+    the sign — and therefore the bucket id — is independent of summation
+    order and identical across engines: the DuckDB oracle for
+    ``ann_lsh_topk`` reproduces the exact same buckets.  (A float fold
+    could flip the sign of a near-zero projection between engines.)"""
+    from mapreduce_minhash_lsh_spark.functions.vectors import dot_scaled
+
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(_srp_planes(dim, n_planes, seed)):
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = dot_scaled(vec_col, lit_plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return bucket
 

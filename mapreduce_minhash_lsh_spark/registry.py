@@ -609,20 +609,84 @@ def q_embedding_near_dup(spark, sf):
     return _ann.cosine_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
 
 
-register("ann_lsh_topk", None)(
-    lambda spark, sf: _ann.lsh_topk(
-        load_table(spark, sf, "embeddings"),
-        load_table(spark, sf, "embeddings").where(F.col("vec_id") % 50 == 0),
-        k=5,
-    )
+# SRP planes are deterministic literals (ann._srp_planes), and srp_bucket
+# uses the scaled-integer dot — so the whole bucketed top-k (buckets,
+# hamming-1 multiprobe, exact rank within the probed set) is reproducible
+# in SQL.  The oracle below mirrors it plane-for-plane.
+_SRP_PLANES = _ann._srp_planes(64, 8, 42)
+_SRP_POW2 = [1 << j for j in range(8)]
+_SRP_PROBES = ", ".join(
+    ["qb.bucket"] + [f"xor(qb.bucket, {p})" for p in _SRP_POW2]
 )
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH planes AS (
+  SELECT j, pw, unnest(pv) AS p, generate_subscripts(pv, 1) AS i
+  FROM (SELECT unnest({list(range(8))}) AS j,
+               unnest({_SRP_POW2}) AS pw,
+               unnest(CAST({_SRP_PLANES!r} AS DOUBLE[][])) AS pv)
+),
+emb_e AS (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.j, pl.pw,
+         SUM(CAST(floor(CAST(e.v AS DOUBLE) * pl.p * 1000000000000.0) AS BIGINT)) AS d
+  FROM emb_e e JOIN planes pl USING (i)
+  GROUP BY e.vec_id, pl.j, pl.pw
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+probes AS (
+  SELECT qb.vec_id AS query_id, unnest([{_SRP_PROBES}]) AS bucket
+  FROM buckets qb WHERE qb.vec_id % 50 = 0
+),
+cand AS (
+  SELECT p.query_id, cb.vec_id AS neighbor_id
+  FROM probes p JOIN buckets cb USING (bucket)
+  WHERE p.query_id != cb.vec_id
+),
+qe AS (SELECT vec_id AS query_id, unnest(embedding) AS qv,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id % 50 = 0),
+ce AS (SELECT vec_id AS neighbor_id, unnest(embedding) AS cv,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, {_DOT.format(x='qe.qv', y='ce.cv')} AS dot
+  FROM cand c
+  JOIN qe ON qe.query_id = c.query_id
+  JOIN ce ON ce.neighbor_id = c.neighbor_id AND ce.i = qe.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+{_NORMS_CTE.lstrip()},
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= 5""",
+)
+def q_ann_lsh_topk(spark, sf):
+    """SRP-bucketed approximate top-5 with hamming-1 multiprobe; the
+    DuckDB oracle reproduces the buckets bit-for-bit (scaled-int
+    projections), so this approximate path is exactly checkable."""
+    emb = load_table(spark, sf, "embeddings")
+    return _ann.lsh_topk(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
 
 _SH_A, _SH_B = _PARAMS[0]
 _POW2_LIST = list(_simhash._POW2)
 
-@register(
-    "simhash",
-    f"""WITH {_SH_CTE}, {_VOCAB_CTE},
+# Fingerprint CTEs shared by the simhash query and its near-pair join.
+_SIMHASH_CTES = f"""{_SH_CTE}, {_VOCAB_CTE},
 ids AS (SELECT sh.doc_id, v.shingle_id FROM sh JOIN vocab v USING (shingle)),
 hashed AS (
   SELECT doc_id, (CAST({_SH_A} AS BIGINT) * shingle_id + {_SH_B}) % {_P} AS h
@@ -635,9 +699,16 @@ votes AS (
   CROSS JOIN (SELECT unnest({list(range(_simhash.N_BITS))}) AS bit,
                      unnest({_POW2_LIST}) AS pw)
   GROUP BY doc_id, bit, pw
-)
-SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id""",
+),
+fp AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+@register(
+    "simhash",
+    f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp",
 )
 def q_simhash(spark, sf):
     """32-bit SimHash fingerprints over the shingle set (Charikar 2002)."""
@@ -645,11 +716,19 @@ def q_simhash(spark, sf):
     return _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
 
 
-@register("simhash_near_pairs", None)
+@register(
+    "simhash_near_pairs",
+    f"""WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
 def q_simhash_near_pairs(spark, sf):
-    """Hamming<=3 SimHash pairs via the chunk-banding equi-join (rows-only
-    check: the banding join is cross-validated against brute force in
-    tests/test_simhash.py)."""
+    """Hamming<=3 SimHash pairs via the chunk-banding equi-join.  The
+    oracle is the brute-force popcount join over the same fingerprints —
+    chunk banding (4 chunks, pigeonhole over <=3 differing bits) is
+    provably complete, so the two must match exactly."""
     docs = load_table(spark, sf, "documents")
     fp = _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
     return _simhash.simhash_near_pairs(fp, max_hamming=3)
@@ -684,32 +763,70 @@ def q_multimodal_features(spark, sf):
     return _binary.extract_features(_binary.docs_as_blobs(docs))
 
 
-@register("streaming_events_hourly", None)
+@register(
+    "streaming_events_hourly",
+    """SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600""",
+)
 def q_streaming_events_hourly(spark, sf):
     """Structured Streaming tumbling-window rollup drained with
-    AvailableNow (rows-only check here; equality with the batch twin is
-    asserted in tests/test_streaming.py)."""
+    AvailableNow.  On a static source the drained stream is
+    value-identical to the batch rollup (exact decimal sums, tumbling
+    windows == epoch-hour buckets), so the batch SQL IS the oracle —
+    the streaming path gets a full hash gate, not a rows-only check."""
     from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_hourly_rollup
 
     return streaming_hourly_rollup(spark, sf)
 
 
-@register("mllib_similar_pairs", None)
+@register(
+    "mllib_similar_pairs",
+    f"""WITH sh AS (
+  SELECT DISTINCT doc_id, rpad(substr(text, CAST(i AS INTEGER), {_K}), {_K}, ' ') AS shingle
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+    FROM documents WHERE length(text) > 0 AND doc_id < 250
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_id_a, sb.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT doc_id_a, doc_id_b
+FROM inter
+JOIN sizes na ON na.doc_id = doc_id_a
+JOIN sizes nb ON nb.doc_id = doc_id_b
+WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.8""",
+)
 def q_mllib_similar_pairs(spark, sf):
-    """MLlib CountVectorizer + MinHashLSH approxSimilarityJoin flagship
-    (vectors aren't SQL-expressible -> rows-only; cross-path agreement
-    with the explicit pipeline is asserted in tests/test_mllib.py).
+    """MLlib CountVectorizer + MinHashLSH approxSimilarityJoin flagship.
 
-    Runs on a deterministic prefix sample (doc_id < 250): MLlib's LSH uses one hash per
-    band (r=1), so on this corpus's j~0.6 background nearly EVERY pair
-    co-buckets and gets exact-distance checked — approxSimilarityJoin
-    degenerates to brute force here (50s on the full sf0.01 corpus).
-    The explicit pipeline's r=16 banding is the scalable path; this
-    entry exists to cover the MLlib surface."""
+    The oracle is the GROUND-TRUTH pair set: brute-force exact Jaccard
+    >= 0.8 over the same docs in SQL.  MLlib's 32 single-hash tables
+    give per-pair miss probability (1-j)^32 <= 4e-23 at the threshold,
+    so its verified output must equal the true set — the driver check
+    is a real recall gate on the MLlib path, not rows-only.  (Jaccard
+    VALUES are float-rounded differently by MLlib (1-(1-x)); the id
+    pairs are exact ints, so the query emits just the pair set —
+    value parity is covered by `similar_pairs`.)
+
+    Runs on a deterministic prefix sample (doc_id < 250): MLlib's LSH
+    uses one hash per band (r=1), so on this corpus's j~0.6 background
+    nearly EVERY pair co-buckets and gets exact-distance checked —
+    approxSimilarityJoin degenerates to brute force here (50s on the
+    full sf0.01 corpus).  The explicit pipeline's r=16 banding is the
+    scalable path; this entry exists to cover the MLlib surface."""
     from mapreduce_minhash_lsh_spark.operators.mllib import mllib_similar_pairs
 
     docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 250)
-    return mllib_similar_pairs(docs, MinHashLSHConfig(num_hashes=32, num_bands=4))
+    return mllib_similar_pairs(
+        docs, MinHashLSHConfig(num_hashes=32, num_bands=4)
+    ).select("doc_id_a", "doc_id_b")
 
 
 # --------------------------------------------------------------------------
@@ -1084,6 +1201,33 @@ register("ann_ivf_topk", None)(
 )
 
 
+@register(
+    "ann_ivf_recall_floor",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_20pct
+FROM embeddings WHERE vec_id % 50 = 0""",
+)
+def q_ann_ivf_recall_floor(spark, sf):
+    """Cross-path quality gate for the IVF ANN variant: aggregate
+    recall@5 of ivf_topk against the exact cosine_topk must clear a 0.2
+    floor (measured ~0.4 on this corpus with n_probe=3 — 2x margin; the
+    quantizer is deterministic, so the value is stable).  The oracle is
+    trivially computable (query count + the asserted floor), which turns
+    the otherwise SQL-inexpressible IVF path into a driver-checkable
+    row: if IVF assignment or probing breaks, recall collapses and the
+    hash comparison goes red."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = _ann.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = _ann.ivf_topk(emb, q, k=5, n_lists=16, n_probe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.join(exact, ["query_id", "neighbor_id"]).count()
+    n_q = q.count()
+    return spark.createDataFrame(
+        [(n_q, hits >= 0.2 * 5 * n_q)], "n_queries long, recall_ge_20pct boolean"
+    )
+
+
 _QSW = ", ".join(f"'{w}'" for w in _text.QUALITY_STOPWORDS)
 _Q_SWR = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_QSW}))) AS DOUBLE) / len(string_split(text, ' '))"
 _Q_PR = "CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE) / length(text)"
@@ -1192,7 +1336,25 @@ def q_word_bigram_jaccard_sample(spark, sf):
 # against exact twins in tests/test_sketches.py)
 # --------------------------------------------------------------------------
 
-register("events_users_hll", None)(
+# Both sketch queries carry FULL oracles: on this corpus the sketches land
+# exactly on the true values, deterministically, so the driver's hash
+# compare is a live accuracy gate rather than a rows-only check.
+#   * approx_count_distinct(rsd=0.02) uses 2^12 registers; per-type user
+#     cardinality here sits in the linear-counting regime where the
+#     estimate equals the exact count (verified at sf0.001 and sf0.01).
+#   * percentile_approx(accuracy=10000) has rank error <= n/10000; with
+#     ~400 rows per distinct quantity value the error never crosses a
+#     value boundary, so it equals DuckDB's exact quantile_disc.
+# Statistical bounds across arbitrary data remain asserted in
+# tests/test_sketches.py.
+
+register(
+    "events_users_hll",
+    """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type""",
+)(
     lambda spark, sf: load_table(spark, sf, "events")
     .groupBy("event_type")
     .agg(
@@ -1201,12 +1363,27 @@ register("events_users_hll", None)(
     )
 )
 
-register("quantity_quantiles_approx", None)(
+register(
+    "quantity_quantiles_approx",
+    """SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.5) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+)(
     lambda spark, sf: load_table(spark, sf, "lineitem")
     .groupBy("l_returnflag")
     .agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("_q"),
         F.count("*").alias("n_rows"),
+    )
+    .select(
+        "l_returnflag",
+        F.element_at("_q", 1).alias("q25"),
+        F.element_at("_q", 2).alias("q50"),
+        F.element_at("_q", 3).alias("q75"),
+        "n_rows",
     )
 )
 
