@@ -108,24 +108,22 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
             .agg(F.min("group_id").alias("nbr_min"))
             .withColumnRenamed("doc_id_a", "doc_id")
         )
-        new_labels = (
+        # The pre-least label IS the old label, so the convergence flag
+        # rides the same plan — no second join over the label table, and
+        # the change probe after the checkpoint is a local scan.
+        flagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
+                (F.col("nbr_min") < F.col("group_id")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.group_id") != F.col("o.group_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.where(F.col("_changed")).limit(1).count()
+        labels = flagged.drop("_changed")
         if changed == 0:
             return labels
         if max_iter is not None and iteration >= max_iter:

@@ -24,18 +24,31 @@ from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
 
 
 def band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
-    """Wide signatures -> (doc_id, band, band_key).
+    """Signatures -> (doc_id, band, band_key).
 
-    band_key joins the band's r minhash values with ',' in hash order —
-    same encoding as the reference (MinHashLSH.java:135-141) plus the
-    band index carried alongside.  posexplode keeps this a pure map-side
-    reshape (no shuffle).
+    Accepts either shape: the array form (doc_id, sig) from
+    ``minhash_signatures_array`` (primary — small generated code) or the
+    wide (mh_0..mh_{n-1}) form.  band_key joins the band's r minhash
+    values with ',' in hash order — same encoding as the reference
+    (MinHashLSH.java:135-141) plus the band index carried alongside.
+    posexplode keeps this a pure map-side reshape (no shuffle).
     """
     r = cfg.rows_per_band
-    keys = F.array(*[
-        F.concat_ws(",", *[F.col(f"mh_{band * r + i}") for i in range(r)])
-        for band in range(cfg.num_bands)
-    ])
+    if "sig" in signatures.columns:
+        keys = F.array(*[
+            F.array_join(
+                F.transform(
+                    F.slice("sig", band * r + 1, r), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+            for band in range(cfg.num_bands)
+        ])
+    else:
+        keys = F.array(*[
+            F.concat_ws(",", *[F.col(f"mh_{band * r + i}") for i in range(r)])
+            for band in range(cfg.num_bands)
+        ])
     return signatures.select(
         "doc_id", F.posexplode(keys).alias("band", "band_key")
     )

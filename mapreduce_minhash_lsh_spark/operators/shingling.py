@@ -50,21 +50,52 @@ def shingle_postings(
     )
 
 
-def vocabulary(doc_shingles: DataFrame) -> DataFrame:
+def vocabulary(doc_shingles: DataFrame, prefix_len: int = 2) -> DataFrame:
     """Distinct shingles with a dense 1-based lexicographic rank
     (shingle_id) — the deterministic id domain for the 'rank' MinHash
     strategy and its DuckDB oracle twin.
 
     The reference's vocabulary is the keySet of job 1's output, iterated in
     HashMap order (MinHashLSH.java:55-71,80) — nondeterministic; the rank
-    fixes that.  Scale note (SCALE.md): the global sort behind row_number
-    is a single-task bottleneck at 100 TB — the 'xxhash' strategy skips the
-    vocabulary entirely and is the production path; 'rank' exists for
-    deterministic parity testing at oracle scale.
+    fixes that.
+
+    Scale shape: a bare ``row_number().over(Window.orderBy(...))`` is a
+    single-task global sort — the one plan WindowExec warns about.
+    Instead the rank is computed distributively: partition the window by
+    the shingle's ``prefix_len``-char prefix (lexicographically
+    consistent with whole-string order, so per-bucket rank + bucket
+    offset == the global rank exactly), and take bucket offsets from a
+    cumulative sum over the per-prefix counts — a window over at most
+    |alphabet|^prefix_len rows, broadcast back.  Per-task work is one
+    prefix bucket (~vocab/|prefixes|); nothing global remains.  The
+    'xxhash' strategy still skips the vocabulary entirely and is the
+    preferred production path (no vocabulary shuffle at all).
     """
-    w = Window.orderBy("shingle")
-    return (
+    distinct = (
         doc_shingles.select("shingle")
         .distinct()
-        .select("shingle", F.row_number().over(w).cast("long").alias("shingle_id"))
+        .withColumn("_bkt", F.substring("shingle", 1, prefix_len))
+    )
+    offsets = (
+        distinct.groupBy("_bkt")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_bkt",
+            (
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("_n")
+            ).alias("_offset"),
+        )
+    )
+    within = F.row_number().over(Window.partitionBy("_bkt").orderBy("shingle"))
+    return (
+        distinct.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "shingle",
+            (F.col("_offset") + within).cast("long").alias("shingle_id"),
+        )
     )

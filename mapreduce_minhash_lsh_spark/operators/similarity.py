@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
-from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 
 # Signature-agreement prefilter slack: the positionwise-agreement MinHash
@@ -108,7 +108,7 @@ def similar_pairs(
     # stage.  Eagerly materializing the (small) candidate list runs LSH
     # exactly once and truncates the lineage under the verify join.
     doc_shingles = explode_shingles(docs, cfg.k).persist()
-    sig = minhash_signatures(doc_shingles, cfg).persist()
+    sig = minhash_signatures_array(doc_shingles, cfg).persist()
     cands = candidate_pairs(band_keys(sig, cfg), cfg, max_bucket_size)
     cands = signature_prefilter(cands, sig, cfg, threshold).localCheckpoint(eager=True)
     return exact_jaccard(cands, doc_shingles).where(F.col("jaccard") >= threshold)
@@ -128,7 +128,10 @@ def signature_prefilter(
     cut = min_agree(cfg, threshold)
     if cut <= 0:
         return pairs
-    arr = F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)])
+    if "sig" in signatures.columns:
+        arr = F.col("sig")
+    else:
+        arr = F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)])
     sa = signatures.select(F.col("doc_id").alias("doc_id_a"), arr.alias("sig_a"))
     sb = signatures.select(F.col("doc_id").alias("doc_id_b"), arr.alias("sig_b"))
     agree = F.size(

@@ -26,6 +26,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_min_partitions(df: DataFrame, minimum: int | None = None) -> DataFrame:
+    """Round-robin repartition — but ONLY when the scan under-splits.
+
+    A small local parquet file is one row group, so Spark gives it ONE
+    input partition and every map-side stage before the first shuffle
+    (shingle explode, minhash, matmul prefilters) runs on one core; that
+    single-task scan, not codegen, dominated the sf0.1 flagship wall
+    clock.  At real scale inputs carry >= cores partitions and this is a
+    metadata check followed by a no-op — no shuffle is ever added to a
+    well-split scan, so predicate pushdown/broadcast plans are untouched
+    where they matter.  All downstream operators are partition-order
+    independent by design (order-independent aggregates, exact integer
+    sums), so the repartition cannot change results.
+    """
+    spark = df.sparkSession
+    minimum = minimum or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < minimum:
+        return df.repartition(minimum)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
@@ -39,8 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (microseconds, matching DuckDB's ns->us truncation on read).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts_us", F.expr("ts div 1000").cast("long"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return ensure_min_partitions(
+            df.withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        )
+    return ensure_min_partitions(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
