@@ -37,14 +37,18 @@ class MinHashLSHConfig:
     prime: int = MERSENNE_PRIME
     # 'rank': shingle id = dense lexicographic rank of the vocabulary
     #   (deterministic, SQL-expressible -> used by the DuckDB oracle twin).
-    # 'xxhash': shingle id = xxhash64(shingle) mod p (no vocabulary pass,
-    #   no global sort -> the 100 TB scale path; not SQL-oracle-checkable).
+    # 'md5': shingle id = first 60 bits of md5(shingle) mod p — map-side
+    #   like 'xxhash' (no vocabulary pass at all) AND engine-portable, so
+    #   it is both the scale path and oracle-checkable.  The default for
+    #   the flagship pipeline.
+    # 'xxhash': shingle id = xxhash64(shingle) mod p (cheapest per row;
+    #   not SQL-oracle-checkable — no xxhash64 in DuckDB).
     id_strategy: str = "rank"
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.num_bands != 0:
             raise ValueError("num_hashes must be divisible by num_bands")
-        if self.id_strategy not in ("rank", "xxhash"):
+        if self.id_strategy not in ("rank", "md5", "xxhash"):
             raise ValueError(f"unknown id_strategy {self.id_strategy!r}")
 
     @property

@@ -22,6 +22,15 @@ def affine_hash(x: Column, a: int, b: int, prime: int = MERSENNE_PRIME) -> Colum
     return (F.lit(a) * x + F.lit(b)) % F.lit(prime)
 
 
+def md5_id(col: Column, prime: int = MERSENNE_PRIME) -> Column:
+    """Bigint id in [0, p) from the first 15 hex chars (60 bits) of
+    md5 — pure map-side like 'xxhash', but md5 is identical in every
+    engine, so the DuckDB oracle reproduces it bit-for-bit (the SQL twin
+    parses the same 15 hex chars with literal powers of 16).  The mod-p
+    reduction keeps a*id + b inside int64 for the affine family."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(prime)
+
+
 def xxhash_id(col: Column, prime: int = MERSENNE_PRIME) -> Column:
     """Positive bigint id in [1, p] straight from xxhash64 — the no-vocabulary
     scale path (no global rank, no shuffle on shingle).  Not reproducible in

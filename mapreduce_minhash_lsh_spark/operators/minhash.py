@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.functions.hashing import affine_hash, xxhash_id
+from mapreduce_minhash_lsh_spark.functions.hashing import (
+    affine_hash,
+    md5_id,
+    xxhash_id,
+)
 from mapreduce_minhash_lsh_spark.operators.shingling import vocabulary
 
 
@@ -28,9 +32,15 @@ def shingle_ids(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     'rank'  : broadcast-join against the lexicographic vocabulary (small
               vocab) or shuffle-join (large) — Catalyst/AQE picks; exactly
               reproducible in SQL for the oracle.
-    'xxhash': pure map-side hash, no vocabulary, no extra shuffle — the
-              scale path.
+    'md5'   : pure map-side md5-derived id — no vocabulary, no extra
+              shuffle, AND engine-portable (the oracle parses the same
+              hex): scale path + oracle-checkable at once.
+    'xxhash': pure map-side xxhash64 — cheapest, not oracle-checkable.
     """
+    if cfg.id_strategy == "md5":
+        return doc_shingles.select(
+            "doc_id", md5_id(F.col("shingle"), cfg.prime).alias("shingle_id")
+        )
     if cfg.id_strategy == "xxhash":
         return doc_shingles.select(
             "doc_id", xxhash_id(F.col("shingle"), cfg.prime).alias("shingle_id")

@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A training-data pipeline needs samples and train/validation/test splits
+that are (a) reproducible across runs and engines, (b) stable under
+repartitioning and retries, and (c) assignable row-at-a-time with no
+coordination.  ``df.sample()`` gives none of that: its RNG draws depend
+on partition layout.  Content-hash bucketing gives all three — a row's
+fate is a pure function of its key and the seed, so the same row lands
+in the same bucket on any cluster, any engine, any day.
+
+The bucket hash is the md5-hex-parse used by the 'md5' shingle-id
+strategy (functions/hashing.py): engine-portable, so every operator here
+carries an exact DuckDB oracle twin (registry.py).  The reference has no
+sampling surface at all — this extends it for the LLM-pipeline brief.
+
+All operators are pure map-side filters/projections: no shuffle, no
+driver state, trivially 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket-space size.  1e6 buckets -> fractions resolve to 0.0001%.
+DEFAULT_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5(key || ':' || seed).
+
+    The 60-bit hex prefix is parsed exactly like functions.hashing.md5_id,
+    so DuckDB reproduces every bucket bit-for-bit (15 substr terms with
+    literal powers of 16 — see registry._MD5_PARSE).
+    """
+    tagged = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long") % F.lit(
+        buckets
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    numerator: int,
+    denominator: int = DEFAULT_BUCKETS,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep rows whose bucket < numerator — an exact-rational Bernoulli
+    sample (fraction = numerator/denominator) that is deterministic per
+    key.  Rows with equal keys are kept or dropped together, which is
+    exactly what you want when the key identifies a document."""
+    return df.where(hash_bucket(F.col(key_col), seed, denominator) < F.lit(numerator))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by bucket range.
+
+    ``splits`` is [(name, weight), ...]; weights are integers summing to
+    any total W — row goes to the split whose cumulative-weight window
+    (scaled to the bucket space) contains its bucket.  Windows tile the
+    space exactly, so assignment is total and disjoint.  E.g.
+    ``[("train", 98), ("valid", 1), ("test", 1)]``.
+    """
+    total = sum(w for _, w in splits)
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive total")
+    bucket = hash_bucket(F.col(key_col), seed, DEFAULT_BUCKETS)
+    expr: Column | None = None
+    acc = 0
+    # Walk ranges high-to-low so the expression is a simple when-chain.
+    for name, w in splits[:-1]:
+        acc += w
+        cut = acc * DEFAULT_BUCKETS // total
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    assigned = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, assigned)

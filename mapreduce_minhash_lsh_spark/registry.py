@@ -42,9 +42,12 @@ from mapreduce_minhash_lsh_spark.sources.tables import load_table
 # small vocabulary), so the s-curve must be steep ABOVE 0.6: r=16 catches
 # j=0.6 pairs w.p. 8*0.6^16 ~= 0.2% (bounded candidate set) while j>=0.9
 # planted near-dups are caught w.p. 1-(1-0.9^16)^8 ~= 0.81 and j>=0.95
-# w.p. 0.99 — then exact verification makes precision 1.  'rank' strategy
-# so the DuckDB twin is exact.
-PIPELINE_CFG = MinHashLSHConfig(num_hashes=128, num_bands=8, threshold=0.8)
+# w.p. 0.99 — then exact verification makes precision 1.  'md5' strategy:
+# ids come from a pure map-side engine-portable hash, so the flagship
+# needs no vocabulary pass at all AND the DuckDB twin is still exact.
+PIPELINE_CFG = MinHashLSHConfig(
+    num_hashes=128, num_bands=8, threshold=0.8, id_strategy="md5"
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
@@ -98,8 +101,20 @@ vocab AS (
   FROM (SELECT DISTINCT shingle FROM sh)
 )"""
 
+# shingle_ids twin — strategy-dependent.  'md5': parse the first 15 hex
+# chars of md5(shingle) with literal powers of 16 (DuckDB has no hex->int
+# cast); bit-identical to Spark's conv(substr(md5(s),1,15),16,10).
+_MD5_PARSE = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(shingle), {i}, 1)) - 1) * {16 ** (15 - i)}"
+    for i in range(1, 16)
+)
+if _CFG.id_strategy == "md5":
+    _IDS_CTE = f"ids AS (SELECT doc_id, ({_MD5_PARSE}) % {_P} AS shingle_id FROM sh)"
+else:
+    _IDS_CTE = "ids AS (SELECT sh.doc_id, v.shingle_id FROM sh JOIN vocab v USING (shingle))"
+
 _SIG_CTE = f"""
-ids AS (SELECT sh.doc_id, v.shingle_id FROM sh JOIN vocab v USING (shingle)),
+{_IDS_CTE},
 params AS (SELECT unnest({_A}) AS a, unnest({_B}) AS b, unnest({list(range(_CFG.num_hashes))}) AS h),
 sig AS (
   SELECT doc_id, h, min((CAST(a AS BIGINT) * shingle_id + b) % {_P}) AS minhash
@@ -685,9 +700,10 @@ def q_ann_lsh_topk(spark, sf):
 _SH_A, _SH_B = _PARAMS[0]
 _POW2_LIST = list(_simhash._POW2)
 
-# Fingerprint CTEs shared by the simhash query and its near-pair join.
+# Fingerprint CTEs shared by the simhash query and its near-pair join —
+# ids follow _CFG.id_strategy exactly like the MinHash pipeline.
 _SIMHASH_CTES = f"""{_SH_CTE}, {_VOCAB_CTE},
-ids AS (SELECT sh.doc_id, v.shingle_id FROM sh JOIN vocab v USING (shingle)),
+{_IDS_CTE},
 hashed AS (
   SELECT doc_id, (CAST({_SH_A} AS BIGINT) * shingle_id + {_SH_B}) % {_P} AS h
   FROM ids
@@ -1521,3 +1537,99 @@ def q_parts_price_bands(spark, sf):
             F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / splits / PII redaction (operators/sampling.py,
+# functions/redact.py) — reproducible-per-key md5 bucketing, exact oracle.
+# --------------------------------------------------------------------------
+
+def _md5_parse_sql(expr: str) -> str:
+    """DuckDB twin of functions.hashing's 60-bit md5 hex parse over an
+    arbitrary SQL expression (literal powers of 16 — no hex cast in
+    DuckDB)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+
+
+_DOC_KEY_SQL = "CAST(doc_id AS VARCHAR) || ':42'"
+_BUCKET_SQL = f"({_md5_parse_sql(_DOC_KEY_SQL)}) % 1000000"
+
+
+@register(
+    "documents_hash_sample",
+    f"""SELECT doc_id, lang, source
+FROM documents
+WHERE ({_BUCKET_SQL}) < 100000""",
+)
+def q_documents_hash_sample(spark, sf):
+    """Deterministic 10% Bernoulli sample keyed on doc_id: the same doc
+    is in or out on every run, engine, and partitioning (df.sample()
+    guarantees none of those)."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 100_000).select("doc_id", "lang", "source")
+
+
+_SPLITS = [("train", 98), ("valid", 1), ("test", 1)]
+_CUTS = []
+_acc = 0
+for _name, _w in _SPLITS[:-1]:
+    _acc += _w
+    _CUTS.append((_name, _acc * 1_000_000 // sum(w for _, w in _SPLITS)))
+_SPLIT_CASE = "CASE " + " ".join(
+    f"WHEN ({_BUCKET_SQL}) < {cut} THEN '{name}'" for name, cut in _CUTS
+) + f" ELSE '{_SPLITS[-1][0]}' END"
+
+
+@register(
+    "train_valid_test_split",
+    f"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT lang, {_SPLIT_CASE} AS split FROM documents)
+GROUP BY split, lang""",
+)
+def q_train_valid_test_split(spark, sf):
+    """98/1/1 split assignment by content-hash bucket windows — total,
+    disjoint, reproducible; aggregated per (split, lang) so the oracle
+    checks every assignment."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        split_assign(docs, "doc_id", _SPLITS)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "redact_pii",
+    r"""SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             'Contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com via https://ex.example/d/'
+               || CAST(doc_id AS VARCHAR) || ' or +1 555 123 4567 re: ' || substring(text, 1, 40),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\-\. ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+FROM documents""",
+)
+def q_redact_pii(spark, sf):
+    """PII scrubbing (functions/redact.py): emails, URLs, phone runs ->
+    fixed tags, pure regexp_replace chain.  The corpus has no PII, so the
+    query plants a synthetic email/URL/phone per row and the oracle
+    verifies the exact redacted strings."""
+    from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    planted = F.concat(
+        F.lit("Contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or +1 555 123 4567 re: "), F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", redact_pii(planted).alias("clean"))

@@ -25,9 +25,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Repartition key per table (its primary id) — see ensure_min_partitions.
+TABLE_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
-def ensure_min_partitions(df: DataFrame, minimum: int | None = None) -> DataFrame:
-    """Round-robin repartition — but ONLY when the scan under-splits.
+
+def ensure_min_partitions(
+    df: DataFrame, key: str, minimum: int | None = None
+) -> DataFrame:
+    """Hash-repartition on ``key`` — but ONLY when the scan under-splits.
 
     A small local parquet file is one row group, so Spark gives it ONE
     input partition and every map-side stage before the first shuffle
@@ -36,14 +46,18 @@ def ensure_min_partitions(df: DataFrame, minimum: int | None = None) -> DataFram
     clock.  At real scale inputs carry >= cores partitions and this is a
     metadata check followed by a no-op — no shuffle is ever added to a
     well-split scan, so predicate pushdown/broadcast plans are untouched
-    where they matter.  All downstream operators are partition-order
-    independent by design (order-independent aggregates, exact integer
-    sums), so the repartition cannot change results.
+    where they matter.
+
+    Hash-by-key (not round-robin) on purpose: round-robin placement
+    hangs on the binary row produced below the exchange, and column
+    pruning differs per consuming plan — so two plans over the same
+    ``limit(n)`` could see different row subsets.  Hash placement
+    depends only on the key value: deterministic under any pruning.
     """
     spark = df.sparkSession
     minimum = minimum or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < minimum:
-        return df.repartition(minimum)
+        return df.repartition(minimum, F.col(key))
     return df
 
 
@@ -61,10 +75,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return ensure_min_partitions(
-            df.withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+            df.withColumn("ts_us", F.expr("ts div 1000").cast("long")),
+            TABLE_KEYS[name],
         )
     return ensure_min_partitions(
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")),
+        TABLE_KEYS[name],
     )
 
 

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
+from mapreduce_minhash_lsh_spark.operators.sampling import (
+    DEFAULT_BUCKETS,
+    hash_bucket,
+    hash_sample,
+    split_assign,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 100_000).collect()}
+    b = {r.doc_id for r in hash_sample(docs.repartition(13), "doc_id", 100_000).collect()}
+    assert a == b and len(a) > 0
+    # fraction lands in a loose binomial window around 10%
+    n = docs.count()
+    assert 0.03 * n < len(a) < 0.25 * n
+
+
+def test_hash_sample_is_subset_monotone(spark):
+    # a 5% sample is exactly the low-bucket half of the 10% sample —
+    # nested samples, the property rank-based sampling is used for
+    docs = load_table(spark, SF_SMALL, "documents")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 50_000).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 100_000).collect()}
+    assert small <= big
+
+
+def test_split_assign_total_and_disjoint(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = split_assign(docs, "doc_id", [("train", 98), ("valid", 1), ("test", 1)])
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > counts.get("valid", 0)
+    # windows tile the bucket space: re-running flips nothing
+    again = {
+        (r.doc_id, r.split)
+        for r in split_assign(docs, "doc_id", [("train", 98), ("valid", 1), ("test", 1)]).select("doc_id", "split").collect()
+    }
+    first = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    assert first == again
+
+
+def test_hash_bucket_range(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    row = docs.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).first()
+    assert 0 <= row.lo and row.hi < DEFAULT_BUCKETS
+
+
+def test_redact_pii_tags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org please"),
+            (2, "see https://a.example/path?q=1 and http://b.example"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii here"),
+        ],
+        ["id", "t"],
+    )
+    got = {r.id: r.clean for r in df.select("id", redact_pii(F.col("t")).alias("clean")).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "no pii here"
