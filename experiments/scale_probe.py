@@ -57,15 +57,20 @@ def main() -> None:
     cands = candidate_pairs(band_keys(minhash_signatures(sh, cfg), cfg), cfg)
     n_cands = cands.count()
     t_cand = time.perf_counter() - t0
+    # Fresh end-to-end run: drop the probe's own caches first so the
+    # pipeline timing is cold and independent of the stage probe above.
+    sh.unpersist()
+    spark.catalog.clearCache()
+    t1 = time.perf_counter()
     n_pairs = similar_pairs(big, cfg).count()
-    total = time.perf_counter() - t0
+    t_pipe = time.perf_counter() - t1
     print(json.dumps({
         "replicas": replicas,
         "docs": n_docs,
         "candidates": n_cands,
         "verified_pairs": n_pairs,
         "candidate_stage_sec": round(t_cand, 1),
-        "total_sec": round(total, 1),
+        "pipeline_sec": round(t_pipe, 1),
     }))
     spark.stop()
 

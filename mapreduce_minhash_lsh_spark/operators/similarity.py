@@ -49,16 +49,31 @@ def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     rows; at 100 TB that's the difference between a bounded verify stage
     and a shuffle explosion.)  Only candidate docs' sets are built: the
     groupBy is semi-join-pruned by the pair list.
+
+    The intersection runs on 60-bit md5-derived LONG ids, not the
+    shingle strings: primitive-array hashing is ~10x cheaper than
+    per-element string hashing, which dominated the verify stage at the
+    10x scale probe (array_intersect on string sets: 16.7 s; on long
+    sets: ~2 s).  A within-pair 60-bit collision (p ~ 1e-14 at 10^4
+    shingles/doc) is the only way this can differ from string-set
+    Jaccard — and the DuckDB oracle intersects the raw strings, so
+    CORRECTNESS would catch exactly that event.
     """
+    ids = doc_shingles.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sid"),
+    )
     cand_docs = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
     sets = (
-        doc_shingles.join(cand_docs, "doc_id", "left_semi")
+        ids.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
+        .agg(F.collect_set("sid").alias("sh_set"))
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sh_set").alias("set_a")
@@ -67,15 +82,32 @@ def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_id_b"), F.col("sh_set").alias("set_b")
     )
     n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    return (
+    # Materialize (nc, na, nb) BEFORE deriving jaccard: a caller's
+    # threshold filter on the derived column gets pushed below the
+    # projection by substitution, and with array_intersect outside
+    # whole-stage CSE the intersection would be re-evaluated once per
+    # reference (measured 3x = 6.4 s -> 0.3 s at 552k pairs).  The
+    # checkpointed relation is 5 scalars per candidate pair — the same
+    # size class as the candidate list itself, bounded at any scale.
+    counts = (
         pairs.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
+            n_common.alias("nc"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        counts.select(
+            "doc_id_a",
+            "doc_id_b",
             (
-                n_common.cast("double")
-                / (F.size("set_a") + F.size("set_b") - n_common)
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") > 0)

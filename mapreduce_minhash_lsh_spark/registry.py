@@ -1633,3 +1633,71 @@ def q_redact_pii(spark, sf):
         F.lit(" or +1 555 123 4567 re: "), F.substring("text", 1, 40),
     )
     return docs.select("doc_id", redact_pii(planted).alias("clean"))
+
+
+# --------------------------------------------------------------------------
+# Corpus profiling / frequency analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "documents_profile",
+    """SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(text) AS BIGINT) AS n_text,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(MIN(length(text)) AS BIGINT) AS min_len,
+  CAST(MAX(length(text)) AS BIGINT) AS max_len,
+  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM documents""",
+)
+def q_documents_profile(spark, sf):
+    """One-pass column profile of the corpus (row/null/distinct/length
+    stats) — the data-quality gate a pipeline runs before training jobs.
+    Single aggregate, partial-combined map-side; distincts are exact here
+    (the approx twin for unbounded domains is `events_users_hll`)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_empty"),
+    )
+
+
+@register(
+    "frequent_tokens",
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50""",
+)
+def q_frequent_tokens(spark, sf):
+    """Top-50 corpus tokens with a deterministic (count desc, token asc)
+    tie-break — vocabulary head analysis.  Map-side split+explode, one
+    partial-aggregated count, top-k via sort+limit (TakeOrdered at the
+    physical level — no global sort materialized)."""
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.where(F.length("text") > 0)
+        .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

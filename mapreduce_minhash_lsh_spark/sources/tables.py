@@ -118,3 +118,27 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a fragmented parquet directory into ~target_bytes files.
+
+    The small-files problem is the classic failure mode of long-running
+    pipelines (every streaming micro-batch and over-parallel write leaves
+    shards; a 100 TB table of 1 MB files dies in the driver's file
+    listing).  Compaction = read, ``coalesce`` to ceil(size/target) — a
+    shuffle-free narrow dependency that only merges partitions — and
+    rewrite.  Size comes from the scan's own file statistics, so the
+    estimate works on any Hadoop-compatible filesystem.  Returns the
+    output partition count.
+    """
+    df = spark.read.parquet(in_path)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_out = max(1, -(-size // target_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -73,3 +73,21 @@ def test_partitioned_parquet_sink(spark):
         with contextlib.redirect_stdout(buf):
             en.explain("formatted")
         assert "PartitionFilters: [isnotnull(lang" in buf.getvalue()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.sources.tables import compact_parquet, load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)
+    import glob
+    assert len(glob.glob(frag + "/part-*")) >= 32
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, frag, out)
+    assert n_out == 1  # tiny corpus -> single target-size file
+    assert len(glob.glob(out + "/part-*")) == 1
+    a = {tuple(r) for r in spark.read.parquet(out).collect()}
+    b = {tuple(r) for r in docs.collect()}
+    assert a == b
