@@ -54,6 +54,30 @@ def band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     )
 
 
+def compact_band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """``band_keys`` with the key bucketed to a 60-bit md5 long.
+
+    The comma-joined band key is ~10 chars per minhash value (~170 B at
+    r=16); the bucket self-join shuffles and hash-probes it once per
+    band row, and at the 10x probe that string handling was most of the
+    join's 3.6 s.  Hashing the key to the 60-bit md5 prefix (same parse
+    the DuckDB oracle replays — functions/hashing.py:md5_id) cuts the
+    key to 8 B.  A 60-bit collision would only ADD a candidate pair
+    (p ~ n_buckets^2/2^61 — vanishing), and every candidate still passes
+    exact verification, so the pipeline result is unchanged; the oracle
+    buckets on the identical hash, so even the candidate list stays
+    bit-exact across engines.
+    """
+    bk = band_keys(signatures, cfg)
+    return bk.select(
+        "doc_id",
+        "band",
+        F.conv(F.substring(F.md5("band_key"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("band_key"),
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     cfg: MinHashLSHConfig,
@@ -92,5 +116,7 @@ def lsh_candidates(
 ) -> DataFrame:
     """(doc_id, shingle) -> candidate pairs, end to end."""
     return candidate_pairs(
-        band_keys(minhash_signatures(doc_shingles, cfg), cfg), cfg, max_bucket_size
+        compact_band_keys(minhash_signatures(doc_shingles, cfg), cfg),
+        cfg,
+        max_bucket_size,
     )

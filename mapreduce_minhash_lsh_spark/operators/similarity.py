@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
+from mapreduce_minhash_lsh_spark.operators.lsh import (
+    candidate_pairs,
+    compact_band_keys,
+)
 from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 
@@ -141,7 +144,7 @@ def similar_pairs(
     # exactly once and truncates the lineage under the verify join.
     doc_shingles = explode_shingles(docs, cfg.k).persist()
     sig = minhash_signatures_array(doc_shingles, cfg).persist()
-    cands = candidate_pairs(band_keys(sig, cfg), cfg, max_bucket_size)
+    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
     cands = signature_prefilter(cands, sig, cfg, threshold).localCheckpoint(eager=True)
     return exact_jaccard(cands, doc_shingles).where(F.col("jaccard") >= threshold)
 

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
+from mapreduce_minhash_lsh_spark.operators.lsh import (
+    band_keys,
+    candidate_pairs,
+    compact_band_keys,
+)
 from mapreduce_minhash_lsh_spark.operators.minhash import (
     minhash_signatures,
     signatures_long,
@@ -101,13 +105,17 @@ vocab AS (
   FROM (SELECT DISTINCT shingle FROM sh)
 )"""
 
-# shingle_ids twin — strategy-dependent.  'md5': parse the first 15 hex
-# chars of md5(shingle) with literal powers of 16 (DuckDB has no hex->int
-# cast); bit-identical to Spark's conv(substr(md5(s),1,15),16,10).
-_MD5_PARSE = " + ".join(
-    f"(strpos('0123456789abcdef', substring(md5(shingle), {i}, 1)) - 1) * {16 ** (15 - i)}"
-    for i in range(1, 16)
-)
+# 60-bit md5 hex parse with literal powers of 16 (DuckDB has no hex->int
+# cast); bit-identical to Spark's conv(substr(md5(x),1,15),16,10).
+def _md5_parse_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+
+
+# shingle_ids twin — strategy-dependent.
+_MD5_PARSE = _md5_parse_sql("shingle")
 if _CFG.id_strategy == "md5":
     _IDS_CTE = f"ids AS (SELECT doc_id, ({_MD5_PARSE}) % {_P} AS shingle_id FROM sh)"
 else:
@@ -129,11 +137,15 @@ bands AS (
   FROM sig GROUP BY doc_id, h // {_R}
 )"""
 
-_CAND_CTE = """
+# Candidate join buckets on the 60-bit md5 of the band key — the exact
+# hash operators/lsh.py:compact_band_keys computes, so the candidate
+# list matches bit-for-bit even in the (vanishing) collision case.
+_CAND_CTE = f"""
+bandh AS (SELECT doc_id, band, ({_md5_parse_sql("band_key")}) AS band_h FROM bands),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM bandh a JOIN bandh b
+    ON a.band = b.band AND a.band_h = b.band_h AND a.doc_id < b.doc_id
 )"""
 
 # Signature-agreement prefilter (operators/similarity.py EST_SLACK): the
@@ -241,7 +253,7 @@ def q_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """J1/F2: band-bucket equi-self-join candidates (MinHashLSH.java:168-193
     rebuilt as a join, not a single quadratic reducer)."""
     sh = explode_shingles(load_table(spark, sf, "documents"), _CFG.k)
-    return candidate_pairs(band_keys(minhash_signatures(sh, _CFG), _CFG), _CFG)
+    return candidate_pairs(compact_band_keys(minhash_signatures(sh, _CFG), _CFG), _CFG)
 
 
 @register(
@@ -1543,16 +1555,6 @@ def q_parts_price_bands(spark, sf):
 # Deterministic sampling / splits / PII redaction (operators/sampling.py,
 # functions/redact.py) — reproducible-per-key md5 bucketing, exact oracle.
 # --------------------------------------------------------------------------
-
-def _md5_parse_sql(expr: str) -> str:
-    """DuckDB twin of functions.hashing's 60-bit md5 hex parse over an
-    arbitrary SQL expression (literal powers of 16 — no hex cast in
-    DuckDB)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1) * {16 ** (15 - i)}"
-        for i in range(1, 16)
-    )
-
 
 _DOC_KEY_SQL = "CAST(doc_id AS VARCHAR) || ':42'"
 _BUCKET_SQL = f"({_md5_parse_sql(_DOC_KEY_SQL)}) % 1000000"

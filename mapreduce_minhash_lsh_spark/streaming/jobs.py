@@ -128,7 +128,7 @@ def incremental_similar_pairs(
     pairs: current-vs-seen band join; intra pairs: current self-join) —
     so the output needs no cross-batch dedup.
     """
-    from mapreduce_minhash_lsh_spark.operators.lsh import band_keys
+    from mapreduce_minhash_lsh_spark.operators.lsh import compact_band_keys
     from mapreduce_minhash_lsh_spark.operators.minhash import (
         minhash_signatures_array,
     )
@@ -149,7 +149,7 @@ def incremental_similar_pairs(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sh = explode_shingles(batch_df, cfg.k)
-        bands = band_keys(minhash_signatures_array(sh, cfg), cfg)
+        bands = compact_band_keys(minhash_signatures_array(sh, cfg), cfg)
         # Append this batch to the durable store FIRST, then read the
         # store back: one materialization per lineage, and every
         # downstream reference is a plain parquet scan (no growing
