@@ -44,3 +44,43 @@ def norm2_exact(a: Column) -> Column:
 def cosine_from_parts(dot: Column, n2_a: Column, n2_b: Column) -> Column:
     """cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2)) — fixed evaluation order."""
     return dot / (F.sqrt(n2_a) * F.sqrt(n2_b))
+
+
+def rademacher_signs(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Seeded +-1 projection matrix (out_dim rows of in_dim signs).
+
+    Rademacher entries satisfy the Johnson-Lindenstrauss lemma like
+    Gaussians do (Achlioptas 2003) but make the projection EXACT in
+    integer arithmetic: with inputs quantized once to 1e-12 quanta,
+    out_j = sum_i (+-q_i) is an int64 sum — associative, so identical
+    on any engine/partitioning, like the dot products above.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def rp_project(vec: Column, signs: list[list[int]]) -> Column:
+    """Project an array<float> column to len(signs) dims: array<double>.
+
+    Quantize each input element once (floor(x * 1e12) as long), then each
+    output dim is an exact +-1-weighted int64 sum, scaled back to double.
+    Pure zip_with/aggregate expressions — no UDF, no shuffle.
+    """
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
+    )
+    outs = []
+    for row in signs:
+        srow = F.array(*[F.lit(s).cast("long") for s in row])
+        acc = F.aggregate(
+            F.zip_with(q, srow, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        outs.append(acc / F.lit(SCALE))
+    return F.array(*outs)

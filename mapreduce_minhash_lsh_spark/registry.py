@@ -1703,3 +1703,41 @@ def q_frequent_tokens(spark, sf):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (functions/vectors.py)
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.functions import vectors as _vectors  # noqa: E402
+
+_RP_SIGNS = _vectors.rademacher_signs(in_dim=64, out_dim=8, seed=42)
+_RP_VALUES = ", ".join(
+    f"({i + 1}, {j}, {s})"
+    for j, row in enumerate(_RP_SIGNS)
+    for i, s in enumerate(row)
+)
+
+
+@register(
+    "embeddings_rp_project",
+    f"""WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000000000.0) AS BIGINT) AS qv
+  FROM embeddings
+),
+signs(i, j, s) AS (SELECT * FROM (VALUES {_RP_VALUES}))
+SELECT vec_id, CAST(j AS INTEGER) AS dim,
+       CAST(SUM(qv * s) AS BIGINT) / 1000000000000.0 AS value
+FROM q JOIN signs USING (i)
+GROUP BY vec_id, j""",
+)
+def q_embeddings_rp_project(spark, sf):
+    """Johnson-Lindenstrauss reduction 64 -> 8 dims with a seeded
+    Rademacher matrix — the standard pre-ANN shrink at scale.  Inputs
+    are quantized once to 1e-12 quanta so every projected value is an
+    exact int64 sum: bit-identical across engines and partitionings.
+    Long format (vec_id, dim, value) so the oracle checks every cell."""
+    emb = load_table(spark, sf, "embeddings")
+    proj = _vectors.rp_project(F.col("embedding"), _RP_SIGNS)
+    return emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))

@@ -73,3 +73,42 @@ def test_redact_pii_tags(spark):
     assert got[2] == "see <URL> and <URL>"
     assert got[3] == "call <PHONE> now"
     assert got[4] == "no pii here"
+
+
+def test_rp_project_exact_and_distance_preserving(spark):
+    import math
+
+    from mapreduce_minhash_lsh_spark.functions.vectors import (
+        rademacher_signs,
+        rp_project,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(40)
+    signs = rademacher_signs(64, 16, seed=7)
+    proj = emb.select("vec_id", rp_project(F.col("embedding"), signs).alias("p"))
+    rows = {r.vec_id: r.p for r in proj.collect()}
+    again = {
+        r.vec_id: r.p
+        for r in emb.repartition(7)
+        .select("vec_id", rp_project(F.col("embedding"), signs).alias("p"))
+        .collect()
+    }
+    assert rows == again  # bit-exact under repartitioning
+    assert all(len(p) == 16 for p in rows.values())
+
+    # JL sanity: projected pairwise distances stay within a loose band
+    # of sqrt(out/in)-scaled originals for most pairs
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    ids = sorted(orig)[:10]
+    ok = 0
+    total = 0
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d0 = math.dist(orig[a], orig[b]) * math.sqrt(16)
+            d1 = math.dist(rows[a], rows[b])
+            total += 1
+            if d0 == 0 or 0.4 < d1 / d0 < 2.5:
+                ok += 1
+    assert ok / total > 0.9
