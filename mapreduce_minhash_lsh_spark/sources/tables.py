@@ -142,3 +142,26 @@ def compact_parquet(
     n_out = max(1, -(-size // target_bytes))
     df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
     return n_out
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source — the interchange format of LLM corpora.
+
+    Pass an explicit DDL ``schema`` in production: schema inference
+    reads the data TWICE (a full extra scan at 100 TB) and silently
+    widens types from whatever it sampled.  multiLine stays False so
+    the file splits by newline across executors; a multi-line JSON
+    document cannot be split and serializes the whole file through one
+    task.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink, overwrite; one object per line, splittable on read."""
+    df.write.mode("overwrite").json(path)

@@ -7,6 +7,7 @@ import os
 import tempfile
 
 from mapreduce_minhash_lsh_spark.sources.tables import (
+    load_table,
     read_text_docs,
     register_views,
     write_csv,
@@ -90,4 +91,18 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert len(glob.glob(out + "/part-*")) == 1
     a = {tuple(r) for r in spark.read.parquet(out).collect()}
     b = {tuple(r) for r in docs.collect()}
+    assert a == b
+
+
+def test_jsonl_round_trip_with_explicit_schema(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.sources.tables import read_jsonl, write_jsonl
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, schema="doc_id bigint, text string, lang string, source string"
+    )
+    a = {tuple(r) for r in back.select("doc_id", "text", "lang", "source").collect()}
+    b = {tuple(r) for r in docs.select("doc_id", "text", "lang", "source").collect()}
     assert a == b
