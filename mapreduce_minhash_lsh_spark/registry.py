@@ -1741,3 +1741,53 @@ def q_embeddings_rp_project(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     proj = _vectors.rp_project(F.col("embedding"), _RP_SIGNS)
     return emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))
+
+
+# --------------------------------------------------------------------------
+# LSH recall probe — recall measured as exact integers, oracle-checked
+# --------------------------------------------------------------------------
+
+_RECALL_SAMPLE = 500_000  # keep half the docs (bucket < 500000 of 1e6)
+_RECALL_CTES = (
+    f"sdocs AS (SELECT * FROM documents WHERE ({_BUCKET_SQL}) < {_RECALL_SAMPLE})"
+    + ","
+    + _PIPELINE_CTES.replace("FROM documents", "FROM sdocs")
+)
+
+
+@register(
+    "lsh_recall_probe",
+    f"""WITH {_RECALL_CTES},
+inter_all AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_id_a, i.doc_id_b
+  FROM inter_all i
+  JOIN sizes sa ON sa.doc_id = i.doc_id_a
+  JOIN sizes sb ON sb.doc_id = i.doc_id_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_CFG.threshold}
+),
+found AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold})
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found""",
+)
+def q_lsh_recall_probe(spark, sf):
+    """Recall of the full LSH pipeline against brute-force ground truth
+    on a deterministic half-sample: (n_true, n_found) as exact ints —
+    the acceptance metric any dedup deployment must watch.  Ground truth
+    = every pair at exact Jaccard >= threshold (shingle co-occurrence
+    join); found = the flagship's verified output on the same sample.
+    found <= true always (verification is exact), so n_found/n_true IS
+    the recall of the banding stage."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_minhash_lsh_spark.operators.sampling import hash_sample
+
+    docs = hash_sample(load_table(spark, sf, "documents"), "doc_id", _RECALL_SAMPLE)
+    truth = ngram_jaccard_pairs(docs, k=_CFG.k, threshold=_CFG.threshold)
+    found = similar_pairs(docs, _CFG)
+    return truth.agg(F.count("*").cast("long").alias("n_true")).crossJoin(
+        found.agg(F.count("*").cast("long").alias("n_found"))
+    )
