@@ -47,12 +47,15 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # warm up the JVM/session
-    # Warm the flagship plan's generated code on the tiny SF so the sf0.1
-    # numbers measure steady-state throughput, not one-off Janino/JIT
-    # compilation of the 128-aggregate pipeline (~10s, amortized to zero
-    # in any long-running deployment).
-    registry.queries()["similar_pairs"](spark, "/root/testdata/sf0.001").count()
+    # Warm every headline plan's generated code on the tiny SF so the
+    # sf0.1 numbers measure steady-state throughput, not one-off
+    # Janino/JIT compilation (amortized to zero in any long-running
+    # deployment).  Nothing from the warmup survives into the measured
+    # runs: different input path, and the cache is dropped below.
     qs = registry.queries()
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
