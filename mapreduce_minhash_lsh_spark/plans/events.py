@@ -87,3 +87,24 @@ def event_type_shares(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         (F.col("n_events").cast("double") / F.sum("n_events").over(total)).alias("share"),
     )
+
+
+def user_value_moving_avg(spark: SparkSession, sf: str, frame: int = 3) -> DataFrame:
+    """Per-user trailing moving average of event value over the last
+    ``frame`` events (ROWS frame, ordered by event time with event_id as
+    the tie-break).  Exact-decimal sum over the frame so the average is
+    bit-identical across engines and partitionings."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(frame - 1), 0)
+    )
+    msum = F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+    mcnt = F.count("*").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (msum.cast("double") / mcnt).alias("moving_avg"),
+    )

@@ -128,3 +128,54 @@ def distinct_parts_per_flag(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
     )
+
+
+def returned_item_customers(
+    spark: SparkSession, sf: str, lo: str = "1996-01-01", hi: str = "1996-07-01",
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+
+    lineitem filtered on the scan (returnflag pushed down), orders
+    date-filtered on the scan, customer+nation broadcast — the fact
+    table shuffles once, on o_orderkey, for the join."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(n)
+    )
+
+
+def large_quantity_orders(
+    spark: SparkSession, sf: str, threshold: int = 300
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer.  The HAVING runs as a partial-aggregated
+    groupBy on the fact table; only qualifying orderkeys join onward."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"), "total_qty",
+        )
+    )

@@ -1791,3 +1791,61 @@ def q_lsh_recall_probe(spark, sf):
     return truth.agg(F.count("*").cast("long").alias("n_true")).crossJoin(
         found.agg(F.count("*").cast("long").alias("n_found"))
     )
+
+
+# --------------------------------------------------------------------------
+# Additional relational depth: Q10/Q18 shapes + window-frame moving average
+# --------------------------------------------------------------------------
+
+@register(
+    "q10_returned_revenue",
+    """SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
+)
+def q_q10_returned_revenue(spark, sf):
+    """TPC-H Q10 shape (plans/tpch.py:returned_item_customers): revenue
+    lost to returns per customer; filters on the scans, dims broadcast,
+    deterministic (revenue desc, custkey) top-20."""
+    return _tpch.returned_item_customers(spark, sf)
+
+
+@register(
+    "q18_large_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+       o_totalprice AS totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300""",
+)
+def q_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape (plans/tpch.py:large_quantity_orders): total
+    order quantity HAVING filter, partial-aggregated before any join."""
+    return _tpch.large_quantity_orders(spark, sf)
+
+
+@register(
+    "events_moving_avg",
+    """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+)
+def q_events_moving_avg(spark, sf):
+    """Trailing 3-event moving average per user (plans/events.py:
+    user_value_moving_avg): ROWS window frame with event_id tie-break;
+    exact-decimal frame sum so both engines agree bit-for-bit."""
+    return _events.user_value_moving_avg(spark, sf)
