@@ -22,13 +22,22 @@ def affine_hash(x: Column, a: int, b: int, prime: int = MERSENNE_PRIME) -> Colum
     return (F.lit(a) * x + F.lit(b)) % F.lit(prime)
 
 
+def md5_long(col: Column) -> Column:
+    """Bigint in [0, 2^60) from the first 15 hex chars of md5 — THE
+    engine-portable hash of this repo.  md5 is identical in every
+    engine, so the DuckDB oracle reproduces the value bit-for-bit
+    (registry._md5_parse_sql parses the same 15 chars with literal
+    powers of 16).  Every md5-derived id/bucket/band hash MUST route
+    through this one expression: shingle ids, exact-Jaccard set ids,
+    compact band keys, and sampling buckets all share it, so a change
+    here is a change to the cross-engine contract."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def md5_id(col: Column, prime: int = MERSENNE_PRIME) -> Column:
-    """Bigint id in [0, p) from the first 15 hex chars (60 bits) of
-    md5 — pure map-side like 'xxhash', but md5 is identical in every
-    engine, so the DuckDB oracle reproduces it bit-for-bit (the SQL twin
-    parses the same 15 hex chars with literal powers of 16).  The mod-p
-    reduction keeps a*id + b inside int64 for the affine family."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(prime)
+    """``md5_long`` reduced mod p — the 'md5' shingle-id strategy.  The
+    mod-p reduction keeps a*id + b inside int64 for the affine family."""
+    return md5_long(col) % F.lit(prime)
 
 
 def xxhash_id(col: Column, prime: int = MERSENNE_PRIME) -> Column:

@@ -68,13 +68,11 @@ def compact_band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame
     buckets on the identical hash, so even the candidate list stays
     bit-exact across engines.
     """
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
     bk = band_keys(signatures, cfg)
     return bk.select(
-        "doc_id",
-        "band",
-        F.conv(F.substring(F.md5("band_key"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("band_key"),
+        "doc_id", "band", md5_long(F.col("band_key")).alias("band_key")
     )
 
 

@@ -33,10 +33,10 @@ def hash_bucket(key: Column, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> 
     so DuckDB reproduces every bucket bit-for-bit (15 substr terms with
     literal powers of 16 — see registry._MD5_PARSE).
     """
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
     tagged = F.concat(key.cast("string"), F.lit(f":{seed}"))
-    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long") % F.lit(
-        buckets
-    )
+    return md5_long(tagged) % F.lit(buckets)
 
 
 def hash_sample(
@@ -68,13 +68,17 @@ def split_assign(
     space exactly, so assignment is total and disjoint.  E.g.
     ``[("train", 98), ("valid", 1), ("test", 1)]``.
     """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    bad = [(n, w) for n, w in splits if w <= 0]
+    if bad:
+        raise ValueError(f"split weights must be positive ints, got {bad}")
     total = sum(w for _, w in splits)
-    if total <= 0:
-        raise ValueError("split weights must sum to a positive total")
     bucket = hash_bucket(F.col(key_col), seed, DEFAULT_BUCKETS)
     expr: Column | None = None
     acc = 0
-    # Walk ranges high-to-low so the expression is a simple when-chain.
+    # Cumulative cuts walk low-to-high; the ordered when-chain assigns a
+    # row to the first window whose upper cut exceeds its bucket.
     for name, w in splits[:-1]:
         acc += w
         cut = acc * DEFAULT_BUCKETS // total

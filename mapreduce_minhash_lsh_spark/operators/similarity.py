@@ -62,11 +62,10 @@ def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     Jaccard — and the DuckDB oracle intersects the raw strings, so
     CORRECTNESS would catch exactly that event.
     """
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
     ids = doc_shingles.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("sid"),
+        "doc_id", md5_long(F.col("shingle")).alias("sid")
     )
     cand_docs = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))

@@ -1472,23 +1472,25 @@ WHERE o_totalprice > avg_price""",
          event_id AS _tie,
          CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
          CASE WHEN event_type = 'purchase' THEN value END AS p_value,
-         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
-         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_ts
+         -- whole payload in ONE struct, non-null for every view row even
+         -- if a field inside is null — mirrors operators/asof.py exactly
+         -- (no per-column IGNORE NULLS splicing of stale values)
+         CASE WHEN event_type = 'view'
+              THEN struct_pack(v_id := event_id, v_ts := epoch_us(ts)) END AS pay
   FROM events WHERE event_type IN ('purchase', 'view')
 ),
 carried AS (
   SELECT user_id, _side, p_id, p_value,
-         last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
-         last_value(v_ts IGNORE NULLS) OVER w AS view_ts_us,
+         last_value(pay IGNORE NULLS) OVER w AS m_pay,
          _ts AS purchase_ts_us
   FROM tagged
   WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _side, _tie
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, p_id AS purchase_event_id, purchase_ts_us, p_value AS purchase_value,
-       view_event_id, view_ts_us
+       (m_pay).v_id AS view_event_id, (m_pay).v_ts AS view_ts_us
 FROM carried
-WHERE _side = 1 AND view_event_id IS NOT NULL""",
+WHERE _side = 1 AND m_pay IS NOT NULL""",
 )
 def q_purchases_with_last_view(spark, sf):
     """As-of join (operators/asof.py): each purchase matched to the same

@@ -53,9 +53,19 @@ def ensure_min_partitions(
     pruning differs per consuming plan — so two plans over the same
     ``limit(n)`` could see different row subsets.  Hash placement
     depends only on the key value: deterministic under any pruning.
+
+    Size-gated: a scan under 128 KB (true dimension tables — region is
+    5 rows) gains nothing from 32 tasks; skipping it avoids a pointless
+    exchange per dimension reference in every star join.  The threshold
+    is deliberately low because bytes-on-disk undersell post-scan
+    fan-out (documents is ~600 KB compressed at sf0.1 but explodes to
+    7M+ shingle rows).
     """
     spark = df.sparkSession
     minimum = minimum or spark.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < 128 * 1024:
+        return df
     if df.rdd.getNumPartitions() < minimum:
         return df.repartition(minimum, F.col(key))
     return df
@@ -137,6 +147,15 @@ def compact_parquet(
     estimate works on any Hadoop-compatible filesystem.  Returns the
     output partition count.
     """
+    a = os.path.abspath(in_path.removeprefix("file:"))
+    b = os.path.abspath(out_path.removeprefix("file:"))
+    if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
+        # mode("overwrite") clears out_path before/while the scan reads
+        # in_path — in-place compaction would destroy the source.
+        raise ValueError(
+            f"compact_parquet cannot write into its input: {in_path!r} vs "
+            f"{out_path!r}; write to a sibling path and swap afterwards"
+        )
     df = spark.read.parquet(in_path)
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_out = max(1, -(-size // target_bytes))

@@ -114,13 +114,18 @@ def incremental_similar_pairs(
     batch operators, and join it against the accumulated signature
     store.  Demonstrates the batch/streaming unification.
 
-    State lives entirely OFF the driver, in three append-only parquet
-    tables under ``state_dir`` (band store, shingle store, emitted
-    pairs), each written once per micro-batch and read fresh at the next
-    trigger.  Nothing is collect()ed and no union-of-checkpoints lineage
-    accumulates: batch N costs one scan of the store, not N replays.  On
-    a cluster, point ``state_dir`` at durable storage (S3/HDFS/Delta)
-    and the job is restartable; the default is a per-run temp dir
+    State lives entirely OFF the driver, in three parquet tables under
+    ``state_dir`` (band store, shingle store, emitted pairs), each
+    partitioned by batch_id and written once per micro-batch with
+    DYNAMIC partition overwrite — a replayed batch overwrites its own
+    partition instead of appending a duplicate, so every write is
+    idempotent.  Combined with the stream's checkpointLocation (source
+    offsets under ``state_dir/_checkpoint``), kill/restart resumes at
+    the first uncommitted batch and reruns over the same state_dir
+    cannot double-count.  Nothing is collect()ed and no
+    union-of-checkpoints lineage accumulates: batch N costs one scan of
+    the store, not N replays.  On a cluster, point ``state_dir`` at
+    durable storage (S3/HDFS); the default is a per-run temp dir
     because the testdata corpus is finite.
 
     Each document belongs to exactly one batch, and a pair (a, b) is
@@ -147,19 +152,27 @@ def incremental_similar_pairs(
     shingles_path = os.path.join(state_dir, "shingles")
     pairs_path = os.path.join(state_dir, "pairs")
 
+    def write_batch(df: DataFrame, batch_id: int, path: str) -> None:
+        # Idempotent per-batch write: the batch lands in its own
+        # batch_id= partition and dynamic overwrite replaces exactly
+        # that partition on replay (no blind append to double-count).
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sh = explode_shingles(batch_df, cfg.k)
         bands = compact_band_keys(minhash_signatures_array(sh, cfg), cfg)
-        # Append this batch to the durable store FIRST, then read the
+        # Write this batch to the durable store FIRST, then read the
         # store back: one materialization per lineage, and every
         # downstream reference is a plain parquet scan (no growing
         # union-of-checkpoints plan).
-        sh.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            shingles_path
-        )
-        bands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            bands_path
-        )
+        write_batch(sh, batch_id, shingles_path)
+        write_batch(bands, batch_id, bands_path)
         all_bands = spark.read.parquet(bands_path)
         all_sh = spark.read.parquet(shingles_path).drop("batch_id")
         cur = all_bands.where(F.col("batch_id") == batch_id)
@@ -183,7 +196,7 @@ def incremental_similar_pairs(
         )
         cand = cross.unionByName(intra).distinct()
         got = exact_jaccard(cand, all_sh).where(F.col("jaccard") >= threshold)
-        got.write.mode("append").parquet(pairs_path)
+        write_batch(got, batch_id, pairs_path)
 
     # Simulate a stream over the static corpus with REAL multi-batch
     # arrival: the source is one parquet file (=> one availableNow batch),
@@ -200,6 +213,7 @@ def incremental_similar_pairs(
         )
         query = (
             stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
             .trigger(availableNow=True)
             .start()
         )
