@@ -108,3 +108,36 @@ def user_value_moving_avg(spark: SparkSession, sf: str, frame: int = 3) -> DataF
         "ts_us",
         (msum.cast("double") / mcnt).alias("moving_avg"),
     )
+
+
+def funnel_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users reaching each
+    stage IN ORDER (a click only counts after the user's first view; a
+    purchase only after that first qualifying click).  Three tiny
+    per-user aggregates chained by time joins — integer-epoch exact.
+    """
+    e = load_table(spark, sf, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_view_click_purchase")))
+    )

@@ -1851,3 +1851,31 @@ def q_events_moving_avg(spark, sf):
     user_value_moving_avg): ROWS window frame with event_id tie-break;
     exact-decimal frame sum so both engines agree bit-for-bit."""
     return _events.user_value_moving_avg(spark, sf)
+
+
+@register(
+    "events_funnel",
+    """WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase""",
+)
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel (plans/events.py:funnel_counts):
+    view -> click -> purchase with strict temporal ordering per user."""
+    return _events.funnel_counts(spark, sf)

@@ -112,3 +112,14 @@ def test_rp_project_exact_and_distance_preserving(spark):
             if d0 == 0 or 0.4 < d1 / d0 < 2.5:
                 ok += 1
     assert ok / total > 0.9
+
+
+def test_example_pipeline_end_to_end(spark, tmp_path):
+    import examples.dedup_pipeline as pipe
+
+    stats = pipe.run(spark, SF_SMALL, str(tmp_path / "out"))
+    assert stats["kept"] + stats["dropped"] == stats["raw"]
+    # the 28 planted near-dup pairs collapse into fewer drops when pairs
+    # share docs (each group keeps one representative)
+    assert stats["dropped"] >= 20
+    assert 0 < stats["train"] <= stats["kept"]
