@@ -1879,3 +1879,36 @@ def q_events_funnel(spark, sf):
     """Ordered conversion funnel (plans/events.py:funnel_counts):
     view -> click -> purchase with strict temporal ordering per user."""
     return _events.funnel_counts(spark, sf)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    f"""SELECT (epoch_us(ts) // 86400000000) AS day,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY (epoch_us(ts) // 86400000000)""",
+)
+def q_events_pivot_daily(spark, sf):
+    """Wide daily event-type matrix via the DataFrame ``pivot()`` API
+    with an EXPLICIT value list — without it Spark runs an extra
+    distinct scan to discover the columns and the output schema becomes
+    data-dependent (both wrong at 100 TB).  Oracle = conditional
+    aggregation, the relational equivalent."""
+    e = load_table(spark, sf, "events")
+    day = F.expr("ts_us div 86400000000")  # integer div — no double rounding
+    wide = (
+        e.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )

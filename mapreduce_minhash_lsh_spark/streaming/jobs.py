@@ -202,9 +202,17 @@ def incremental_similar_pairs(
     # arrival: the source is one parquet file (=> one availableNow batch),
     # so re-split it into 4 files first and feed them one per trigger —
     # otherwise the cross-batch seen-store path would never execute.
-    split_dir = tempfile.mkdtemp(prefix="inc_docs_")
+    # With a durable state_dir the split lives UNDER it and is written
+    # only once: a restart must see the same source files the committed
+    # checkpoint offsets refer to, or replayed docs would re-enter as
+    # "new" batches.
+    if own_state:
+        split_dir = tempfile.mkdtemp(prefix="inc_docs_")
+    else:
+        split_dir = os.path.join(state_dir, "docs_split")
     try:
-        docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+        if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
         stream = (
             spark.readStream.format("parquet")
             .schema(docs.schema)
@@ -224,7 +232,7 @@ def incremental_similar_pairs(
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(split_dir, ignore_errors=True)
         if own_state:
+            shutil.rmtree(split_dir, ignore_errors=True)
             shutil.rmtree(state_dir, ignore_errors=True)
     return result

@@ -65,3 +65,27 @@ def test_stateful_sessionize_matches_batch(spark):
         if r.session_id != last_session[r.user_id]
     }
     assert got == expected
+
+
+def test_incremental_pairs_rerun_over_same_state_is_idempotent(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.config import GOLDEN
+    from mapreduce_minhash_lsh_spark.streaming.jobs import incremental_similar_pairs
+
+    state = str(tmp_path / "state")
+    first = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in incremental_similar_pairs(
+            spark, SF_SMALL, GOLDEN, threshold=0.3, state_dir=state
+        ).collect()
+    }
+    assert first
+    # A second run over the SAME state_dir replays nothing (offsets are
+    # committed in the checkpoint) and must not double-count: the
+    # per-batch dynamic-partition writes are idempotent.
+    second = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in incremental_similar_pairs(
+            spark, SF_SMALL, GOLDEN, threshold=0.3, state_dir=state
+        ).collect()
+    }
+    assert second == first
