@@ -67,3 +67,43 @@ def test_jaccard_axioms(spark, docs_texts):
             if a == b:
                 assert got[(a, b)] == 1.0
             assert got[(a, b)] == got[(b, a)]
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_redact_pii_idempotent_and_digit_free_tags(spark, raw_texts):
+    """Scrubbing twice equals scrubbing once (no tag re-mangling), and a
+    planted email/phone/URL never survives a single pass."""
+    from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
+
+    rows = [
+        (i, f"{t} u{i}@ex.example https://ex.example/{i} +1 555 123 4567")
+        for i, t in enumerate(raw_texts)
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    once = df.select("id", redact_pii(F.col("t")).alias("c"))
+    twice = once.select("id", redact_pii(F.col("c")).alias("c"))
+    a = {r.id: r.c for r in once.collect()}
+    b = {r.id: r.c for r in twice.collect()}
+    assert a == b
+    for c in a.values():
+        assert "@ex.example" not in c and "https://" not in c
+        assert "555 123 4567" not in c
+
+
+@SLOW
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_hash_bucket_matches_python_md5(spark, key):
+    """The Spark bucket equals a plain-Python md5 recomputation — the
+    same cross-engine contract the DuckDB oracle relies on."""
+    import hashlib
+
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        DEFAULT_BUCKETS,
+        hash_bucket,
+    )
+
+    df = spark.createDataFrame([(key,)], ["k"])
+    got = df.select(hash_bucket(F.col("k")).alias("b")).first().b
+    want = int(hashlib.md5(f"{key}:42".encode()).hexdigest()[:15], 16) % DEFAULT_BUCKETS
+    assert got == want
