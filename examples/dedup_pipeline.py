@@ -59,8 +59,13 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         F.col("doc_id").alias("drop_id")
     )
 
+    # Materialize once: the drop list feeds the anti-join AND the
+    # summary count; without this the dedup DAG replays per action.
     drops = (
-        drops_exact.select("drop_id").unionByName(drops_near).distinct()
+        drops_exact.select("drop_id")
+        .unionByName(drops_near)
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     kept = clean.join(drops, clean.doc_id == drops.drop_id, "left_anti")
 
@@ -68,7 +73,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     final = split_assign(kept, "doc_id", [("train", 98), ("valid", 1), ("test", 1)])
 
     # 5. Write, partitioned by split
-    write_parquet(final.drop("_norm"), out_dir, partition_by=["split"])
+    write_parquet(final, out_dir, partition_by=["split"])
 
     out = spark.read.parquet(out_dir)
     return {

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
 
 
@@ -68,8 +69,6 @@ def compact_band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame
     buckets on the identical hash, so even the candidate list stays
     bit-exact across engines.
     """
-    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
-
     bk = band_keys(signatures, cfg)
     return bk.select(
         "doc_id", "band", md5_long(F.col("band_key")).alias("band_key")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
 #: Bucket-space size.  1e6 buckets -> fractions resolve to 0.0001%.
 DEFAULT_BUCKETS = 1_000_000
 
@@ -33,8 +35,6 @@ def hash_bucket(key: Column, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> 
     so DuckDB reproduces every bucket bit-for-bit (15 substr terms with
     literal powers of 16 — see registry._MD5_PARSE).
     """
-    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
-
     tagged = F.concat(key.cast("string"), F.lit(f":{seed}"))
     return md5_long(tagged) % F.lit(buckets)
 

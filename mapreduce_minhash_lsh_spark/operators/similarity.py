@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 from mapreduce_minhash_lsh_spark.operators.lsh import (
     candidate_pairs,
     compact_band_keys,
@@ -62,8 +63,6 @@ def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
     Jaccard — and the DuckDB oracle intersects the raw strings, so
     CORRECTNESS would catch exactly that event.
     """
-    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
-
     ids = doc_shingles.select(
         "doc_id", md5_long(F.col("shingle")).alias("sid")
     )

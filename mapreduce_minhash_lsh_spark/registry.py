@@ -1898,7 +1898,13 @@ def q_events_pivot_daily(spark, sf):
     data-dependent (both wrong at 100 TB).  Oracle = conditional
     aggregation, the relational equivalent."""
     e = load_table(spark, sf, "events")
-    day = F.expr("ts_us div 86400000000")  # integer div — no double rounding
+    # floor division, not `div` (truncates toward zero): pre-1970
+    # timestamps must bucket like DuckDB's `//` — same rule as
+    # plans/events.py:hourly_rollup.
+    us_per_day = F.lit(86_400_000_000)
+    day = (
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_day)) / us_per_day
+    ).cast("long")
     wide = (
         e.select(day.alias("day"), "event_type")
         .groupBy("day")

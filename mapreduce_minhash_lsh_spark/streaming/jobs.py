@@ -210,9 +210,25 @@ def incremental_similar_pairs(
         split_dir = tempfile.mkdtemp(prefix="inc_docs_")
     else:
         split_dir = os.path.join(state_dir, "docs_split")
+    meta_path = os.path.join(state_dir, "source_meta") if not own_state else None
     try:
         if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
             docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+            if meta_path is not None:
+                spark.createDataFrame(
+                    [(sf_dir, docs.count())], ["sf_dir", "n_docs"]
+                ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        elif meta_path is not None and os.path.exists(meta_path):
+            # The committed checkpoint's offsets refer to the stored
+            # split; silently streaming a DIFFERENT corpus over it would
+            # return the old corpus's pairs as if they were the new one's.
+            row = spark.read.parquet(meta_path).first()
+            if row is not None and row.sf_dir != sf_dir:
+                raise ValueError(
+                    f"state_dir {state_dir!r} was built from {row.sf_dir!r}; "
+                    f"refusing to resume it against {sf_dir!r} — use a fresh "
+                    "state_dir per corpus"
+                )
         stream = (
             spark.readStream.format("parquet")
             .schema(docs.schema)
