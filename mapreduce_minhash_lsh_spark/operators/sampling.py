@@ -49,7 +49,9 @@ def hash_sample(
     """Keep rows whose bucket < numerator — an exact-rational Bernoulli
     sample (fraction = numerator/denominator) that is deterministic per
     key.  Rows with equal keys are kept or dropped together, which is
-    exactly what you want when the key identifies a document."""
+    exactly what you want when the key identifies a document.  Rows with
+    a NULL key are always dropped (their bucket is NULL, and NULL < n is
+    not true) — filter or impute ids first if they must participate."""
     return df.where(hash_bucket(F.col(key_col), seed, denominator) < F.lit(numerator))
 
 
@@ -86,4 +88,8 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = splits[-1][0]
     assigned = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn(out_col, assigned)
+    # A NULL key must surface as a NULL split, not silently fall through
+    # the when-chain into the last (smallest!) split.
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), assigned)
+    )

@@ -123,3 +123,13 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     # share docs (each group keeps one representative)
     assert stats["dropped"] >= 20
     assert 0 < stats["train"] <= stats["kept"]
+
+
+def test_null_keys_drop_from_sample_and_null_split(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k bigint")
+    sampled = hash_sample(df, "k", DEFAULT_BUCKETS)  # fraction 1.0
+    assert {r.k for r in sampled.collect()} == {1, 3}
+    out = split_assign(df, "k", [("train", 9), ("test", 1)])
+    got = {r.k: r.split for r in out.collect()}
+    assert got[None] is None
+    assert got[1] in ("train", "test") and got[3] in ("train", "test")
