@@ -1584,7 +1584,8 @@ _acc = 0
 for _name, _w in _SPLITS[:-1]:
     _acc += _w
     _CUTS.append((_name, _acc * 1_000_000 // sum(w for _, w in _SPLITS)))
-_SPLIT_CASE = "CASE " + " ".join(
+# NULL key -> NULL split, mirroring sampling.split_assign exactly.
+_SPLIT_CASE = "CASE WHEN doc_id IS NULL THEN NULL " + " ".join(
     f"WHEN ({_BUCKET_SQL}) < {cut} THEN '{name}'" for name, cut in _CUTS
 ) + f" ELSE '{_SPLITS[-1][0]}' END"
 
