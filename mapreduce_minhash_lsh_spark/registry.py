@@ -1919,3 +1919,34 @@ def q_events_pivot_daily(spark, sf):
             for t in _PIVOT_TYPES
         ],
     )
+
+
+@register(
+    "near_dup_drop_ids",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src)
+SELECT doc_id AS drop_id, group_id AS keep_id FROM grp WHERE doc_id <> group_id""",
+)
+def q_near_dup_drop_ids(spark, sf):
+    """The operational near-dup artifact: ids to DROP with the kept
+    representative (each component's min id) — the drop-list a pipeline
+    anti-joins against the corpus, emitted linear in docs even when the
+    pair list is quadratic in clique size (see SCALE.md §7's 80x note).
+    Exact-dedup analog: `dedup_drop_ids`."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    return (
+        groups.where(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
+    )
