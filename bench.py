@@ -41,6 +41,12 @@ HEADLINE = [
     "simhash",
     "ann_topk",
     "embedding_near_dup",
+    # Round-2 operator families (as-of join, pivot, split, near-dup
+    # drop-list) — benched so regressions in them are measurable.
+    "purchases_with_last_view",
+    "events_pivot_daily",
+    "train_valid_test_split",
+    "near_dup_drop_ids",
 ]
 
 

@@ -255,35 +255,97 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+# Hard cap on the quantizer training sample.  This is the ONLY driver-side
+# materialization in the ANN family: k x dim centroid doubles plus per-round
+# (k x dim) sum rows — never the corpus.  Keep the bound a named constant so
+# an edit can't silently unbound it (guarded by tests/test_ann.py).
+IVF_TRAIN_CAP = 4096
+
+
+def _cent_literal(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Centroids as an array<struct<cid,cvec>> literal (broadcast-sized)."""
+    return F.array(*[
+        F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cvec"))
+        for cid, vec in cents
+    ])
+
+
+def _assign_expr(cents: list[tuple[int, list[float]]], vec: F.Column, top: int) -> F.Column:
+    """Array of the `top` nearest centroid ids by exact cosine,
+    deterministic tie-break (cosine desc, cid asc)."""
+    scored = F.transform(
+        _cent_literal(cents),
+        lambda c: F.struct(
+            (-cosine_from_parts(
+                dot_exact(vec, c["cvec"]),
+                norm2_exact(vec),
+                norm2_exact(c["cvec"]),
+            )).alias("neg_cos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["cid"])
+
+
 def _centroids(
     emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: seed centroids = k lowest-id
-    vectors, then a few Lloyd rounds computed distributively (assign via
-    broadcast argmin, update via groupBy-avg).  No RNG, same result on
-    any partitioning; k and iters are tiny so the driver-side centroid
-    list (k x dim floats) is broadcast-sized by construction."""
-    import numpy as np
+    """Deterministic, engine-portable coarse quantizer.
 
-    # Train on a bounded deterministic sample (lowest 4096 ids), never the
-    # full corpus — only the k x dim centroid list needs driver memory;
-    # corpus ASSIGNMENT in ivf_topk stays fully distributed.
-    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(4096)
-    seeds = sample.limit(k).collect()
-    cents = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
-    ids = np.arange(len(cents))
-    pdf = sample.toPandas()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Seed centroids = the k lowest-id vectors; then ``iters`` Lloyd rounds
+    over a bounded deterministic sample (lowest IVF_TRAIN_CAP ids), with
+    every arithmetic step exact and order-independent so the DuckDB
+    oracle reproduces the centroids BIT-FOR-BIT:
+
+      * assignment: argmax of the scaled-integer cosine
+        (functions/vectors.py) — doubles derived from int64 sums, ties to
+        the lower cid;
+      * update: per-dimension sums of 1e-12-quantized components in
+        int64 (associative — partitioning-independent), then
+        mean = (double(sum) / 1e12) / double(n) in a pinned evaluation
+        order.  Empty clusters keep their previous centroid.
+
+    A float-mean Lloyd (np.mean) would be pairwise-summation-order
+    dependent and unreproducible in SQL; this one is plain integer
+    arithmetic plus IEEE ops every engine rounds identically."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
+
+    sample = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .localCheckpoint(eager=True)  # reused once per Lloyd round
+    )
+    seeds = sample.orderBy("vec_id").limit(k).collect()
+    cents = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        # cosine assignment (normalized dot)
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        assign = (mn @ cn.T).argmax(axis=1)
-        for c in ids:
-            members = mat[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return [(int(c), [float(x) for x in cents[c]]) for c in ids]
+        quant = F.transform(
+            F.col("vec"), lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
+        )
+        rows = (
+            sample.select(
+                F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
+                F.posexplode(quant).alias("i", "q"),
+            )
+            .groupBy("cid", "i")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            sums.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
+        cents = [
+            (
+                cid,
+                [
+                    # (double(s) / 1e12) / double(n) — same op order as the oracle
+                    (dims[i][0] / SCALE) / float(dims[i][1]) for i in range(len(prev))
+                ]
+                if (dims := sums.get(cid)) else prev,
+            )
+            for cid, prev in cents
+        ]
+    return cents
 
 
 def ivf_topk(
@@ -307,36 +369,15 @@ def ivf_topk(
     an equi-join on list id.  Recall vs brute force measured in tests.
     """
     cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col)
-    cent_arr = F.array(*[
-        F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cvec"))
-        for cid, vec in cents
-    ])
-
-    def assign_expr(vec: F.Column, top: int) -> F.Column:
-        """array of the `top` nearest centroid ids, by cosine."""
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                cosine_from_parts(
-                    dot_exact(vec, c["cvec"]),
-                    norm2_exact(vec),
-                    norm2_exact(c["cvec"]),
-                ).alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        best = F.reverse(F.array_sort(scored))
-        return F.transform(F.slice(best, 1, top), lambda s: s["cid"])
-
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(assign_expr(F.col(vec_col), 1), 1).alias("list_id"),
+        F.element_at(_assign_expr(cents, F.col(vec_col), 1), 1).alias("list_id"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(assign_expr(F.col(vec_col), n_probe)).alias("list_id"),
+        F.explode(_assign_expr(cents, F.col(vec_col), n_probe)).alias("list_id"),
     )
     pairs = corpus.join(F.broadcast(probes), "list_id").where(
         F.col("query_id") != F.col("neighbor_id")

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
@@ -109,8 +109,10 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
             .withColumnRenamed("doc_id_a", "doc_id")
         )
         # The pre-least label IS the old label, so the convergence flag
-        # rides the same plan — no second join over the label table, and
-        # the change probe after the checkpoint is a local scan.
+        # rides the same plan — no second join over the label table — and
+        # the observe() metric rides the eager-checkpoint job itself:
+        # exactly ONE action (and one scan) per propagation round.
+        obs = Observation()
         flagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -120,9 +122,10 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                 ).alias("group_id"),
                 (F.col("nbr_min") < F.col("group_id")).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = flagged.where(F.col("_changed")).limit(1).count()
+        changed = int(obs.get["n_changed"] or 0)
         labels = flagged.drop("_changed")
         if changed == 0:
             return labels

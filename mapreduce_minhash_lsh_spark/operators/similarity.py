@@ -36,13 +36,35 @@ from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 EST_SLACK = 0.21
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Eagerly materialize an intermediate relation, truncating lineage.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live
+    on executor local storage, zero extra I/O, ideal for local mode and
+    short cluster jobs.  The trade-off at 100 TB: a lost executor loses
+    its blocks and the whole action recomputes from scratch.  With a
+    ``checkpoint_dir`` (HDFS/S3/local path), switch to a RELIABLE
+    ``checkpoint``: blocks persist to shared storage and survive executor
+    loss, at the cost of one write+read of the (small) checkpointed
+    relation.  Both paths yield byte-identical results (SCALE.md §8).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def min_agree(cfg: MinHashLSHConfig, threshold: float) -> int:
     import math
 
     return max(0, math.ceil((threshold - EST_SLACK) * cfg.num_hashes))
 
 
-def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
+def exact_jaccard(
+    pairs: DataFrame,
+    doc_shingles: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Annotate (doc_id_a, doc_id_b) pairs with exact shingle-set Jaccard.
 
     Plan shape: collect each candidate doc's shingle set ONCE (groupBy
@@ -100,8 +122,8 @@ def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
             F.size("set_a").alias("na"),
             F.size("set_b").alias("nb"),
         )
-        .localCheckpoint(eager=True)
     )
+    counts = _materialize(counts, checkpoint_dir)
     return (
         counts.select(
             "doc_id_a",
@@ -120,6 +142,7 @@ def similar_pairs(
     cfg: MinHashLSHConfig,
     threshold: float | None = None,
     max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= threshold).
 
@@ -143,8 +166,12 @@ def similar_pairs(
     doc_shingles = explode_shingles(docs, cfg.k).persist()
     sig = minhash_signatures_array(doc_shingles, cfg).persist()
     cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
-    cands = signature_prefilter(cands, sig, cfg, threshold).localCheckpoint(eager=True)
-    return exact_jaccard(cands, doc_shingles).where(F.col("jaccard") >= threshold)
+    cands = _materialize(
+        signature_prefilter(cands, sig, cfg, threshold), checkpoint_dir
+    )
+    return exact_jaccard(cands, doc_shingles, checkpoint_dir).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def signature_prefilter(

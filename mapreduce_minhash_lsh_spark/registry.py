@@ -68,12 +68,96 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# The correctness driver samples the FIRST 50 entries of queries() in
+# iteration order.  Registration order in this file is pipeline-logical, so
+# without an explicit priority the checked window is an accident of file
+# layout (round 2 left 21 queries — including the as-of join, range join and
+# train/valid/test split — without a driver row).  _PRIORITY pins the window
+# to the 50 most valuable queries: the flagship MinHash/LSH chain, one
+# representative per SURVEY-§2 component, and every LLM-pipeline operator.
+# Redundant variants (similar_topk, cube vs rollup, trivial join demos) keep
+# their names and oracles — the in-repo parity sweep still covers them — but
+# sit past the window.  Never rename or drop an entry: aliases only.
+_PRIORITY: list[str] = [
+    # Flagship MinHash+LSH chain (SURVEY §2 S/P/A/J/F components)
+    "shingling",
+    "shingle_postings",
+    "vocabulary",
+    "minhash_signatures",
+    "lsh_bands",
+    "candidate_pairs",
+    "similar_pairs",
+    # Relational / TPC-H
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "orders_above_customer_avg",
+    # Window / analytic
+    "window_top_orders_per_customer",
+    "events_sessionize",
+    "events_moving_avg",
+    "events_funnel",
+    "events_pivot_daily",
+    "rollup_quantity",
+    # Events / streaming / semi-structured
+    "events_json_extract",
+    "streaming_events_hourly",
+    "streaming_hourly_users",
+    # Sketches
+    "events_users_hll",
+    "quantity_quantiles_approx",
+    # Text analysis
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "quality_scores",
+    "frequent_tokens",
+    # Dedup family
+    "dedup_by_lang_source",
+    "dedup_drop_ids",
+    "near_dup_groups",
+    "near_dup_drop_ids",
+    "ngram_jaccard_sample",
+    "simhash",
+    "simhash_near_pairs",
+    # ANN / embeddings
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_recall_floor",
+    "embedding_near_dup",
+    "embeddings_rp_project",
+    "lsh_recall_probe",
+    # Sampling / splits / PII / profiling
+    "documents_hash_sample",
+    "train_valid_test_split",
+    "redact_pii",
+    "documents_profile",
+    # As-of / range joins
+    "purchases_with_last_view",
+    "parts_price_bands",
+    # Multimodal plumbing
+    "multimodal_features",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    out = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    out.update({n: v for n, v in mapping.items() if n not in out})
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 # --------------------------------------------------------------------------
@@ -709,6 +793,95 @@ def q_ann_lsh_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return _ann.lsh_topk(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
 
+
+def _ivf_oracle_sql(n_lists: int, n_probe: int, k: int, iters: int) -> str:
+    """DuckDB twin of operators.ann.ivf_topk — the quantizer included.
+
+    ann._centroids is engine-portable by construction (seed = lowest-id
+    vectors; Lloyd assignment via the scaled-int cosine; update = int64
+    per-dim sums -> (double(s)/1e12)/double(n) in a pinned op order), so
+    the oracle simply UNROLLS the ``iters`` Lloyd rounds as CTE pairs
+    (a{{r}} assign, c{{r}} update) and reproduces the centroids
+    bit-for-bit, then mirrors the corpus/probe assignment and the exact
+    rank tail shared with ann_topk/ann_lsh_topk."""
+    s12 = "1000000000000.0"
+    # cosine rank of every embedding vector against round-r centroids
+    def rank_cte(cprev: str) -> str:
+        return f"""(
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dot / (sqrt(nv.n2) * sqrt(cn.n2c)) DESC, d.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 CAST(SUM(CAST(floor(e.v * c.cval * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS dot
+          FROM all_e e JOIN {cprev} c ON c.i = e.i
+          GROUP BY e.vec_id, c.cid) d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN (SELECT cid, CAST(SUM(CAST(floor(cval * cval * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS n2c
+          FROM {cprev} GROUP BY cid) cn ON cn.cid = d.cid)"""
+
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""a{r} AS (
+  SELECT vec_id, cid FROM {rank_cte(f'c{r - 1}')}
+  WHERE rn = 1 AND vec_id IN (SELECT vec_id FROM samp)
+),
+s{r} AS (
+  SELECT a.cid, e.i,
+         SUM(CAST(floor(e.v * {s12}) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM a{r} a JOIN all_e e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+),
+c{r} AS (
+  SELECT p.cid, p.i,
+         COALESCE(CAST(s.s AS DOUBLE) / {s12} / CAST(s.n AS DOUBLE), p.cval) AS cval
+  FROM c{r - 1} p LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = p.i
+)""")
+    round_sql = ",\n".join(rounds)
+    return f"""WITH samp AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ann.IVF_TRAIN_CAP}
+),
+all_e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+{_NORMS_CTE.lstrip().rstrip()},
+c0 AS (
+  SELECT s.cid, e.i, e.v AS cval
+  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid
+        FROM samp ORDER BY vec_id LIMIT {n_lists}) s
+  JOIN all_e e ON e.vec_id = s.vec_id
+),
+{round_sql},
+arank AS (
+  SELECT vec_id, cid, rn FROM {rank_cte(f'c{iters}')}
+),
+corpus_assign AS (SELECT vec_id AS neighbor_id, cid AS list_id FROM arank WHERE rn = 1),
+probe_assign AS (SELECT vec_id AS query_id, cid AS list_id FROM arank
+                 WHERE rn <= {n_probe} AND vec_id % 50 = 0),
+cand AS (
+  SELECT p.query_id, ca.neighbor_id
+  FROM probe_assign p JOIN corpus_assign ca USING (list_id)
+  WHERE p.query_id != ca.neighbor_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM(CAST(floor(qe.v * ce.v * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS dot
+  FROM cand c
+  JOIN all_e qe ON qe.vec_id = c.query_id
+  JOIN all_e ce ON ce.vec_id = c.neighbor_id AND ce.i = qe.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= {k}"""
+
 _SH_A, _SH_B = _PARAMS[0]
 _POW2_LIST = list(_simhash._POW2)
 
@@ -808,6 +981,26 @@ def q_streaming_events_hourly(spark, sf):
     from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_hourly_rollup
 
     return streaming_hourly_rollup(spark, sf)
+
+
+@register(
+    "streaming_hourly_users",
+    """SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600""",
+)
+def q_streaming_hourly_users(spark, sf):
+    """Streaming tumbling-window distinct users via HLL++ — the sketch
+    whose state is streaming-legal where exact distinct is not.  The
+    oracle is the EXACT batch distinct count: at rsd=0.02 the
+    per-(type,hour) cardinality sits in the linear-counting regime where
+    the sketch lands on truth (a live accuracy gate, same as
+    events_users_hll)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_hourly_users
+
+    return streaming_hourly_users(spark, sf)
 
 
 @register(
@@ -1218,15 +1411,16 @@ def q_string_functions(spark, sf):
     )
 
 
-register("ann_ivf_topk", None)(
-    lambda spark, sf: __import__(
-        "mapreduce_minhash_lsh_spark.operators.ann", fromlist=["ivf_topk"]
-    ).ivf_topk(
-        load_table(spark, sf, "embeddings"),
-        load_table(spark, sf, "embeddings").where(F.col("vec_id") % 50 == 0),
-        k=5, n_lists=16, n_probe=3,
+@register("ann_ivf_topk", _ivf_oracle_sql(n_lists=16, n_probe=3, k=5, iters=2))
+def q_ann_ivf_topk(spark, sf):
+    """IVF top-5 for the 1-in-50 query sample.  Full-result oracle: the
+    quantizer itself (seeded Lloyd over the IVF_TRAIN_CAP sample) is
+    bit-reproduced by the unrolled CTE chain in _ivf_oracle_sql — the
+    last formerly-`no_oracle` query in the registry."""
+    emb = load_table(spark, sf, "embeddings")
+    return _ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, n_lists=16, n_probe=3
     )
-)
 
 
 @register(

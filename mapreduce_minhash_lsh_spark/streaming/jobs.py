@@ -82,6 +82,51 @@ def streaming_hourly_rollup(
     return spark.table("streaming_hourly")
 
 
+def streaming_hourly_users(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", rsd: float = 0.02
+) -> DataFrame:
+    """Tumbling 1h per-type DISTINCT-USER counts as a stream.
+
+    Streaming aggregation cannot do exact COUNT(DISTINCT) (state would be
+    unbounded per group), which is why ``streaming_hourly_rollup`` drops
+    the distinct-user column its batch twin has.  The HLL++ sketch
+    (``approx_count_distinct``) IS streaming-legal — its state is one
+    fixed-size sketch per group — so this variant converges the streaming
+    and batch surfaces.  At rsd=0.02 the per-(type,hour) cardinalities on
+    this corpus sit in the linear-counting regime where the estimate
+    equals the exact count (same argument as the batch ``events_users_hll``
+    gate); the statistical bound for arbitrary data is asserted in
+    tests/test_sketches.py.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "approx_users",
+            "n_events",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_hourly_users")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("streaming_hourly_users")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first occurrence of each event_id wins,
     state bounded by the watermark horizon."""

@@ -89,3 +89,25 @@ def test_ivf_topk_recall(spark):
     # determinism: same call twice -> identical result
     again = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivf_train_cap_bounds_driver_materialization(spark, monkeypatch):
+    """_centroids is the only driver-side materialization in the ANN
+    family; the sample must honor IVF_TRAIN_CAP so an edit can't
+    silently unbound it.  Shrink the cap and check the quantizer still
+    works and trains on exactly the capped lowest-id prefix."""
+    from mapreduce_minhash_lsh_spark.operators import ann
+
+    assert ann.IVF_TRAIN_CAP == 4096
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+
+    full = ann._centroids(emb, k=4, iters=1, id_col="vec_id", vec_col="embedding")
+    monkeypatch.setattr(ann, "IVF_TRAIN_CAP", 32)
+    capped = ann._centroids(emb, k=4, iters=1, id_col="vec_id", vec_col="embedding")
+    prefix = ann._centroids(
+        emb.orderBy("vec_id").limit(32), k=4, iters=1,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert len(capped) == 4
+    assert capped == prefix  # cap == training on the lowest-id prefix
+    assert capped != full    # and the cap actually bit

@@ -31,6 +31,18 @@ def test_flagship_reproduces_golden_pairs(spark, golden_docs):
     assert got == GOLDEN_PAIRS
 
 
+def test_flagship_reliable_checkpoint_identical(spark, golden_docs, tmp_path):
+    """The checkpoint_dir knob (fault-tolerant 100 TB runs: reliable
+    checkpoint instead of executor-local blocks) must not change a single
+    output value."""
+    default = similar_pairs(golden_docs, GOLDEN).collect()
+    reliable = similar_pairs(
+        golden_docs, GOLDEN, checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    key = lambda r: (r.doc_id_a, r.doc_id_b)
+    assert sorted(default, key=key) == sorted(reliable, key=key)
+
+
 def test_symmetric_output_contract(spark, golden_docs):
     """Job 3 emits both directions (4 rows for 2 pairs)."""
     sym = symmetric_pairs(similar_pairs(golden_docs, GOLDEN))

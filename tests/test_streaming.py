@@ -13,6 +13,7 @@ from mapreduce_minhash_lsh_spark.streaming.jobs import (
     incremental_similar_pairs,
     streaming_dedup,
     streaming_hourly_rollup,
+    streaming_hourly_users,
 )
 from tests.conftest import SF_SMALL
 
@@ -22,6 +23,17 @@ def test_streaming_hourly_equals_batch(spark):
     batch = hourly_rollup(spark, SF_SMALL).drop("n_users")
     g = {(r.event_type, r.hour_epoch): (r.n_events, r.sum_value) for r in got.collect()}
     b = {(r.event_type, r.hour_epoch): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_hourly_users_equals_batch_distinct(spark):
+    """The HLL++ streaming variant restores the distinct-user column the
+    plain streaming rollup must drop; on this corpus the rsd=0.02 sketch
+    sits in the linear-counting regime and lands on the exact count."""
+    got = streaming_hourly_users(spark, SF_SMALL)
+    batch = hourly_rollup(spark, SF_SMALL)
+    g = {(r.event_type, r.hour_epoch): (r.approx_users, r.n_events) for r in got.collect()}
+    b = {(r.event_type, r.hour_epoch): (r.n_users, r.n_events) for r in batch.collect()}
     assert g == b
 
 
