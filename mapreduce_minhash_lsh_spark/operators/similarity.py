@@ -208,6 +208,72 @@ def signature_prefilter(
     )
 
 
+def cross_corpus_pairs(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float | None = None,
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: (new_id, seen_id, jaccard >= threshold) for
+    every NEW document that near-duplicates a SEEN document — the "dedup
+    this crawl against the existing corpus" primitive of a training-data
+    pipeline.  Unlike ``similar_pairs`` there is no new-vs-new or
+    seen-vs-seen comparison: candidates come from joining the new side's
+    band table against the seen side's, so the work is
+    |new| x (bucket hit rate) — never a rescan of seen-vs-seen.
+
+    Doc ids must be unique ACROSS both corpora (they key the verify
+    joins).  At production scale the seen side's signatures/bands are
+    precomputed and stored — exactly the band-store layout
+    ``streaming/jobs.incremental_similar_pairs`` maintains; this batch
+    form recomputes them so the operator is self-contained.
+
+    ``max_bucket_size`` caps each side's band bucket independently (a
+    boilerplate clique on either side makes the bucket join quadratic).
+    """
+    threshold = cfg.threshold if threshold is None else threshold
+    sh_new = explode_shingles(new_docs, cfg.k).persist()
+    sh_seen = explode_shingles(seen_docs, cfg.k).persist()
+    sig_new = minhash_signatures_array(sh_new, cfg).persist()
+    sig_seen = minhash_signatures_array(sh_seen, cfg).persist()
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        b = compact_band_keys(sig, cfg)
+        if max_bucket_size is not None:
+            sized = b.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+            b = b.join(
+                sized.where(F.col("_n") <= max_bucket_size), ["band", "band_key"]
+            ).drop("_n")
+        return b
+    cands = (
+        _bands(sig_new)
+        .withColumnRenamed("doc_id", "doc_id_a")
+        .join(
+            _bands(sig_seen).withColumnRenamed("doc_id", "doc_id_b"),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    cands = _materialize(
+        signature_prefilter(
+            cands, sig_new.unionByName(sig_seen), cfg, threshold
+        ),
+        checkpoint_dir,
+    )
+    verified = exact_jaccard(
+        cands, sh_new.unionByName(sh_seen), checkpoint_dir
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select(
+        F.col("doc_id_a").alias("new_id"),
+        F.col("doc_id_b").alias("seen_id"),
+        "jaccard",
+    )
+
+
 def symmetric_pairs(pairs: DataFrame) -> DataFrame:
     """Undirected (a<b) pairs -> both directions, the reference job 3's
     output contract (CollectCandidates.java:32-51 emits (x,y) and (y,x);

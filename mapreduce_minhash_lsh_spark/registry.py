@@ -36,6 +36,7 @@ from mapreduce_minhash_lsh_spark.operators.shingling import (
     vocabulary,
 )
 from mapreduce_minhash_lsh_spark.operators.similarity import (
+    cross_corpus_pairs,
     similar_pairs,
     symmetric_pairs,
 )
@@ -119,6 +120,7 @@ _PRIORITY: list[str] = [
     "dedup_drop_ids",
     "near_dup_groups",
     "near_dup_drop_ids",
+    "cross_corpus_near_dups",
     "ngram_jaccard_sample",
     "simhash",
     "simhash_near_pairs",
@@ -126,7 +128,6 @@ _PRIORITY: list[str] = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_ivf_recall_floor",
     "embedding_near_dup",
     "embeddings_rp_project",
     "lsh_recall_probe",
@@ -349,6 +350,44 @@ def q_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: LSH candidates + exact shingle-set Jaccard >= 0.8 — the
     intended semantics of the whole reference pipeline (README.md:2-3)."""
     return similar_pairs(load_table(spark, sf, "documents"), _CFG)
+
+
+# Cross-corpus candidates: the NEW side's band table joined against the
+# SEEN side's — no new-vs-new or seen-vs-seen pairs.  The split (odd ids
+# = new crawl, even ids = existing corpus) is deterministic and
+# engine-portable.
+_CROSS_CAND_CTE = """
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id_a, s.doc_id AS doc_id_b
+  FROM bandh n JOIN bandh s
+    ON n.band = s.band AND n.band_h = s.band_h
+  WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0 AND n.doc_id != s.doc_id
+)"""
+
+_CROSS_PIPELINE_CTES = ",".join(
+    [_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE,
+     f"bandh AS (SELECT doc_id, band, ({_md5_parse_sql('band_key')}) AS band_h FROM bands)",
+     _CROSS_CAND_CTE, _AGREE_CTE, _JACCARD_CTE]
+)
+
+
+@register(
+    "cross_corpus_near_dups",
+    f"WITH {_CROSS_PIPELINE_CTES} "
+    f"""SELECT doc_id_a AS new_id, doc_id_b AS seen_id, jaccard
+FROM jac WHERE jaccard >= {_CFG.threshold}""",
+)
+def q_cross_corpus_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup a new crawl against the existing corpus: odd-id documents
+    (new) near-dup-matched against even-id documents (seen), with no
+    new-vs-new or seen-vs-seen work — the asymmetric band join a
+    production pipeline runs on every ingest."""
+    docs = load_table(spark, sf, "documents")
+    return cross_corpus_pairs(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        _CFG,
+    )
 
 
 @register(

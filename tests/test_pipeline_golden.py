@@ -12,6 +12,7 @@ from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, lsh_candidates
 from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 from mapreduce_minhash_lsh_spark.operators.similarity import (
+    cross_corpus_pairs,
     exact_jaccard,
     similar_pairs,
     symmetric_pairs,
@@ -29,6 +30,29 @@ def test_flagship_reproduces_golden_pairs(spark, golden_docs):
     result = similar_pairs(golden_docs, GOLDEN)
     got = {(r.doc_id_a, r.doc_id_b) for r in result.collect()}
     assert got == GOLDEN_PAIRS
+
+
+def test_cross_corpus_is_the_flagship_restricted_to_cross_pairs(spark, golden_docs):
+    """cross_corpus_pairs(new=odd ids, seen=even ids) must equal the
+    symmetric flagship result restricted to odd-vs-even pairs, oriented
+    (new, seen) — and must contain no same-parity pair (the operator
+    never compares new-vs-new or seen-vs-seen)."""
+    new = golden_docs.where(F.col("doc_id") % 2 == 1)
+    seen = golden_docs.where(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.new_id, r.seen_id): round(r.jaccard, 12)
+        for r in cross_corpus_pairs(new, seen, GOLDEN).collect()
+    }
+    assert all(n % 2 == 1 and s % 2 == 0 for n, s in got)
+    want = {
+        (a, b) if a % 2 == 1 else (b, a): round(j, 12)
+        for a, b, j in (
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in similar_pairs(golden_docs, GOLDEN).collect()
+        )
+        if (a % 2) != (b % 2)
+    }
+    assert got == want
 
 
 def test_flagship_reliable_checkpoint_identical(spark, golden_docs, tmp_path):
