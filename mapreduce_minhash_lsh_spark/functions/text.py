@@ -38,6 +38,19 @@ def n_tokens(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Overlapping word n-grams as space-joined strings (multiplicity
+    kept — wrap in array_distinct for set semantics).  Callers must
+    filter to docs with >= n tokens first: Spark's sequence(1, 0)
+    DESCENDS (DuckDB's range is just empty), so an unguarded short doc
+    would make element_at throw."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t.isin(*words))).cast("long")
 

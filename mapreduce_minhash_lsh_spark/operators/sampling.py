@@ -19,7 +19,7 @@ driver state, trivially 100 TB-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
@@ -53,6 +53,36 @@ def hash_sample(
     a NULL key are always dropped (their bucket is NULL, and NULL < n is
     not true) — filter or impute ids first if they must participate."""
     return df.where(hash_bucket(F.col(key_col), seed, denominator) < F.lit(numerator))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    Rows are ranked within each stratum by their md5 bucket hash (ties
+    broken by key), so the chosen rows are a uniform, reproducible,
+    engine-portable pick — unlike per-stratum ``df.sample`` which is
+    partition-layout-dependent and only approximately sized.  ``out_col``
+    carries the within-stratum rank (1..k).
+
+    Scale: one shuffle on the strata columns; the rank-<=k filter is
+    rewritten by Spark into a per-partition group TOP-K
+    (WindowGroupLimit), so map tasks emit at most k rows per stratum
+    each and no stratum is ever fully sorted in one task.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn(out_col, F.row_number().over(w).cast("long"))
+        .where(F.col(out_col) <= k)
+    )
 
 
 def split_assign(

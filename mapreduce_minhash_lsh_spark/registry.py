@@ -1512,6 +1512,102 @@ def q_quality_scores(spark, sf):
     return docs.select("doc_id", _text.quality_score(F.col("text")).alias("quality"))
 
 
+@register(
+    "repetition_scores",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS repetition
+FROM bg GROUP BY doc_id""",
+)
+def q_repetition_scores(spark, sf):
+    """Within-document repetition (share of duplicated word bigrams) —
+    the standard degenerate-text signal (looped phrases, boilerplate
+    spam) a quality filter thresholds on.  Pure map-side array math: no
+    shuffle, no explode."""
+    toks = F.split(F.col("text"), " ")
+    bigrams = _text.word_ngrams(F.col("text"), 2)
+    n_bg = F.size(bigrams).cast("long")
+    n_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    return (
+        load_table(spark, sf, "documents")
+        .where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            n_bg.alias("n_bigrams"),
+            n_distinct.alias("n_distinct"),
+            ((n_bg - n_distinct).cast("double") / n_bg).alias("repetition"),
+        )
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination
+FROM g LEFT JOIN bench b ON b.gram = g.gram
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id""",
+)
+def q_benchmark_contamination(spark, sf):
+    """Benchmark-contamination check: share of each training doc's
+    distinct word 3-grams that appear anywhere in the held-out benchmark
+    set (here: docs with id % 97 == 0).  The benchmark gram set is tiny
+    by nature (eval suites, not corpora), so it broadcasts and the check
+    is one map-side join over the corpus grams."""
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        load_table(spark, sf, "documents")
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_text.word_ngrams(F.col("text"), 3))
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    n_hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            n_hit.alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
 register(
     "dedup_drop_ids",
     """WITH keep AS (
@@ -1841,6 +1937,27 @@ def q_train_valid_test_split(spark, sf):
         .groupBy("split", "lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "stratified_sample",
+    f"""SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY ({_BUCKET_SQL}), doc_id) AS BIGINT) AS rn
+  FROM documents)
+WHERE rn <= 20""",
+)
+def q_stratified_sample(spark, sf):
+    """Exactly 20 docs per language, deterministically chosen by md5
+    bucket order — the reproducible per-stratum pick a training mix
+    needs (df.sample can neither hit exact counts nor survive
+    repartitioning).  The rank filter compiles to a per-partition group
+    top-k (WindowGroupLimit), not a full per-stratum sort."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_sample(docs, ["lang"], k=20).select("doc_id", "lang", "rn")
 
 
 @register(
