@@ -47,6 +47,7 @@ HEADLINE = [
     "events_pivot_daily",
     "train_valid_test_split",
     "near_dup_drop_ids",
+    "cross_corpus_near_dups",
 ]
 
 

@@ -159,12 +159,17 @@ def similar_pairs(
     threshold = cfg.threshold if threshold is None else threshold
     # The shingle relation feeds MinHash AND verification, and the
     # candidate list feeds three branches of the verify join.  A lazy
-    # persist is NOT enough for cands: all three branches belong to one
-    # action, race on the cold cache, and each recomputes the whole LSH
-    # stage.  Eagerly materializing the (small) candidate list runs LSH
-    # exactly once and truncates the lineage under the verify join.
+    # persist is NOT enough for anything consumed by multiple branches
+    # of ONE action: the branches race on the cold cache and each
+    # recomputes the full lineage.  That bites twice here —
+    #   * the candidate list (three branches of the verify join), and
+    #   * the SIGNATURE relation (band join + both prefilter sides all
+    #     inside the cands action — measured 2x on the flagship at
+    #     sf0.1: eager sig 3.2 s vs lazy persist 6.6 s).
+    # Both are eagerly materialized; sh stays a lazy persist because
+    # each action consumes it through exactly one branch.
     doc_shingles = explode_shingles(docs, cfg.k).persist()
-    sig = minhash_signatures_array(doc_shingles, cfg).persist()
+    sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
     cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
     cands = _materialize(
         signature_prefilter(cands, sig, cfg, threshold), checkpoint_dir
@@ -236,8 +241,11 @@ def cross_corpus_pairs(
     threshold = cfg.threshold if threshold is None else threshold
     sh_new = explode_shingles(new_docs, cfg.k).persist()
     sh_seen = explode_shingles(seen_docs, cfg.k).persist()
-    sig_new = minhash_signatures_array(sh_new, cfg).persist()
-    sig_seen = minhash_signatures_array(sh_seen, cfg).persist()
+    # Eager: each side's signatures feed its band table AND a prefilter
+    # side within one action — a lazy persist would recompute them per
+    # branch (see the race note in similar_pairs).
+    sig_new = _materialize(minhash_signatures_array(sh_new, cfg), checkpoint_dir)
+    sig_seen = _materialize(minhash_signatures_array(sh_seen, cfg), checkpoint_dir)
 
     def _bands(sig: DataFrame) -> DataFrame:
         b = compact_band_keys(sig, cfg)

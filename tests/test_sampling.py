@@ -8,6 +8,7 @@ from mapreduce_minhash_lsh_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     split_assign,
+    stratified_sample,
 )
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 from tests.conftest import SF_SMALL
@@ -47,6 +48,20 @@ def test_split_assign_total_and_disjoint(spark):
     }
     first = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
     assert first == again
+
+
+def test_stratified_sample_exact_k_and_partition_invariant(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = stratified_sample(docs, ["lang"], k=7).select("doc_id", "lang", "rn")
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(7, n) for lang, n in sizes.items()}
+    # same rows and same ranks under a different partitioning
+    again = stratified_sample(docs.repartition(13), ["lang"], k=7)
+    key = lambda r: (r.lang, r.rn, r.doc_id)
+    assert sorted(got.collect(), key=key) == sorted(
+        again.select("doc_id", "lang", "rn").collect(), key=key
+    )
 
 
 def test_hash_bucket_range(spark):
