@@ -68,12 +68,16 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list
     (doc_id_a, doc_id_b) -> (doc_id, group_id = min doc id of component).
 
-    Iterative label propagation: every node adopts the min label among
-    itself and its neighbours until fixpoint.  Converges in O(diameter)
-    rounds; near-dup components are tiny cliques in practice, so a handful
-    of iterations suffice.  Each round is one join + one groupBy (both on
-    doc_id); localCheckpoint truncates the growing lineage so Catalyst
-    doesn't replan an ever-deeper DAG.
+    Iterative label propagation with POINTER JUMPING: every node adopts
+    the min label among itself and its neighbours (one join + one
+    groupBy per round), then labels shortcut through themselves
+    (label <- label's label — one self-join on the small label table),
+    so a chain of length D converges in O(log D) rounds instead of
+    O(D).  Near-dup components are tiny cliques in practice (jumping is
+    a no-op there), but transitive near-dup CHAINS — templated pages
+    drifting a little per hop — are exactly the pathological input a
+    100 TB run will eventually meet.  localCheckpoint per step truncates
+    the growing lineage so Catalyst doesn't replan an ever-deeper DAG.
 
     Runs to CONVERGENCE by default — a silent iteration cap would return
     wrong labels on a long-chain component (and diverge from the
@@ -134,3 +138,21 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                 f"near_dup_groups did not converge within max_iter={max_iter} "
                 "rounds; raise the bound (component diameter exceeds it)"
             )
+        # Pointer jump: label <- min(label, label(label)).  Labels are
+        # node ids, so the lookup is a self-join on the label table —
+        # candidate-list-sized, far smaller than the edge join above.
+        # Chains contract geometrically; on star-shaped (clique) labels
+        # this is a cheap no-op round.
+        lookup = labels.select(
+            F.col("doc_id").alias("_g"), F.col("group_id").alias("_gg")
+        )
+        labels = (
+            labels.join(lookup, labels.group_id == lookup._g, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("_gg"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
