@@ -179,3 +179,85 @@ def large_quantity_orders(
             F.col("o_totalprice").alias("totalprice"), "total_qty",
         )
     )
+
+
+def late_shipment_priorities(
+    spark: SparkSession, sf: str,
+    lo: str = "1996-01-01", hi: str = "1996-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape on this schema: per-priority counts of orders with
+    at least one LATE line (shipped >= late_days after the order date).
+
+    The EXISTS compiles to a LEFT SEMI join — each qualifying order
+    counted once no matter how many late lines — with the date-window
+    filter pushed to the orders scan.  The non-equi part of the
+    predicate rides the equi-join on orderkey, so there is no range/
+    cross join.  Epoch-microsecond arithmetic keeps the cutoff
+    engine-exact (no calendar functions)."""
+    late_us = late_days * 86_400 * 1_000_000
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf, "lineitem")
+    # parquet timestamps read as TIMESTAMP_NTZ; the session TZ is pinned
+    # UTC (sources/tables.py), so casting to timestamp yields the same
+    # epoch-us DuckDB's epoch_us() computes on the naive value.
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        F.unix_micros(li.l_shipdate.cast("timestamp"))
+        >= F.unix_micros(orders.o_orderdate.cast("timestamp")) + F.lit(late_us)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_late_orders"))
+    )
+
+
+def priority_lines_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape on this schema: per return-flag counts of high-
+    vs low-priority lines.  One shuffle (the orderkey join — orders is
+    left to AQE: broadcast at small SF, sort-merge at scale); the CASE
+    aggregation is a pure conditional count, exact in integers."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(
+    spark: SparkSession, sf: str, lo: str = "1996-01-01", hi: str = "1997-01-01"
+) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO-type parts in a
+    shipdate window.  part is broadcast; both sums are exact decimals
+    and the share divides the two doubles in a pinned order, so the
+    ratio is bit-identical across engines and partitionings."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf, "part")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(38,6)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue") * F.lit(100.0)).alias(
+            "promo_pct"
+        ),
+    )

@@ -2189,6 +2189,59 @@ def q_q18_large_orders(spark, sf):
 
 
 @register(
+    "q4_late_shipment_priorities",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate) + 5184000000000)
+GROUP BY o_orderpriority""",
+)
+def q_q4_late_shipment_priorities(spark, sf):
+    """TPC-H Q4 shape (plans/tpch.py:late_shipment_priorities): EXISTS
+    as a left-semi join with a non-equi lateness predicate riding the
+    orderkey equi-join; epoch-us arithmetic for engine-exact cutoffs."""
+    return _tpch.late_shipment_priorities(spark, sf)
+
+
+@register(
+    "q12_priority_lines_by_flag",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_returnflag""",
+)
+def q_q12_priority_lines_by_flag(spark, sf):
+    """TPC-H Q12 shape (plans/tpch.py:priority_lines_by_flag):
+    conditional integer counts over the orderkey join."""
+    return _tpch.priority_lines_by_flag(spark, sf)
+
+
+@register(
+    "q14_promo_revenue",
+    """SELECT promo_revenue, total_revenue,
+       (promo_revenue / total_revenue) * 100.0 AS promo_pct
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')""",
+)
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (plans/tpch.py:promo_revenue_share): PROMO
+    revenue share — exact decimal sums, pinned double division."""
+    return _tpch.promo_revenue_share(spark, sf)
+
+
+@register(
     "events_moving_avg",
     """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)

@@ -163,6 +163,80 @@ def compact_parquet(
     return n_out
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE-by-key into a parquet directory: rows of ``updates`` replace
+    existing rows with the same key; new keys append.  The upsert every
+    pipeline needs and plain parquet doesn't give you.
+
+    Two modes:
+
+    * ``partition_col`` set (the 100 TB path): only the partitions the
+      updates TOUCH are read (partition pruning via the collected —
+      bounded by touched-partition count — value list), anti-joined,
+      unioned, and rewritten with DYNAMIC partition overwrite; untouched
+      partitions are never read or written.  The merged slice is eagerly
+      materialized first, because the overwrite clears partitions the
+      merge plan still has to read — same read-modify-write discipline
+      as the streaming state store (streaming/jobs.py).
+    * unpartitioned (small tables): full merge written to a staging
+      sibling, then atomically swapped in.  The rename is local-FS
+      Python here; on HDFS/S3 swap via the FileSystem API / a manifest
+      commit instead.
+
+    Re-running the same upsert is idempotent in both modes.
+    """
+    if not os.path.exists(path):
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return
+    if partition_col:
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).where(
+            F.col(partition_col).isin(touched)
+        )
+        merged = (
+            existing.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            .unionByName(updates)
+            .select(*updates.columns)
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return
+    existing = spark.read.parquet(path)
+    merged = (
+        existing.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+        .unionByName(updates)
+        .select(*updates.columns)
+    )
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:

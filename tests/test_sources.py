@@ -10,6 +10,7 @@ from mapreduce_minhash_lsh_spark.sources.tables import (
     load_table,
     read_text_docs,
     register_views,
+    upsert_parquet,
     write_csv,
 )
 from tests.conftest import SF_SMALL
@@ -106,3 +107,50 @@ def test_jsonl_round_trip_with_explicit_schema(spark, tmp_path):
     a = {tuple(r) for r in back.select("doc_id", "text", "lang", "source").collect()}
     b = {tuple(r) for r in docs.select("doc_id", "text", "lang", "source").collect()}
     assert a == b
+
+
+def _rows(spark, path):
+    return {
+        (r.k, r.part): r.v
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_parquet_partitioned_touches_only_hit_partitions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k long, part string, v long",
+    )
+    upsert_parquet(spark, base, path, ["k"], partition_col="part")
+    untouched = os.path.join(path, "part=c")
+    before = sorted(os.listdir(untouched))
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (5, "b", 50)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, updates, path, ["k"], partition_col="part")
+    assert _rows(spark, path) == {
+        (1, "a"): 10, (2, "a"): 99, (3, "b"): 30, (5, "b"): 50, (4, "c"): 40,
+    }
+    # partition c was neither read nor rewritten
+    assert sorted(os.listdir(untouched)) == before
+    # idempotent: replaying the same upsert changes nothing
+    upsert_parquet(spark, updates, path, ["k"], partition_col="part")
+    assert _rows(spark, path) == {
+        (1, "a"): 10, (2, "a"): 99, (3, "b"): 30, (5, "b"): 50, (4, "c"): 40,
+    }
+
+
+def test_upsert_parquet_unpartitioned_swap(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "x", 2)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, base, path, ["k"])
+    updates = spark.createDataFrame(
+        [(2, "x", 22), (3, "x", 3)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, updates, path, ["k"])
+    assert _rows(spark, path) == {(1, "x"): 1, (2, "x"): 22, (3, "x"): 3}
+    assert not os.path.exists(path + "__staging")
+    assert not os.path.exists(path + "__old")
