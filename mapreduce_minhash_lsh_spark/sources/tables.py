@@ -258,3 +258,19 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str) -> None:
     """JSON-lines sink, overwrite; one object per line, splittable on read."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar format LLM corpora arrive in
+    (Hive-era lakes).  Native Spark reader: predicate pushdown and
+    column pruning work the same as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink, overwrite, optional partitioning — same contract as
+    ``write_parquet``."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -154,3 +154,35 @@ def test_upsert_parquet_unpartitioned_swap(spark, tmp_path):
     assert _rows(spark, path) == {(1, "x"): 1, (2, "x"): 22, (3, "x"): 3}
     assert not os.path.exists(path + "__staging")
     assert not os.path.exists(path + "__old")
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.sources.tables import read_orc, write_orc
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in docs.collect()}
+    assert a == b
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.where("doc_id = 7").select("doc_id", "lang").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+
+
+def test_ingest_example_end_to_end(spark, tmp_path):
+    import examples.ingest_pipeline as ingest
+
+    stats = ingest.run(spark, SF_SMALL, str(tmp_path / "store"))
+    # store grows by exactly the surviving crawl docs
+    assert stats["store_after"] == stats["store"] + stats["survivors"]
+    # dedup only ever removes: crawl >= exact-unique >= near-dup survivors
+    assert stats["crawl"] >= stats["exact_unique"] >= stats["survivors"]
+    # the planted near-dups straddle the odd/even split, so the crawl
+    # must lose documents to cross-corpus dedup
+    assert stats["survivors"] < stats["crawl"]
+    assert stats["compacted_files"] >= 1
