@@ -2028,6 +2028,49 @@ def q_documents_profile(spark, sf):
 
 
 @register(
+    "embeddings_profile",
+    """SELECT CAST(i - 1 AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_v
+FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY i""",
+)
+def q_embeddings_profile(spark, sf):
+    """Per-dimension profile of the embedding table (count/min/max/mean)
+    — the drift/normalization check a vector pipeline runs before
+    indexing.  One posexplode + one partial-aggregated groupBy on dim;
+    the mean goes through the scaled-int sum (functions/vectors.py) so
+    it is partition-order independent and engine-exact."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
+
+    emb = load_table(spark, sf, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(v).cast("double").alias("min_v"),
+            F.max(v).cast("double").alias("max_v"),
+            F.sum(F.floor(v * F.lit(SCALE)).cast("long")).alias("_s"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_v",
+            "max_v",
+            (F.col("_s").cast("double") / F.lit(SCALE) / F.col("n").cast("double"))
+            .alias("mean_v"),
+        )
+    )
+
+
+@register(
     "frequent_tokens",
     """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (

@@ -55,3 +55,19 @@ def test_matches_union_find_on_random_graph(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_empty_inputs_flow_through(spark):
+    """An empty corpus (or an empty edge list) must produce empty output,
+    not an error — partitions of a 100 TB run routinely see zero rows."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        cross_corpus_pairs,
+        similar_pairs,
+    )
+    from mapreduce_minhash_lsh_spark.registry import PIPELINE_CFG
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert similar_pairs(empty_docs, PIPELINE_CFG).count() == 0
+    assert cross_corpus_pairs(empty_docs, empty_docs, PIPELINE_CFG).count() == 0
+    empty_edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert near_dup_groups(empty_edges).count() == 0
