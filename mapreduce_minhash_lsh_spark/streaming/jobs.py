@@ -83,7 +83,7 @@ def streaming_hourly_rollup(
 
 
 def streaming_hourly_users(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", rsd: float = 0.02
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours", rsd: float = 0.005
 ) -> DataFrame:
     """Tumbling 1h per-type DISTINCT-USER counts as a stream.
 
@@ -92,10 +92,14 @@ def streaming_hourly_users(
     the distinct-user column its batch twin has.  The HLL++ sketch
     (``approx_count_distinct``) IS streaming-legal — its state is one
     fixed-size sketch per group — so this variant converges the streaming
-    and batch surfaces.  At rsd=0.02 the per-(type,hour) cardinalities on
-    this corpus sit in the linear-counting regime where the estimate
-    equals the exact count (same argument as the batch ``events_users_hll``
-    gate); the statistical bound for arbitrary data is asserted in
+    and batch surfaces.  rsd=0.005 (2^16 registers) puts every
+    per-(type,hour) group in the linear-counting regime with zero
+    register collisions on this corpus (verified exact at sf0.001 AND
+    sf0.01 — deterministic, because the hashed user-id set is fixed; at
+    rsd=0.02 four groups under-counted by one).  The register count is
+    the state-size/accuracy knob: ~48 KB per open group here, a fraction
+    of that at the coarser default a production job would pick.  The
+    statistical bound for arbitrary data is asserted in
     tests/test_sketches.py.
     """
     stream = _events_stream(spark, sf_dir)
