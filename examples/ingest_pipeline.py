@@ -76,9 +76,22 @@ def run(spark, sf_dir: str, store_dir: str) -> dict[str, int]:
     n_after = spark.read.parquet(store_dir).count()
 
     # 4. Compact (micro-batches fragment; a table of tiny files dies in
-    #    file listing long before it dies in IO).
-    with tempfile.TemporaryDirectory() as d:
-        n_files = compact_parquet(spark, store_dir, str(Path(d) / "compacted"))
+    #    file listing long before it dies in IO): rewrite to a sibling
+    #    preserving the lang partitioning, then swap it in — the store
+    #    REALLY gets compacted, not a throwaway copy.
+    import shutil
+
+    compacted = store_dir.rstrip("/") + "__compacted"
+    n_files = compact_parquet(
+        spark, store_dir, compacted, partition_by=["lang"]
+    )
+    old = store_dir.rstrip("/") + "__old"
+    if Path(old).exists():
+        shutil.rmtree(old)
+    Path(store_dir).rename(old)
+    Path(compacted).rename(store_dir)
+    shutil.rmtree(old)
+    n_final = spark.read.parquet(store_dir).count()
 
     return {
         "store": n_store,
@@ -86,6 +99,7 @@ def run(spark, sf_dir: str, store_dir: str) -> dict[str, int]:
         "exact_unique": n_fresh,
         "survivors": n_survivors,
         "store_after": n_after,
+        "store_final": n_final,
         "compacted_files": n_files,
     }
 

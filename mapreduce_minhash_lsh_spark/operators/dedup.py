@@ -141,8 +141,11 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
         # Pointer jump: label <- min(label, label(label)).  Labels are
         # node ids, so the lookup is a self-join on the label table —
         # candidate-list-sized, far smaller than the edge join above.
-        # Chains contract geometrically; on star-shaped (clique) labels
-        # this is a cheap no-op round.
+        # Chains contract geometrically.  Skipped in round 1: cliques
+        # (the common near-dup shape) converge at round 2's zero-change
+        # probe and would pay for a jump that cannot help them.
+        if iteration == 1:
+            continue
         lookup = labels.select(
             F.col("doc_id").alias("_g"), F.col("group_id").alias("_gg")
         )

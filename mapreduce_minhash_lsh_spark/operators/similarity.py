@@ -35,6 +35,10 @@ from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 # oracle applies the identical integer cutoff.
 EST_SLACK = 0.21
 
+# Last checkpoint dir this module set, per Spark application — guards
+# _materialize against re-pointing the session-global checkpoint dir.
+_CKPT_DIR_SET: dict[str, str] = {}
+
 
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Eagerly materialize an intermediate relation, truncating lineage.
@@ -50,7 +54,13 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # setCheckpointDir is SESSION-GLOBAL; set it once per (session, dir)
+    # so repeated materializations don't re-point a dir that other code
+    # sharing the session may have configured since.
+    sc = df.sparkSession.sparkContext
+    if _CKPT_DIR_SET.get(sc.applicationId) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _CKPT_DIR_SET[sc.applicationId] = checkpoint_dir
     return df.checkpoint(eager=True)
 
 

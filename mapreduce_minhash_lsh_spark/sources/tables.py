@@ -135,6 +135,7 @@ def compact_parquet(
     in_path: str,
     out_path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a fragmented parquet directory into ~target_bytes files.
 
@@ -159,7 +160,12 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_out = max(1, -(-size // target_bytes))
-    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    writer = df.coalesce(n_out).write.mode("overwrite")
+    if partition_by:
+        # Preserve a partitioned table's layout (pass its partition
+        # columns) so readers and upsert_parquet keep pruning.
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     return n_out
 
 
@@ -184,13 +190,26 @@ def upsert_parquet(
       materialized first, because the overwrite clears partitions the
       merge plan still has to read — same read-modify-write discipline
       as the streaming state store (streaming/jobs.py).
+      CONTRACT: a key's partition value must be stable.  A key that
+      MOVES partitions would leave its old row in the untouched old
+      partition (this mode never reads it — that is the point); dedup
+      by key across partitions needs the unpartitioned mode or an
+      explicit delete first.
     * unpartitioned (small tables): full merge written to a staging
-      sibling, then atomically swapped in.  The rename is local-FS
-      Python here; on HDFS/S3 swap via the FileSystem API / a manifest
-      commit instead.
+      sibling, then swapped in via two renames.  The swap is NOT
+      atomic: a crash between the renames leaves the table at
+      ``<path>__old`` (recover by renaming it back).  On HDFS/S3 use
+      the FileSystem API / a manifest commit instead.
 
     Re-running the same upsert is idempotent in both modes.
     """
+    # One eager materialization up front: the merge below references
+    # ``updates`` several times (touched-partition collect, anti-join
+    # keys, union), and in partitioned mode a plan re-evaluated AFTER
+    # the overwrite started could disagree with the collected partition
+    # list — rows landing in a partition absent from ``touched`` would
+    # replace that partition instead of merging into it.
+    updates = updates.localCheckpoint(eager=True)
     if not os.path.exists(path):
         writer = updates.write.mode("overwrite")
         if partition_col:
@@ -201,9 +220,14 @@ def upsert_parquet(
         touched = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
-        existing = spark.read.parquet(path).where(
-            F.col(partition_col).isin(touched)
-        )
+        # NULL partition values never match isin(); without the explicit
+        # isNull branch an update row in the NULL partition would make
+        # the dynamic overwrite REPLACE that partition instead of
+        # merging into it.
+        cond = F.col(partition_col).isin([t for t in touched if t is not None])
+        if any(t is None for t in touched):
+            cond = cond | F.col(partition_col).isNull()
+        existing = spark.read.parquet(path).where(cond)
         merged = (
             existing.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"

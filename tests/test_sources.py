@@ -186,3 +186,22 @@ def test_ingest_example_end_to_end(spark, tmp_path):
     # must lose documents to cross-corpus dedup
     assert stats["survivors"] < stats["crawl"]
     assert stats["compacted_files"] >= 1
+    # compaction swapped in: same rows, partition layout preserved
+    assert stats["store_final"] == stats["store_after"]
+    store = str(tmp_path / "store")
+    assert any(p.startswith("lang=") for p in os.listdir(store))
+    assert not os.path.exists(store + "__compacted")
+    assert not os.path.exists(store + "__old")
+
+
+def test_upsert_parquet_null_partition_merges(spark, tmp_path):
+    """A NULL partition value must MERGE like any other partition —
+    isin() alone would silently replace the NULL partition."""
+    path = str(tmp_path / "nulls")
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, "a", 20)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, base, path, ["k"], partition_col="part")
+    updates = spark.createDataFrame([(3, None, 30)], "k long, part string, v long")
+    upsert_parquet(spark, updates, path, ["k"], partition_col="part")
+    assert _rows(spark, path) == {(1, None): 10, (2, "a"): 20, (3, None): 30}

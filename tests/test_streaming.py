@@ -28,8 +28,9 @@ def test_streaming_hourly_equals_batch(spark):
 
 def test_streaming_hourly_users_equals_batch_distinct(spark):
     """The HLL++ streaming variant restores the distinct-user column the
-    plain streaming rollup must drop; on this corpus the rsd=0.02 sketch
-    sits in the linear-counting regime and lands on the exact count."""
+    plain streaming rollup must drop; at the default rsd=0.005 no group
+    collides a register on this corpus, so the sketch lands on the exact
+    count (rsd=0.02 under-counts four sf0.01 groups by one)."""
     got = streaming_hourly_users(spark, SF_SMALL)
     batch = hourly_rollup(spark, SF_SMALL)
     g = {(r.event_type, r.hour_epoch): (r.approx_users, r.n_events) for r in got.collect()}
