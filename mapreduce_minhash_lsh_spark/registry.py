@@ -1963,6 +1963,58 @@ def q_stratified_sample(spark, sf):
     return stratified_sample(docs, ["lang"], k=20).select("doc_id", "lang", "rn")
 
 
+_QW_Q = f"""0.5 * least({_Q_SWR} * 4, 1.0)
+  + 0.3 * (1.0 - least({_Q_PR} * 5, 1.0))
+  + 0.2 * (CASE WHEN {_Q_CPT} >= 3 AND {_Q_CPT} <= 12 THEN 1.0 ELSE 0.0 END)"""
+
+
+@register(
+    "quality_weighted_sample",
+    f"""SELECT doc_id, quality, tier FROM (
+  SELECT doc_id, q AS quality,
+         CASE WHEN q >= 0.55 THEN 'high' WHEN q >= 0.35 THEN 'mid' ELSE 'low' END AS tier,
+         ({_BUCKET_SQL}) AS b,
+         CASE WHEN q >= 0.55 THEN 1000000 WHEN q >= 0.35 THEN 500000 ELSE 100000 END AS cut
+  FROM (SELECT doc_id, text, {_QW_Q} AS q FROM documents WHERE length(text) > 0))
+WHERE b < cut""",
+)
+def q_quality_weighted_sample(spark, sf):
+    """Quality-weighted importance sampling — the corpus-mixing
+    primitive: keep all high-quality docs, half the mid tier, a tenth of
+    the low tier, each choice a deterministic per-key md5 bucket test so
+    the mix is reproducible across runs, engines, and partitionings.
+    Pure map-side: score, tier, bucket, filter — no shuffle."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        DEFAULT_BUCKETS,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    q = _text.quality_score(F.col("text"))
+    scored = docs.select("doc_id", q.alias("quality"))
+    tier = (
+        F.when(F.col("quality") >= 0.55, "high")
+        .when(F.col("quality") >= 0.35, "mid")
+        .otherwise("low")
+    )
+    cut = (
+        F.when(F.col("quality") >= 0.55, DEFAULT_BUCKETS)
+        .when(F.col("quality") >= 0.35, DEFAULT_BUCKETS // 2)
+        .otherwise(DEFAULT_BUCKETS // 10)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "quality",
+            tier.alias("tier"),
+            hash_bucket(F.col("doc_id")).alias("_b"),
+            cut.alias("_cut"),
+        )
+        .where(F.col("_b") < F.col("_cut"))
+        .select("doc_id", "quality", "tier")
+    )
+
+
 @register(
     "redact_pii",
     r"""SELECT doc_id,
