@@ -6,9 +6,11 @@ the one-shot batch cleanse): an existing deduplicated corpus store, a
 new batch of documents arriving, and the pipeline that
 
   1. drops new docs that exactly duplicate the store (digest anti-join),
-  2. drops new docs that NEAR-duplicate the store
-     (``cross_corpus_pairs`` — new-vs-seen band join only, never a
-     seen-vs-seen rescan),
+  2. drops new docs that NEAR-duplicate the store — via a persisted
+     BAND STORE (``operators/bandstore.py``): the corpus side's
+     shingle-ids/signatures/bands are parquet tables built once and
+     extended per ingest, so each batch pays only its own minhashing
+     plus the new-vs-seen band join (never a seen-vs-seen rescan),
   3. upserts the survivors into the partitioned corpus store
      (``upsert_parquet`` — only touched partitions rewritten),
   4. compacts the store when micro-batches have fragmented it.
@@ -29,7 +31,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from mapreduce_minhash_lsh_spark.operators.similarity import cross_corpus_pairs
+from mapreduce_minhash_lsh_spark.operators.bandstore import (
+    build_band_store,
+    cross_pairs_against_store,
+)
 from mapreduce_minhash_lsh_spark.registry import PIPELINE_CFG
 from mapreduce_minhash_lsh_spark.session import get_spark
 from mapreduce_minhash_lsh_spark.sources.tables import (
@@ -64,11 +69,19 @@ def run(spark, sf_dir: str, store_dir: str) -> dict[str, int]:
     )
     n_fresh = fresh.count()
 
-    # 2. Near dedup against the store: asymmetric band join.
-    near = cross_corpus_pairs(fresh, seen, PIPELINE_CFG)
+    # 2. Near dedup against the store: asymmetric band join, with the
+    #    seen side's shingle-ids/signatures/bands PERSISTED once in a
+    #    band store — every later ingest reads them instead of
+    #    recomputing the corpus side (operators/bandstore.py).
+    band_dir = store_dir.rstrip("/") + "_bands"
+    build_band_store(seen, PIPELINE_CFG, band_dir)
+    near = cross_pairs_against_store(fresh, PIPELINE_CFG, band_dir)
     dup_ids = near.select(F.col("new_id").alias("doc_id")).distinct()
-    survivors = fresh.join(dup_ids, "doc_id", "left_anti")
+    survivors = fresh.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_survivors = survivors.count()
+    # ... and the survivors join the store's band tables so the NEXT
+    # ingest dedups against them too.
+    build_band_store(survivors, PIPELINE_CFG, band_dir)
 
     # 3. Merge survivors into the store — only their lang partitions are
     #    rewritten.

@@ -1,0 +1,135 @@
+"""Persistent LSH band store: the production shape of cross-corpus dedup.
+
+``similarity.cross_corpus_pairs`` recomputes the seen side's shingles,
+signatures, and bands on every call — fine for a one-shot batch, wasteful
+for a corpus that is ingested against daily.  This module persists those
+three relations as parquet tables once and lets every subsequent ingest
+read them:
+
+    store/
+      shingle_ids/   (doc_id, sid)        8-byte md5-derived shingle ids
+                                          (not the strings — the verify
+                                          join only ever needs the ids)
+      signatures/    (doc_id, sig)        array<long> MinHash signatures
+      bands/         (doc_id, band, band_key)   60-bit band keys
+
+All three are maintained with ``upsert_parquet`` keyed on doc_id, so
+``build_band_store`` is also the EXTEND and RE-INGEST operation: calling
+it again with new (or changed) documents replaces exactly those
+documents' rows and leaves the rest untouched.  This is the batch twin
+of the state store ``streaming/jobs.incremental_similar_pairs`` keeps.
+
+At 100 TB the store is the expensive-to-recompute asset: signatures are
+N x n_hashes longs and bands N x n_bands rows — both tiny next to the
+corpus text they summarize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+from mapreduce_minhash_lsh_spark.operators.lsh import compact_band_keys
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
+from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+from mapreduce_minhash_lsh_spark.operators.similarity import (
+    _materialize,
+    exact_jaccard,
+    signature_prefilter,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import upsert_parquet
+
+
+def build_band_store(
+    docs: DataFrame, cfg: MinHashLSHConfig, store_dir: str
+) -> None:
+    """Create or EXTEND the band store with ``docs``.
+
+    Upserts by doc_id: a re-ingested document replaces all of its old
+    rows (ids, signature, bands) atomically per table; other documents'
+    rows are never rewritten.  Calling twice with the same docs is a
+    no-op on the result.
+    """
+    spark = docs.sparkSession
+    sh = explode_shingles(docs, cfg.k).persist()
+    sids = sh.select("doc_id", md5_long(F.col("shingle")).alias("sid"))
+    sig = _materialize(minhash_signatures_array(sh, cfg), None)
+    bands = compact_band_keys(sig, cfg)
+    upsert_parquet(spark, sids, f"{store_dir}/shingle_ids", ["doc_id"])
+    upsert_parquet(spark, sig, f"{store_dir}/signatures", ["doc_id"])
+    upsert_parquet(spark, bands, f"{store_dir}/bands", ["doc_id"])
+    sh.unpersist()
+
+
+def load_band_store(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingle_ids, signatures, bands) as lazy parquet scans."""
+    return (
+        spark.read.parquet(f"{store_dir}/shingle_ids"),
+        spark.read.parquet(f"{store_dir}/signatures"),
+        spark.read.parquet(f"{store_dir}/bands"),
+    )
+
+
+def cross_pairs_against_store(
+    new_docs: DataFrame,
+    cfg: MinHashLSHConfig,
+    store_dir: str,
+    threshold: float | None = None,
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``similarity.cross_corpus_pairs`` with the seen side read from the
+    band store instead of recomputed: per-ingest work is the NEW batch's
+    shingling/minhashing plus the band equi-join — the corpus side costs
+    one parquet scan of its (small) store tables.  Result is identical
+    to the recomputing form (tested).
+
+    Doc ids must be unique across the store and the new batch.
+    """
+    threshold = cfg.threshold if threshold is None else threshold
+    spark = new_docs.sparkSession
+    sids_seen, sig_seen, bands_seen = load_band_store(spark, store_dir)
+    sh_new = explode_shingles(new_docs, cfg.k).persist()
+    sig_new = _materialize(minhash_signatures_array(sh_new, cfg), checkpoint_dir)
+    bands_new = compact_band_keys(sig_new, cfg)
+
+    def _cap(b: DataFrame) -> DataFrame:
+        if max_bucket_size is None:
+            return b
+        sized = b.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+        return b.join(
+            sized.where(F.col("_n") <= max_bucket_size), ["band", "band_key"]
+        ).drop("_n")
+
+    cands = (
+        _cap(bands_new)
+        .withColumnRenamed("doc_id", "doc_id_a")
+        .join(
+            _cap(bands_seen).withColumnRenamed("doc_id", "doc_id_b"),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    cands = _materialize(
+        signature_prefilter(
+            cands, sig_new.unionByName(sig_seen), cfg, threshold
+        ),
+        checkpoint_dir,
+    )
+    ids_union = sh_new.select(
+        "doc_id", md5_long(F.col("shingle")).alias("sid")
+    ).unionByName(sids_seen)
+    verified = exact_jaccard(cands, ids_union, checkpoint_dir).where(
+        F.col("jaccard") >= threshold
+    )
+    return verified.select(
+        F.col("doc_id_a").alias("new_id"),
+        F.col("doc_id_b").alias("seen_id"),
+        "jaccard",
+    )

@@ -94,10 +94,18 @@ def exact_jaccard(
     shingles/doc) is the only way this can differ from string-set
     Jaccard — and the DuckDB oracle intersects the raw strings, so
     CORRECTNESS would catch exactly that event.
+
+    ``doc_shingles`` may carry a precomputed 60-bit ``sid`` column
+    instead of (or alongside) the ``shingle`` strings — a band store
+    (operators/bandstore.py) persists the 8-byte ids rather than the
+    strings, and the derivation here is a no-op for it.
     """
-    ids = doc_shingles.select(
-        "doc_id", md5_long(F.col("shingle")).alias("sid")
-    )
+    if "sid" in doc_shingles.columns:
+        ids = doc_shingles.select("doc_id", "sid")
+    else:
+        ids = doc_shingles.select(
+            "doc_id", md5_long(F.col("shingle")).alias("sid")
+        )
     cand_docs = (
         pairs.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))

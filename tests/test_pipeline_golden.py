@@ -169,3 +169,37 @@ def test_golden_csv_artifact_matches_reference(spark, tmp_path):
     ).read().splitlines()
     expected = {tuple(line.split(",", 1)) for line in ref_lines[1:]}
     assert got == expected
+
+
+def test_band_store_matches_recomputing_cross_corpus(spark, golden_docs, tmp_path):
+    """The persisted band store must give byte-identical cross-corpus
+    results to the recomputing form, survive idempotent re-ingest, and
+    extend incrementally."""
+    from mapreduce_minhash_lsh_spark.operators.bandstore import (
+        build_band_store,
+        cross_pairs_against_store,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import cross_corpus_pairs
+
+    new = golden_docs.where(F.col("doc_id") % 2 == 1)
+    seen = golden_docs.where(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    build_band_store(seen, GOLDEN, store)
+
+    key = lambda r: (r.new_id, r.seen_id)
+    want = sorted(cross_corpus_pairs(new, seen, GOLDEN).collect(), key=key)
+    got = sorted(cross_pairs_against_store(new, GOLDEN, store).collect(), key=key)
+    assert got == want
+
+    # re-ingesting the same docs is a no-op on the result
+    build_band_store(seen, GOLDEN, store)
+    again = sorted(cross_pairs_against_store(new, GOLDEN, store).collect(), key=key)
+    assert again == want
+
+    # extending the store with the new docs makes them findable as seen
+    build_band_store(new, GOLDEN, store)
+    self_hits = cross_pairs_against_store(new, GOLDEN, store).collect()
+    # every new doc's planted partner (odd or even) is now in the store
+    assert {(r.new_id, r.seen_id) for r in self_hits} >= {
+        (r.new_id, r.seen_id) for r in want
+    }
