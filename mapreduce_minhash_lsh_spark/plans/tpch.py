@@ -261,3 +261,58 @@ def promo_revenue_share(
             "promo_pct"
         ),
     )
+
+
+def top_revenue_supplier(
+    spark: SparkSession, sf: str, lo: str = "1996-01-01", hi: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter — ties all returned, like the reference query's equality
+    against the view max.  The max is aggregated once and broadcast
+    back against the (already supplier-grained, tiny) revenue relation;
+    no global sort, no single-task window."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    supp = load_table(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("_max"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_rev") == F.col("_max"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def small_quantity_revenue(
+    spark: SparkSession, sf: str, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not filled,
+    for one brand.  The per-part average is a correlated scalar
+    subquery in the reference SQL; here it is one partial-aggregated
+    groupBy on the fact table joined back — the decorrelated plan every
+    engine wants.  The average divides two exact aggregates in a pinned
+    order, so the threshold (and thus the row set) is engine-exact."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == brand)
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double")
+            / F.count("*").cast("double")
+            * F.lit(0.2)
+        ).alias("lim")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(lim, li.l_partkey == lim.pk)
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )

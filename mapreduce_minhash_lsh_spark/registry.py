@@ -2340,6 +2340,47 @@ def q_q14_promo_revenue(spark, sf):
 
 
 @register(
+    "q15_top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+)
+def q_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape (plans/tpch.py:top_revenue_supplier): max-revenue
+    supplier(s) via a broadcast scalar max — no global sort/window."""
+    return _tpch.top_revenue_supplier(spark, sf)
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """WITH lim AS (
+  SELECT l_partkey AS pk,
+         (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE)) * 0.2 AS lim
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
+JOIN lim ON pk = l_partkey
+WHERE l_quantity < lim""",
+)
+def q_q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape (plans/tpch.py:small_quantity_revenue): the
+    correlated per-part average decorrelated into one groupBy joined
+    back; the 0.2x threshold divides exact aggregates in a pinned
+    order, so the qualifying row set is engine-exact."""
+    return _tpch.small_quantity_revenue(spark, sf)
+
+
+@register(
     "events_moving_avg",
     """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
