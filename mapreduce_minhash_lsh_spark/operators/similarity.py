@@ -187,6 +187,26 @@ def similar_pairs(
     # Both are eagerly materialized; sh stays a lazy persist because
     # each action consumes it through exactly one branch.
     doc_shingles = explode_shingles(docs, cfg.k).persist()
+    return similar_pairs_from_shingles(
+        doc_shingles, cfg, threshold, max_bucket_size, checkpoint_dir
+    )
+
+
+def similar_pairs_from_shingles(
+    doc_shingles: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float | None = None,
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The flagship pipeline over an arbitrary (doc_id, shingle)
+    relation — the shingle UNIT is orthogonal to the MinHash/LSH/verify
+    machinery, so char k-grams (``similar_pairs``), word n-grams
+    (registry: ``word_similar_pairs``), or any caller-defined feature
+    set (URL tokens, AST nodes, ...) all run the identical plan.
+    ``doc_shingles`` should already be persisted if its lineage is
+    expensive."""
+    threshold = cfg.threshold if threshold is None else threshold
     sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
     cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
     cands = _materialize(

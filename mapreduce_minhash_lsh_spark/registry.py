@@ -355,6 +355,65 @@ def q_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similar_pairs(load_table(spark, sf, "documents"), _CFG)
 
 
+# Word-bigram variant of the flagship: the shingle UNIT is orthogonal to
+# the MinHash/LSH/verify machinery, so the CTE chain is reused verbatim —
+# only the `sh` relation (and the prefilter cutoff for the 0.7 threshold)
+# changes.  Word n-grams are what web-scale text dedup actually buckets
+# on; char-3-grams are the reference's unit.
+_WORD_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE len(string_split(text, ' ')) >= 2))
+)"""
+
+_WORD_THRESHOLD = 0.7
+
+_WORD_AGREE_CTE = f"""
+candf AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig ga ON ga.doc_id = c.doc_id_a
+  JOIN sig gb ON gb.doc_id = c.doc_id_b AND gb.h = ga.h
+  GROUP BY c.doc_id_a, c.doc_id_b
+  HAVING SUM(CASE WHEN ga.minhash = gb.minhash THEN 1 ELSE 0 END)
+         >= {_min_agree(_CFG, _WORD_THRESHOLD)}
+)"""
+
+_WORD_PIPELINE_CTES = ",".join(
+    [_WORD_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE, _CAND_CTE,
+     _WORD_AGREE_CTE, _JACCARD_CTE]
+)
+
+
+@register(
+    "word_similar_pairs",
+    f"WITH {_WORD_PIPELINE_CTES} "
+    f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_WORD_THRESHOLD}",
+)
+def q_word_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship pipeline on WORD-BIGRAM shingles at threshold 0.7 —
+    identical MinHash/banding/prefilter/verify plan, different shingle
+    unit (similarity.similar_pairs_from_shingles).  Note the banding
+    s-curve (r=16) is tuned for the char-3 background; at word
+    granularity it is recall-conservative — candidates remain bit-exact
+    across engines regardless, which is what the oracle checks."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        similar_pairs_from_shingles,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf, "documents").where(F.size(toks) >= 2)
+    wsh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_text.word_ngrams(F.col("text"), 2))).alias(
+            "shingle"
+        ),
+    ).persist()
+    return similar_pairs_from_shingles(wsh, _CFG, threshold=_WORD_THRESHOLD)
+
+
 # Cross-corpus candidates: the NEW side's band table joined against the
 # SEEN side's — no new-vs-new or seen-vs-seen pairs.  The split (odd ids
 # = new crawl, even ids = existing corpus) is deterministic and
