@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
@@ -2181,6 +2181,55 @@ def q_embeddings_profile(spark, sf):
             (F.col("_s").cast("double") / F.lit(SCALE) / F.col("n").cast("double"))
             .alias("mean_v"),
         )
+    )
+
+
+@register(
+    "distinctive_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df, rn FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+                                 ORDER BY t.tf DESC, d.df ASC, t.token) AS BIGINT) AS rn
+  FROM tf t JOIN df d ON d.token = t.token)
+WHERE rn <= 3""",
+)
+def q_distinctive_terms(spark, sf):
+    """Top-3 characteristic tokens per document — TF-IDF's ranking
+    without its float log: order by term frequency desc, document
+    frequency asc, token (all integers, so the ranking is engine-exact
+    where ln() could differ in the last ulp between libm builds).  One
+    explode + two partial-aggregated counts + a WindowGroupLimit'd
+    per-doc top-k."""
+    toks = (
+        load_table(spark, sf, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
     )
 
 
