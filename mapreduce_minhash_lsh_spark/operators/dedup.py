@@ -159,3 +159,38 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+def quality_drop_ids(
+    groups: DataFrame,
+    scored: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup drop list: per dedup group keep the
+    HIGHEST-quality member (ties to the lowest id) instead of the lowest
+    id — min-id keeps whichever duplicate happened to crawl first; a
+    training pipeline wants the best copy.
+
+    ``groups`` is near_dup_groups' (doc_id, group_id); ``scored`` maps
+    id -> quality.  One join + one per-group window (WindowGroupLimit'd
+    rank) + one self-join on group_id to attach each drop's keeper —
+    all keyed on group_id, no global operation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    ranked = (
+        groups.join(scored.select(id_col, quality_col), id_col)
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    keep = ranked.where(F.col("_rn") == 1).select(
+        "group_id", F.col(id_col).alias("keep_id")
+    )
+    return (
+        ranked.where(F.col("_rn") > 1)
+        .join(keep, "group_id")
+        .select(F.col(id_col).alias("drop_id"), "keep_id", "group_id")
+    )

@@ -2075,6 +2075,87 @@ def q_quality_weighted_sample(spark, sf):
 
 
 @register(
+    "near_dup_drop_best_quality",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src),
+qual AS (SELECT doc_id, {_QW_Q} AS quality FROM documents WHERE length(text) > 0),
+ranked AS (
+  SELECT g.doc_id, g.group_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, g.doc_id) AS rn
+  FROM grp g JOIN qual q ON q.doc_id = g.doc_id)
+SELECT r.doc_id AS drop_id, k.doc_id AS keep_id, r.group_id
+FROM ranked r JOIN ranked k ON k.group_id = r.group_id AND k.rn = 1
+WHERE r.rn > 1""",
+)
+def q_near_dup_drop_best_quality(spark, sf):
+    """Quality-aware near-dup drop list: per dedup group keep the
+    HIGHEST-quality copy (dedup.quality_drop_ids) instead of the lowest
+    id — min-id keeps whichever duplicate crawled first; a training
+    pipeline wants the best one.  The quality ordering is the exact
+    engine-portable score, so keep/drop decisions hash-match."""
+    docs = load_table(spark, sf, "documents")
+    pairs = similar_pairs(docs, _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    scored = docs.where(F.length("text") > 0).select(
+        "doc_id", _text.quality_score(F.col("text")).alias("quality")
+    )
+    return _dedup.quality_drop_ids(groups, scored)
+
+
+@register(
+    "events_session_window",
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+b AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b)
+SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid""",
+)
+def q_events_session_window(spark, sf):
+    """Native ``session_window`` sessionization (30-min gap) — the
+    built-in operator twin of the lag-based plans/events.sessionize
+    (which remains for engines/queries needing explicit session ids).
+    Two events merge iff the later starts before the earlier's
+    window end (gap strictly less than 30 min), which the oracle
+    mirrors as a >=-gap break flag.  One shuffle on user_id."""
+    e = load_table(spark, sf, "events").withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        e.groupBy(
+            F.session_window("event_time", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts_us").cast("long").alias("start_us"),
+            F.max("ts_us").cast("long").alias("end_us"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+    )
+
+
+@register(
     "redact_pii",
     r"""SELECT doc_id,
        regexp_replace(
