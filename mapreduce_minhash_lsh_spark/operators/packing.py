@@ -1,0 +1,103 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+chunks.
+
+An LLM training pipeline ends by packing tokenized documents into
+context-window-sized sequences.  The classic single-writer algorithm
+("concatenate the corpus, cut every ctx_len tokens") is inherently
+serial; the distributed form used here shards the corpus into
+``n_shards`` independent streams by content hash, packs each stream
+separately, and keys the output by (shard, chunk_id):
+
+  1. shard   = md5_bucket(doc_id) % n_shards      -- map-side, no driver
+  2. order   = (md5_bucket(doc_id), doc_id)       -- deterministic, no
+                                                     global sort
+  3. offset  = running token count of PRIOR docs in the shard
+  4. chunk   = offset // ctx_len                  -- a doc starts in the
+                                                     chunk its offset
+                                                     falls in
+
+A document whose tokens straddle a chunk boundary stays with its
+starting chunk (document-boundary packing); the trailing overflow is the
+downstream tokenizer's truncate/continue decision, recoverable from
+``start_offset`` + ``n_tokens``.  Every assignment is a pure function of
+(doc_id, corpus membership): stable under repartitioning, retries, and
+engines — the same guarantee the sampling operators give (see
+operators/sampling.py), extended with ONE window per shard.
+
+Scale: one shuffle (hash partition on shard), then a per-shard sorted
+running sum.  Shards are independent, so parallelism = n_shards; size
+n_shards to a few x cluster cores and each task scans its shard once.
+No collect, no global sort, no skew (md5 sharding is uniform).
+
+The reference has no packing surface; this extends it for the
+LLM-pipeline brief (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.sampling import hash_bucket
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count under the corpus tokenization used by frequent_tokens /
+    distinctive_terms: lowercase split on non-alphanumeric runs, empties
+    dropped.  Integer, engine-portable."""
+    toks = F.split(F.lower(text), "[^a-z0-9]+")
+    return F.size(F.filter(toks, lambda t: t != F.lit(""))).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Pack documents into (shard, chunk_id) training sequences of
+    ``ctx_len`` tokens.
+
+    Returns one row per non-empty document:
+      id_col, shard, chunk_id, n_tokens, start_offset
+    where start_offset is the token position of the document inside its
+    shard's concatenated stream; ``start_offset - chunk_id * ctx_len``
+    is its position inside the chunk.  Empty documents (zero tokens)
+    are dropped — they contribute nothing to a sequence.
+    """
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+    sized = (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), seed=seed).alias("_b"),
+            whitespace_token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("shard", (F.col("_b") % F.lit(n_shards)).cast("long"))
+    )
+    # Running offset of all PRIOR docs in the shard's deterministic
+    # (bucket, id) order.  rowsBetween(unboundedPreceding, -1) so a doc
+    # never counts itself; first doc of a shard gets NULL -> 0.
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_b"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.select(
+        id_col,
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+        "n_tokens",
+    ).select(
+        id_col,
+        "shard",
+        # Integer `div`, not float `/` + cast: exact at any offset
+        # magnitude (a 100 TB shard stream can pass 2^53 tokens).
+        F.expr(f"start_offset div {int(ctx_len)}").alias("chunk_id"),
+        "n_tokens",
+        "start_offset",
+    )

@@ -2681,3 +2681,118 @@ def q_near_dup_drop_ids(spark, sf):
         groups.where(F.col("doc_id") != F.col("group_id"))
         .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + vocabulary coverage (operators/packing.py) — the last
+# mile of a training-data pipeline: fixed-context chunk assignment and
+# OOV-rate quality scoring.
+# --------------------------------------------------------------------------
+
+_PACK_CTX = 512
+_PACK_SHARDS = 8
+_TOK_N_SQL = (
+    "length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> ''))"
+)
+
+
+@register(
+    "packed_sequences",
+    f"""WITH sized AS (
+  SELECT doc_id,
+         (({_BUCKET_SQL})) AS b,
+         CAST(({_BUCKET_SQL}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST({_TOK_N_SQL} AS BIGINT) AS n_tokens
+  FROM documents WHERE length(text) > 0
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sized WHERE n_tokens > 0
+)
+SELECT doc_id, shard, CAST(start_offset // {_PACK_CTX} AS BIGINT) AS chunk_id,
+       n_tokens, start_offset
+FROM placed""",
+)
+def q_packed_sequences(spark, sf):
+    """Distributed sequence packing (operators/packing.py): documents
+    assigned to {ctx=512}-token training chunks in 8 content-hash shards
+    — shard and chunk are pure functions of doc_id + corpus membership,
+    so the layout is reproducible across runs, engines, and
+    partitionings.  One shuffle (shard hash), one per-shard running-sum
+    window; shards are independent, so parallelism scales with
+    n_shards.  The oracle recomputes every (shard, chunk, offset) cell."""
+    from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS)
+
+
+_VOCAB_TOP = 64
+
+
+@register(
+    "vocab_coverage",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks2 GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT {_VOCAB_TOP}
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_ratio
+FROM toks2 t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id""",
+)
+def q_vocab_coverage(spark, sf):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{top} token vocabulary — the classic cheap quality filter (a doc
+    mostly outside the head vocabulary is boilerplate, code, or noise).
+    Plan: one token explode feeding BOTH the vocabulary top-k (partial
+    agg + TakeOrdered) and the per-doc agg; the vocabulary joins back as
+    a broadcast hash join (64 rows), so the corpus shuffles once, on
+    doc_id.  oov_ratio is a ratio of identical integers — engine-exact."""
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_TOP)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_ratio"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Sequence-packing invariants (operators/packing.py): total/disjoint
+assignment, offset arithmetic, chunk-boundary semantics, and stability
+under repartitioning — the properties a training job relies on when it
+re-reads the packed layout on a different cluster."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_minhash_lsh_spark.operators.packing import (
+    pack_sequences,
+    whitespace_token_count,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+CTX = 64
+SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    return pack_sequences(docs, ctx_len=CTX, n_shards=SHARDS).cache()
+
+
+def test_every_nonempty_doc_assigned_exactly_once(spark, packed):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_nonempty = docs.where(
+        whitespace_token_count(F.col("text")) > 0
+    ).count()
+    assert packed.count() == n_nonempty
+    assert packed.select("doc_id").distinct().count() == n_nonempty
+
+
+def test_offsets_are_a_contiguous_token_stream(packed):
+    # Within each shard, sorted by start_offset, each doc begins exactly
+    # where the previous one ended: the shard is one gapless stream.
+    rows = packed.orderBy("shard", "start_offset").collect()
+    pos: dict[int, int] = {}
+    for r in rows:
+        expected = pos.get(r.shard, 0)
+        assert r.start_offset == expected, (r.shard, r.doc_id)
+        pos[r.shard] = expected + r.n_tokens
+
+
+def test_chunk_id_is_start_offset_window(packed):
+    bad = packed.where(
+        F.col("chunk_id") != F.expr(f"start_offset div {CTX}")
+    ).count()
+    assert bad == 0
+    # chunk-relative start position is always inside the context window
+    bad = packed.where(
+        (F.col("start_offset") - F.col("chunk_id") * CTX) >= CTX
+    ).count()
+    assert bad == 0
+
+
+def test_assignment_invariant_under_repartitioning(spark, packed):
+    docs = load_table(spark, SF_ORACLE, "documents").repartition(13, "lang")
+    again = pack_sequences(docs, ctx_len=CTX, n_shards=SHARDS)
+    diff = packed.exceptAll(again).count() + again.exceptAll(packed).count()
+    assert diff == 0
+
+
+def test_rejects_nonpositive_params(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, ctx_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, n_shards=0)
