@@ -38,6 +38,12 @@ def get_spark(
         # 10x probe.  300 covers n=128 with headroom.
         .config("spark.sql.codegen.maxFields", "300")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); load_table also sets
+        # this per-read, but parquet schema inference can run on driver
+        # thread pools where a just-set session conf is not reliably
+        # visible — baking it into the session's base conf closes that
+        # (rare, order-dependent) race.  See sources/tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -52,6 +58,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.codegen.maxFields", "300"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ]:
         try:
             spark.conf.set(key, val)

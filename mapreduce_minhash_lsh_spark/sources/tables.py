@@ -84,9 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (microseconds, matching DuckDB's ns->us truncation on read).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # The conf above (also baked into get_spark's base conf) makes the
+        # nanos column come back as int64; if schema inference raced the
+        # conf (driver thread pools) it surfaces as TIMESTAMP_NTZ instead —
+        # derive the identical micros value from either shape.
+        if dict(df.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000").cast("long")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
         return ensure_min_partitions(
-            df.withColumn("ts_us", F.expr("ts div 1000").cast("long")),
-            TABLE_KEYS[name],
+            df.withColumn("ts_us", ts_us), TABLE_KEYS[name]
         )
     return ensure_min_partitions(
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")),

@@ -28,19 +28,26 @@ from mapreduce_minhash_lsh_spark.sources.tables import load_table
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with an event-time column.
 
-    The nanos timestamp is read as int64 (see sources/tables.py) and
-    converted to a proper timestamp for watermarking: micro-precision,
-    matching the batch path's ts_us exactly.
+    The nanos timestamp surfaces either as int64 nanos (legacy
+    nanosAsLong conf honored) or as TIMESTAMP_NTZ (newer parquet
+    readers infer NANOS natively, truncated to micros) — both shapes
+    convert to the identical micros value, matching the batch path's
+    ts_us exactly (see sources/tables.py).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load_table(spark, sf_dir, "events").drop("ts_us").schema
+    batch = load_table(spark, sf_dir, "events").drop("ts_us")
+    schema = batch.schema
+    if dict(batch.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("ts div 1000").cast("long")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
     # events.parquet is a single file; the streaming file source requires
     # a directory, so stream the sf dir filtered down to that file.
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
+        .withColumn("ts_us", ts_us)
         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
     )
 
