@@ -2796,3 +2796,33 @@ def q_vocab_coverage(spark, sf):
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (streaming/jobs.py) — the last Structured
+# Streaming join pattern: watermarked view->click attribution.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "streaming_view_clicks",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR""",
+)
+def q_streaming_view_clicks(spark, sf):
+    """Watermarked stream-stream interval join, drained with AvailableNow
+    and compared against the identical batch interval join in DuckDB.
+    The time-range predicate + watermarks bound the buffered state (a
+    view is evicted once no future click can land in its window), which
+    is what makes the join runnable indefinitely — see
+    streaming/jobs.py:streaming_view_click_join."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_view_click_join,
+    )
+
+    return streaming_view_click_join(spark, sf)

@@ -138,6 +138,66 @@ def streaming_hourly_users(
     return spark.table("streaming_hourly_users")
 
 
+def streaming_view_click_join(
+    spark: SparkSession,
+    sf_dir: str,
+    range_hours: int = 6,
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each view paired with the
+    same user's clicks in the following ``range_hours`` — the attribution
+    join every event pipeline runs, in its incremental form.
+
+    Both sides carry a watermark and the join predicate bounds
+    click_time to [view_time, view_time + range], so Spark can expire
+    buffered state: a view older than watermark + range can never match
+    a future click and is evicted.  State is therefore bounded by the
+    event rate x (watermark + range) regardless of total stream length —
+    the property that makes this runnable forever at 100 TB/day.  The
+    batch twin (and oracle) is the identical plain interval join.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", watermark)
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_time") >= F.col("view_time"))
+        & (
+            F.col("click_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {int(range_hours)} HOURS")
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts_us", "click_ts_us")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("streaming_view_clicks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("streaming_view_clicks")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first occurrence of each event_id wins,
     state bounded by the watermark horizon."""
