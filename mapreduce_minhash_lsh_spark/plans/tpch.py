@@ -316,3 +316,119 @@ def small_quantity_revenue(
             F.count("*").cast("long").alias("n_rows"),
         )
     )
+
+
+def nation_trade_volume(
+    spark: SparkSession, sf: str, lo: str = "1996-01-01", hi: str = "1998-01-01"
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between (supplier nation, customer
+    nation) pairs per year.  The lineitem fact joins supplier and the
+    order->customer chain; nation (and supplier/customer at any SF where
+    they fit) broadcast, so the fact table shuffles only for the orders
+    equi-join.  Year comes from the shipdate under the UTC-pinned
+    session, matching the oracle's calendar exactly."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue")
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders
+    (urgent orders excluded, standing in for the reference's comment
+    filter).  A LEFT outer join keeps zero-order customers in the
+    distribution; two aggregations, the second over an order-count
+    relation that is already tiny."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    windows.  The disjunction stays one predicate on one broadcast
+    hash join — no union of three scans; Catalyst pushes the common
+    partkey equi-condition and evaluates the OR post-join, reading the
+    fact table once."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, szlo, szhi, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(szlo, szhi)
+        & q.between(qlo, qhi)
+    )
+    pred = (
+        arm("Brand#12", 1, 5, 1, 11)
+        | arm("Brand#23", 1, 10, 10, 20)
+        | arm("Brand#34", 1, 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(pred)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of customers with
+    above-average positive balance and no URGENT orders (every testdata
+    customer has some order, so the urgency filter keeps the anti-join
+    non-vacuous).  The global average is one scalar aggregate broadcast
+    back (sum/count divided in a pinned order, engine-exact); the
+    no-matching-orders test is a LEFT ANTI join — no NOT IN, no null
+    traps, shuffle only on custkey."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count("*").cast("double")
+        ).alias("_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )

@@ -2826,3 +2826,88 @@ def q_streaming_view_clicks(spark, sf):
     )
 
     return streaming_view_click_join(spark, sf)
+
+
+# --------------------------------------------------------------------------
+# Relational depth r3b: TPC-H Q7 / Q13 / Q19 / Q22 shapes (plans/tpch.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_trade_volume",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1, 2, 3""",
+)
+def q_q7_nation_trade_volume(spark, sf):
+    """TPC-H Q7 shape (plans/tpch.py:nation_trade_volume): five-way star
+    join, dims broadcast, fact shuffled once (orders equi-join);
+    decimal-exact revenue, calendar year under the UTC-pinned session."""
+    return _tpch.nation_trade_volume(spark, sf)
+
+
+@register(
+    "q13_customer_order_distribution",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count""",
+)
+def q_q13_customer_order_distribution(spark, sf):
+    """TPC-H Q13 shape (plans/tpch.py:customer_order_distribution):
+    zero-preserving LEFT join + double aggregation — the order-count
+    histogram keeps customers with no (non-urgent) orders."""
+    return _tpch.customer_order_distribution(spark, sf)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """SELECT
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape (plans/tpch.py:disjunctive_part_revenue): three
+    OR'd brand/size/quantity windows evaluated on ONE broadcast join —
+    the fact table is read once, not unioned three times."""
+    return _tpch.disjunctive_part_revenue(spark, sf)
+
+
+@register(
+    "q22_idle_rich_customers",
+    """WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > ab.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey""",
+)
+def q_q22_idle_rich_customers(spark, sf):
+    """TPC-H Q22 shape (plans/tpch.py:idle_rich_customers): scalar
+    above-average balance threshold broadcast back, NOT-EXISTS as a
+    LEFT ANTI join (against urgent orders — every testdata customer has
+    some order); the threshold divides exact aggregates in a pinned
+    order so the qualifying set is engine-exact."""
+    return _tpch.idle_rich_customers(spark, sf)
