@@ -48,6 +48,12 @@ HEADLINE = [
     "train_valid_test_split",
     "near_dup_drop_ids",
     "cross_corpus_near_dups",
+    # Round-3 operator families: sequence packing, OOV scoring, the
+    # five-way star join, and the stream-stream interval join.
+    "packed_sequences",
+    "vocab_coverage",
+    "q7_nation_trade_volume",
+    "streaming_view_clicks",
 ]
 
 

@@ -109,9 +109,11 @@ _PRIORITY: list[str] = [
     "events_json_extract",
     "streaming_events_hourly",
     "streaming_hourly_users",
-    # Sketches
+    # Stream-stream interval join
+    "streaming_view_clicks",
+    # Sketches (quantity_quantiles_approx is the same family as
+    # events_users_hll and stays oracle-checked past the window)
     "events_users_hll",
-    "quantity_quantiles_approx",
     # Text analysis
     "text_stats",
     "lang_id",
@@ -124,7 +126,9 @@ _PRIORITY: list[str] = [
     "near_dup_groups",
     "near_dup_drop_ids",
     "cross_corpus_near_dups",
-    "ngram_jaccard_sample",
+    # Sequence packing (ngram_jaccard_sample is a sample-bounded
+    # measurement tool; it stays oracle-checked past the window)
+    "packed_sequences",
     "simhash",
     "simhash_near_pairs",
     # ANN / embeddings
@@ -2911,3 +2915,30 @@ def q_q22_idle_rich_customers(spark, sf):
     some order); the threshold divides exact aggregates in a pinned
     order so the qualifying set is engine-exact."""
     return _tpch.idle_rich_customers(spark, sf)
+
+
+@register(
+    "customer_balance_ranks",
+    """SELECT c_custkey, c_nationkey,
+       CAST(percent_rank() OVER w AS DOUBLE) AS bal_pct_rank,
+       CAST(cume_dist() OVER w AS DOUBLE) AS bal_cume_dist,
+       CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+)
+def q_customer_balance_ranks(spark, sf):
+    """Ranking-window depth: percent_rank, cume_dist and ntile(4) of
+    customer balance within each nation — the quantile-bucketing pass a
+    feature pipeline runs per group.  The order key carries c_custkey as
+    a unique tie-break, so every rank (and both ratio outputs — ratios
+    of identical integers) is engine-exact.  One shuffle on the window
+    partition key, no global sort."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
