@@ -432,3 +432,52 @@ def idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
+
+
+def market_share(
+    spark: SparkSession,
+    sf: str,
+    region: str = "ASIA",
+    supp_nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the share of revenue shipped into
+    ``region`` that came from suppliers in ``supp_nation``.  One pass
+    over the fact table computes both the conditional and total sums
+    (no second scan, no self-join); the share divides two exact
+    decimals in a pinned order so it is engine-exact."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").where(F.col("r_name") == region)
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(38,6)")
+    from_nation = F.when(F.col("sn_name") == supp_nation, rev).otherwise(zero)
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(from_nation).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )

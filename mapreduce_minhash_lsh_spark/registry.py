@@ -2829,7 +2829,10 @@ def q_streaming_view_clicks(spark, sf):
         streaming_view_click_join,
     )
 
-    return streaming_view_click_join(spark, sf)
+    # 8 state stores: sized to the driver/bench corpus (stateful
+    # per-store overhead dominates at this scale); production sizes
+    # this to cluster parallelism — see the operator docstring.
+    return streaming_view_click_join(spark, sf, state_partitions=8)
 
 
 # --------------------------------------------------------------------------
@@ -2942,3 +2945,31 @@ def q_customer_balance_ranks(spark, sf):
         F.cume_dist().over(w).alias("bal_cume_dist"),
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
     )
+
+
+@register(
+    "q8_market_share",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+GROUP BY 1""",
+)
+def q_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (plans/tpch.py:market_share): one fact pass
+    computes both the supplier-nation conditional revenue and the
+    regional total (no second scan); exact-decimal sums divided in a
+    pinned order make the share engine-exact."""
+    return _tpch.market_share(spark, sf)
