@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
 from mapreduce_minhash_lsh_spark.functions.text import quality_score
 from mapreduce_minhash_lsh_spark.operators.dedup import duplicate_ids, near_dup_groups
+from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences
 from mapreduce_minhash_lsh_spark.operators.sampling import split_assign
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 from mapreduce_minhash_lsh_spark.registry import PIPELINE_CFG
@@ -75,12 +76,23 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # 5. Write, partitioned by split
     write_parquet(final, out_dir, partition_by=["split"])
 
+    # 6. Pack the train split into fixed-context training chunks (one
+    #    shuffle on the shard key; layout reproducible across runs)
     out = spark.read.parquet(out_dir)
+    packed = pack_sequences(
+        out.where(F.col("split") == "train"), ctx_len=512, n_shards=8
+    )
+    write_parquet(packed, f"{out_dir.rstrip('/')}_packed")
+
     return {
         "raw": n_raw,
         "dropped": drops.count(),
         "kept": out.count(),
         "train": out.where(F.col("split") == "train").count(),
+        "chunks": spark.read.parquet(f"{out_dir.rstrip('/')}_packed")
+        .select("shard", "chunk_id")
+        .distinct()
+        .count(),
     }
 
 
