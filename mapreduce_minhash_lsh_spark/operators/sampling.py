@@ -123,3 +123,48 @@ def split_assign(
     return df.withColumn(
         out_col, F.when(F.col(key_col).isNotNull(), assigned)
     )
+
+
+def rebalance_to_uniform(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample over-represented groups so every group contributes at
+    most its uniform share — the corpus-mixing primitive for skewed
+    source/language distributions (a group at or under its share keeps
+    all rows; nothing is ever upsampled).
+
+    Per group, the retention cut is the integer
+    ``min(BUCKETS, total * BUCKETS div (k * n_group))`` and a row is
+    kept iff its md5 bucket falls under the cut — so the sampled subset
+    is a pure function of (key, seed, group counts): reproducible across
+    runs, engines, and partitionings, and nested under any other
+    hash_sample with the same seed.
+
+    Scale: one partial-aggregated count per group (rows = |groups|,
+    broadcast back) + a map-side filter.  The counting pass disappears
+    entirely when group counts are already known from catalog stats —
+    pass-through of precomputed cuts is trivial to add then.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_k"),
+    )
+    cuts = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.least(
+                F.lit(DEFAULT_BUCKETS).cast("long"),
+                F.expr(f"(_total * {DEFAULT_BUCKETS}) div (_k * _n)"),
+            ).alias("_cut"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .where(hash_bucket(F.col(key_col), seed) < F.col("_cut"))
+        .drop("_cut")
+    )

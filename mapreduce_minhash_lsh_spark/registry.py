@@ -2973,3 +2973,29 @@ def q_q8_market_share(spark, sf):
     regional total (no second scan); exact-decimal sums divided in a
     pinned order make the share engine-exact."""
     return _tpch.market_share(spark, sf)
+
+
+@register(
+    "lang_rebalanced_sample",
+    f"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM c),
+cuts AS (
+  SELECT lang, LEAST(1000000, (t.total * 1000000) // (t.k * c.n)) AS cut
+  FROM c, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE ({_BUCKET_SQL}) < cut""",
+)
+def q_lang_rebalanced_sample(spark, sf):
+    """Corpus rebalancing toward a uniform language mix
+    (operators/sampling.py:rebalance_to_uniform): over-represented
+    languages are hash-downsampled to their uniform share with integer
+    retention cuts, so the kept set is engine-exact and reproducible.
+    One tiny count aggregate broadcast back + a map-side filter."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        rebalance_to_uniform,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return rebalance_to_uniform(docs, "lang").select("doc_id", "lang")

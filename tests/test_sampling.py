@@ -148,3 +148,29 @@ def test_null_keys_drop_from_sample_and_null_split(spark):
     got = {r.k: r.split for r in out.collect()}
     assert got[None] is None
     assert got[1] in ("train", "test") and got[3] in ("train", "test")
+
+
+def test_rebalance_to_uniform_caps_overrepresented_groups(spark):
+    from mapreduce_minhash_lsh_spark.operators.sampling import rebalance_to_uniform
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    out = rebalance_to_uniform(docs, "lang")
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    share = sum(before.values()) / len(before)
+    for lang, n in before.items():
+        if n <= share:
+            # at-or-under-share groups keep every row
+            assert after.get(lang) == n, lang
+        else:
+            # over-share groups land near the uniform share (hash
+            # Bernoulli with cut = share/n of bucket space)
+            assert after[lang] < n
+            assert abs(after[lang] - share) < 0.35 * share, (lang, after[lang], share)
+    # deterministic under repartitioning
+    again = rebalance_to_uniform(docs.repartition(17, "source"), "lang")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.count() == out.count()
