@@ -101,3 +101,59 @@ def pack_sequences(
         "n_tokens",
         "start_offset",
     )
+
+
+def pack_sequences_greedy(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Next-fit greedy packing: walk each shard's deterministic doc order
+    and CLOSE the current chunk when the next document would overflow it
+    — so no chunk exceeds ctx_len tokens unless a single document alone
+    does (it then gets its own chunk).
+
+    This is the sequential variant of :func:`pack_sequences` — the
+    chunk decision depends on the running fill, a loop-carried state no
+    window frame expresses — so it runs as an Arrow-batched
+    ``applyInPandas`` over shards: Python touches each row once inside
+    a vectorized batch, and the per-shard loop is the algorithm itself,
+    not a serialization detail.  Shards stay independent, so the scale
+    story is identical to pack_sequences (one shuffle, n_shards
+    parallel walks).  The DuckDB oracle replays the same walk as a
+    recursive CTE (registry.py:packed_sequences_greedy).
+    """
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+    import pandas as pd
+
+    sized = (
+        docs.where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), seed=seed).alias("_b"),
+            whitespace_token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("shard", (F.col("_b") % F.lit(n_shards)).cast("long"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_b", id_col], kind="mergesort").reset_index(drop=True)
+        chunks = []
+        chunk, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > ctx_len:
+                chunk += 1
+                fill = 0
+            chunks.append(chunk)
+            fill += n
+        out = pdf[[id_col, "shard", "n_tokens"]].copy()
+        out["chunk_id"] = pd.Series(chunks, dtype="int64")
+        return out[[id_col, "shard", "chunk_id", "n_tokens"]]
+
+    schema = f"{id_col} long, shard long, chunk_id long, n_tokens long"
+    return sized.groupBy("shard").applyInPandas(walk, schema=schema)

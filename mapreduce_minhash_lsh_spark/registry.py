@@ -2999,3 +2999,44 @@ def q_lang_rebalanced_sample(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return rebalance_to_uniform(docs, "lang").select("doc_id", "lang")
+
+
+@register(
+    "packed_sequences_greedy",
+    f"""WITH RECURSIVE sized AS (
+  SELECT doc_id,
+         CAST(({_BUCKET_SQL}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST({_TOK_N_SQL} AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY ({_BUCKET_SQL}) % {_PACK_SHARDS}
+           ORDER BY ({_BUCKET_SQL}), doc_id) AS BIGINT) AS ord
+  FROM documents WHERE length(text) > 0 AND {_TOK_N_SQL} > 0
+),
+walk AS (
+  SELECT shard, ord, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS fill
+  FROM sized WHERE ord = 1
+  UNION ALL
+  SELECT s.shard, s.ord, s.doc_id, s.n_tokens,
+         CASE WHEN w.fill + s.n_tokens <= {_PACK_CTX}
+              THEN w.chunk_id ELSE w.chunk_id + 1 END,
+         CASE WHEN w.fill + s.n_tokens <= {_PACK_CTX}
+              THEN w.fill + s.n_tokens ELSE s.n_tokens END
+  FROM walk w JOIN sized s ON s.shard = w.shard AND s.ord = w.ord + 1
+)
+SELECT doc_id, shard, chunk_id, n_tokens FROM walk""",
+)
+def q_packed_sequences_greedy(spark, sf):
+    """Next-fit greedy packing (operators/packing.py:
+    pack_sequences_greedy): no chunk exceeds 512 tokens unless one
+    document alone does.  The loop-carried fill state is beyond any
+    window frame, so the Spark side is an Arrow-batched applyInPandas
+    walk per shard and the oracle replays the identical walk as a
+    recursive CTE — the two independent implementations must agree on
+    every (doc, shard, chunk) cell."""
+    from mapreduce_minhash_lsh_spark.operators.packing import (
+        pack_sequences_greedy,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences_greedy(docs, ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS)

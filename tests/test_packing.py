@@ -70,3 +70,39 @@ def test_rejects_nonpositive_params(spark):
         pack_sequences(docs, ctx_len=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, n_shards=0)
+
+
+def test_greedy_packing_never_overflows_ctx(spark):
+    from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences_greedy
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    packed = pack_sequences_greedy(docs, ctx_len=CTX, n_shards=SHARDS).cache()
+    fills = packed.groupBy("shard", "chunk_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n_docs")
+    )
+    # multi-doc chunks never exceed the budget; only a single oversized
+    # document may overflow alone
+    bad = fills.where((F.col("fill") > CTX) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
+    # same doc set as boundary packing, chunk ids contiguous from 0
+    docs_boundary = pack_sequences(docs, ctx_len=CTX, n_shards=SHARDS)
+    assert packed.count() == docs_boundary.count()
+    per_shard = packed.groupBy("shard").agg(
+        F.max("chunk_id").alias("mx"),
+        F.countDistinct("chunk_id").alias("nd"),
+        F.min("chunk_id").alias("mn"),
+    )
+    assert per_shard.where(
+        (F.col("mn") != 0) | (F.col("nd") != F.col("mx") + 1)
+    ).count() == 0
+
+
+def test_greedy_packing_invariant_under_repartitioning(spark):
+    from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences_greedy
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = pack_sequences_greedy(docs, ctx_len=CTX, n_shards=SHARDS)
+    b = pack_sequences_greedy(
+        docs.repartition(13, "lang"), ctx_len=CTX, n_shards=SHARDS
+    )
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
