@@ -3040,3 +3040,50 @@ def q_packed_sequences_greedy(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return pack_sequences_greedy(docs, ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS)
+
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "document_chunks",
+    f"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+       substr(text, CAST((i - 1) * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_LEN}) AS chunk,
+       CAST(length(substr(text, CAST((i - 1) * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_LEN})) AS BIGINT) AS chunk_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, CAST(ceil(
+           greatest(length(text) - {_CHUNK_LEN}, 0) / {_CHUNK_STRIDE}.0) AS BIGINT) + 2)) AS i
+  FROM documents WHERE length(text) > 0
+)""",
+)
+def q_document_chunks(spark, sf):
+    """Overlapping fixed-size chunking — the pre-embedding splitter:
+    {len}-char windows every {stride} chars, so consecutive chunks share
+    {len}-{stride} chars of context and the final window always reaches
+    the end of the document.  Pure map-side explode (sequence + substring
+    — no shuffle, no Python); chunk count per doc is
+    ceil(max(len-chunk,0)/stride)+1, identical in both engines."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.length("text") - F.lit(_CHUNK_LEN), F.lit(0))
+            / F.lit(float(_CHUNK_STRIDE))
+        ).cast("long")
+        + F.lit(1)
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+        "chunk_idx"
+    )
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_LEN,
+    )
+    return docs.select("doc_id", idx, "text").select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+    )
