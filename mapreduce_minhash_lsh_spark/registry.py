@@ -3087,3 +3087,37 @@ def q_document_chunks(spark, sf):
         chunk.alias("chunk"),
         F.length(chunk).cast("long").alias("chunk_chars"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """WITH d AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) AS day
+  FROM events
+),
+first_day AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN first_day f USING (user_id)
+GROUP BY f.cohort_day, d.day - f.cohort_day""",
+)
+def q_events_retention_cohorts(spark, sf):
+    """Retention-cohort matrix: users grouped by their first active day,
+    counted distinct on each subsequent day offset — the standard
+    engagement rollup.  The first-day aggregate shuffles once on
+    user_id and joins back on the same key (no re-shuffle: the join
+    reuses the aggregation's hash partitioning); epoch-day integer
+    buckets keep both engines exact, pre-1970 included (pmod floor
+    rule, same as events_pivot_daily)."""
+    e = load_table(spark, sf, "events")
+    us_per_day = F.lit(86_400_000_000)
+    day = (
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_day)) / us_per_day
+    ).cast("long")
+    d = e.select("user_id", day.alias("day"))
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
