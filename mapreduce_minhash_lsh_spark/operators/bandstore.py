@@ -133,3 +133,21 @@ def cross_pairs_against_store(
         F.col("doc_id_b").alias("seen_id"),
         "jaccard",
     )
+
+
+def prune_band_store(
+    spark: SparkSession, store_dir: str, drop_ids: DataFrame
+) -> None:
+    """Remove documents from the band store — the other half of the
+    store lifecycle (takedown requests, post-dedup pruning).  Each of
+    the three tables drops the ids by anti-join; after pruning, a
+    store-backed ingest behaves exactly as if the dropped docs had
+    never been ingested (tested).  ``drop_ids`` needs a ``doc_id``
+    column; absent ids are a no-op.
+    """
+    from mapreduce_minhash_lsh_spark.sources.tables import delete_from_parquet
+
+    for table in ("shingle_ids", "signatures", "bands"):
+        delete_from_parquet(
+            spark, f"{store_dir}/{table}", drop_ids, ["doc_id"]
+        )

@@ -305,3 +305,32 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def delete_from_parquet(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Delete every row whose key appears in ``keys`` from a parquet
+    directory — the data-removal primitive (takedowns, post-dedup
+    pruning) plain parquet lacks.  Anti-join + staged swap, same
+    non-atomic-rename caveat and idempotency as the unpartitioned
+    ``upsert_parquet`` mode; deleting keys that are absent is a no-op.
+    """
+    if not os.path.exists(path):
+        return
+    keys = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    existing = spark.read.parquet(path)
+    remaining = existing.join(keys, key_cols, "left_anti")
+    staging = path.rstrip("/") + "__staging"
+    remaining.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

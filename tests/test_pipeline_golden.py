@@ -203,3 +203,38 @@ def test_band_store_matches_recomputing_cross_corpus(spark, golden_docs, tmp_pat
     assert {(r.new_id, r.seen_id) for r in self_hits} >= {
         (r.new_id, r.seen_id) for r in want
     }
+
+
+def test_band_store_prune_removes_docs(spark, golden_docs, tmp_path):
+    """After pruning ids, a store-backed ingest behaves exactly as if
+    the pruned docs had never been ingested; pruning absent ids is a
+    no-op."""
+    from mapreduce_minhash_lsh_spark.operators.bandstore import (
+        build_band_store,
+        cross_pairs_against_store,
+        load_band_store,
+        prune_band_store,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import cross_corpus_pairs
+
+    new = golden_docs.where(F.col("doc_id") % 2 == 1)
+    seen = golden_docs.where(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    build_band_store(seen, GOLDEN, store)
+
+    # drop doc 2 — the seen half of the golden cross pair (apple docs)
+    drop = spark.createDataFrame([(2,)], "doc_id long")
+    prune_band_store(spark, store, drop)
+    for tbl in load_band_store(spark, store):
+        assert tbl.where(F.col("doc_id") == 2).count() == 0
+
+    key = lambda r: (r.new_id, r.seen_id)
+    seen_wo_2 = seen.where(F.col("doc_id") != 2)
+    want = sorted(cross_corpus_pairs(new, seen_wo_2, GOLDEN).collect(), key=key)
+    got = sorted(cross_pairs_against_store(new, GOLDEN, store).collect(), key=key)
+    assert got == want
+
+    # absent ids: no-op
+    prune_band_store(spark, store, spark.createDataFrame([(99,)], "doc_id long"))
+    again = sorted(cross_pairs_against_store(new, GOLDEN, store).collect(), key=key)
+    assert again == want
