@@ -2724,7 +2724,7 @@ FROM placed""",
 )
 def q_packed_sequences(spark, sf):
     """Distributed sequence packing (operators/packing.py): documents
-    assigned to {ctx=512}-token training chunks in 8 content-hash shards
+    assigned to 512-token training chunks in 8 content-hash shards
     — shard and chunk are pure functions of doc_id + corpus membership,
     so the layout is reproducible across runs, engines, and
     partitionings.  One shuffle (shard hash), one per-shard running-sum
@@ -2762,7 +2762,7 @@ GROUP BY t.doc_id""",
 )
 def q_vocab_coverage(spark, sf):
     """Out-of-vocabulary rate per document against the corpus's own
-    top-{top} token vocabulary — the classic cheap quality filter (a doc
+    top-64 token vocabulary — the classic cheap quality filter (a doc
     mostly outside the head vocabulary is boilerplate, code, or noise).
     Plan: one token explode feeding BOTH the vocabulary top-k (partial
     agg + TakeOrdered) and the per-doc agg; the vocabulary joins back as
@@ -3060,8 +3060,8 @@ FROM (
 )
 def q_document_chunks(spark, sf):
     """Overlapping fixed-size chunking — the pre-embedding splitter:
-    {len}-char windows every {stride} chars, so consecutive chunks share
-    {len}-{stride} chars of context and the final window always reaches
+    200-char windows every 150 chars, so consecutive chunks share
+    50 chars of context and the final window always reaches
     the end of the document.  Pure map-side explode (sequence + substring
     — no shuffle, no Python); chunk count per doc is
     ceil(max(len-chunk,0)/stride)+1, identical in both engines."""
