@@ -3121,3 +3121,34 @@ def q_events_retention_cohorts(spark, sf):
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "events_trailing_hour_stats",
+    """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def q_events_trailing_hour_stats(spark, sf):
+    """Trailing ONE-HOUR window per user — a RANGE frame over event-time
+    microseconds, the value-based twin of events_moving_avg's ROWS
+    frame (a row's frame spans whatever number of events fell in the
+    last hour, ties included).  One shuffle on user_id; the frame sum
+    is an exact decimal so both engines agree bit-for-bit."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count("*").over(w).cast("long").alias("n_trailing_hour"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+        .alias("sum_trailing_hour"),
+    )
