@@ -24,17 +24,24 @@ def asof_join(
     right_payload: list[str],
     left_tie: str | None = None,
     right_tie: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """left columns + ``right_payload`` columns from the latest right row
-    at-or-before each left row's timestamp (inner: left rows with nothing
-    earlier on the right are dropped).
+    at-or-before each left row's timestamp (``direction="backward"``,
+    the default) or the EARLIEST right row at-or-after it
+    (``direction="forward"``).  Inner semantics: left rows with no
+    matching-side right row are dropped.
 
-    Determinism: rows order by (_ts, _side, _tie).  At equal timestamps
-    the right row sorts BEFORE the left row (side 0 < 1), so a right
-    event exactly at the left timestamp matches; ``left_tie`` /
-    ``right_tie`` (default: the ts column itself) break remaining ties —
-    pass a unique id column whenever timestamps can collide within a key.
+    Determinism: rows order by (_ts, _side, _tie) — time-reversed for
+    the forward direction, which is the same carried-last scan walked
+    from the future.  At equal timestamps the right row sorts BEFORE
+    the left row (side 0 < 1) in either direction, so a right event
+    exactly at the left timestamp matches; ``left_tie`` / ``right_tie``
+    (default: the ts column itself) break remaining ties — pass a
+    unique id column whenever timestamps can collide within a key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_tie = left_tie or left_ts
     right_tie = right_tie or right_ts
     lt_type = left.schema[left_tie].dataType
@@ -72,9 +79,13 @@ def asof_join(
             for c in l_cols
         ],
     )
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_tie").desc()]
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side", "_tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(

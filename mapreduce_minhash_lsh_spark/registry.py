@@ -3152,3 +3152,61 @@ def q_events_trailing_hour_stats(spark, sf):
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
         .alias("sum_trailing_hour"),
     )
+
+
+@register(
+    "purchases_with_next_view",
+    """WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS _ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _side,
+         event_id AS _tie,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS p_value,
+         CASE WHEN event_type = 'view'
+              THEN struct_pack(v_id := event_id, v_ts := epoch_us(ts)) END AS pay
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+carried AS (
+  SELECT user_id, _side, p_id, p_value,
+         last_value(pay IGNORE NULLS) OVER w AS m_pay,
+         _ts AS purchase_ts_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts DESC, _side ASC, _tie DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, p_id AS purchase_event_id, purchase_ts_us, p_value AS purchase_value,
+       (m_pay).v_id AS view_event_id, (m_pay).v_ts AS view_ts_us
+FROM carried
+WHERE _side = 1 AND m_pay IS NOT NULL""",
+)
+def q_purchases_with_next_view(spark, sf):
+    """FORWARD as-of join (operators/asof.py, direction='forward'):
+    each purchase matched to the same user's EARLIEST view at-or-after
+    it — the time-reversed twin of purchases_with_last_view, same
+    union + carried-window plan walked from the future."""
+    from mapreduce_minhash_lsh_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    return asof_join(
+        purchases, views,
+        key="user_id",
+        left_ts="purchase_ts_us", right_ts="view_ts_us",
+        right_payload=["view_event_id", "view_ts_us"],
+        left_tie="purchase_event_id", right_tie="view_event_id",
+        direction="forward",
+    ).select(
+        "user_id", "purchase_event_id", "purchase_ts_us", "purchase_value",
+        F.col("right_view_event_id").alias("view_event_id"),
+        F.col("right_view_ts_us").alias("view_ts_us"),
+    )

@@ -112,3 +112,55 @@ def test_uniform_range_join_equals_general(spark):
         for r in uniform_range_join(parts, bands, "p_retailprice", step=250.0).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_asof_forward_inclusive_and_inner(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, 10),   # matches right at 110 (earliest at-or-after)
+            (1, 250, 11),   # nothing at-or-after 250 -> dropped (inner)
+            (1, 110, 12),   # exact-timestamp tie -> matches right at 110
+            (2, 100, 20),   # matches right at 150, not user 1's rows
+        ],
+        ["user_id", "l_ts", "l_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, 110, 1100), (1, 200, 2000), (2, 150, 1500), (2, 90, 900)],
+        ["user_id", "r_ts", "r_id"],
+    )
+    got = {
+        r.l_id: r.right_r_id
+        for r in asof_join(
+            left, right,
+            key="user_id", left_ts="l_ts", right_ts="r_ts",
+            right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+            direction="forward",
+        ).collect()
+    }
+    assert got == {10: 1100, 12: 1100, 20: 1500}
+
+
+def test_asof_forward_picks_earliest_of_equal_right_timestamps(spark):
+    left = spark.createDataFrame([(1, 100, 1)], ["user_id", "l_ts", "l_id"])
+    right = spark.createDataFrame(
+        [(1, 110, 901), (1, 110, 902)], ["user_id", "r_ts", "r_id"]
+    )
+    rows = asof_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+        direction="forward",
+    ).collect()
+    # the reversed scan carries the LAST right row it passed: the
+    # smallest tie among equal timestamps
+    assert [r.right_r_id for r in rows] == [901]
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 1)], ["user_id", "l_ts", "l_id"])
+    with pytest.raises(ValueError):
+        asof_join(
+            left, left, key="user_id", left_ts="l_ts", right_ts="l_ts",
+            right_payload=["l_id"], direction="sideways",
+        )
