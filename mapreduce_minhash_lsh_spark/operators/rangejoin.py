@@ -64,3 +64,40 @@ def uniform_range_join(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str, a_hi: str,
+    b_lo: str, b_hi: str,
+    step: int,
+    extra_pred: F.Column | None = None,
+) -> DataFrame:
+    """Interval-vs-interval join: every (a, b) pair whose [lo, hi] ranges
+    overlap (inclusive) — the third range-join kind after point-in-grid
+    and point-in-broadcast-interval.
+
+    Scale formulation: both sides explode onto a bucket grid of width
+    ``step`` and hash-equi-join on the bucket — no broadcast, no nested
+    loop, works when BOTH interval tables are large.  A pair co-occupies
+    every bucket its overlap spans; it is emitted exactly once, in the
+    bucket where the LATER interval starts (``max(bucket(a_lo),
+    bucket(b_lo))``) — an arithmetic dedup, no ``distinct`` shuffle.
+    The exact overlap predicate is re-applied after the join, so results
+    are exact for any interval shapes; choose ``step`` near the typical
+    interval length (replication/interval ~ width/step + 1).
+
+    Column names of ``a`` and ``b`` must be disjoint; ``extra_pred``
+    (e.g. different-user) is applied with the overlap test.
+    """
+    bucket = lambda c: F.floor(F.col(c) / F.lit(step)).cast("long")  # noqa: E731
+    ea = a.withColumn("_bucket", F.explode(F.sequence(bucket(a_lo), bucket(a_hi))))
+    eb = b.withColumn("_bucket", F.explode(F.sequence(bucket(b_lo), bucket(b_hi))))
+    out = (
+        ea.join(eb, "_bucket")
+        .where((F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi)))
+        .where(F.col("_bucket") == F.greatest(bucket(a_lo), bucket(b_lo)))
+        .drop("_bucket")
+    )
+    return out.where(extra_pred) if extra_pred is not None else out

@@ -3210,3 +3210,63 @@ def q_purchases_with_next_view(spark, sf):
         F.col("right_view_event_id").alias("view_event_id"),
         F.col("right_view_ts_us").alias("view_ts_us"),
     )
+
+
+@register(
+    "concurrent_sessions",
+    """WITH d AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s2 AS (SELECT user_id, us,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       FROM flagged),
+sess AS (SELECT user_id, CAST(MIN(us) AS BIGINT) AS lo, CAST(MAX(us) AS BIGINT) AS hi
+         FROM s2 GROUP BY user_id, sid)
+SELECT a.user_id AS user_a, a.lo AS lo_a, b.user_id AS user_b, b.lo AS lo_b,
+       CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id""",
+)
+def q_concurrent_sessions(spark, sf):
+    """Interval-overlap self-join (operators/rangejoin.py:
+    interval_overlap_join): which users' 30-min-gap sessions overlapped
+    in wall-clock time, with the shared duration.  Sessions come from
+    the same lag/running-sum plan as events_sessionize; the overlap
+    join buckets both sides onto a 1-hour grid and equi-joins — no
+    broadcast, no nested loop, one arithmetic dedup — so it scales to
+    two LARGE interval tables.  All integers: engine-exact."""
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    from mapreduce_minhash_lsh_spark.plans.events import sessionize
+
+    s = sessionize(spark, sf).select(
+        "user_id",
+        F.col("start_us").cast("long").alias("lo"),
+        F.col("end_us").cast("long").alias("hi"),
+    )
+    a = s.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    b = s.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
+    out = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        step=3_600_000_000,
+        extra_pred=F.col("user_a") < F.col("user_b"),
+    )
+    return out.select(
+        "user_a", "lo_a", "user_b", "lo_b",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")).cast("long")
+        .alias("overlap_us"),
+    )
