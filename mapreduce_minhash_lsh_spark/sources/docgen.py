@@ -31,7 +31,12 @@ import hashlib
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LANGS = ("en", "es", "fr", "de", "zh")
 _VOCAB = (
@@ -92,6 +97,40 @@ class DocGenReader(DataSourceReader):
             yield (i, text, lang, source, len(text))
 
 
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the SAME seeded corpus arrives in micro-batches of
+    ``batch_rows`` ids per trigger until ``rows`` are emitted — a
+    replayable ingest feed for exercising the streaming jobs without a
+    directory of files.  Offsets are just the next doc_id, so replaying
+    any offset range regenerates byte-identical rows (exactly-once under
+    retries for free)."""
+
+    def __init__(self, options: dict):
+        self.inner = DocGenReader(options)
+        self.batch_rows = int(options.get("batch_rows", 100))
+        if self.batch_rows <= 0:
+            raise ValueError("batch_rows must be positive")
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        # materialized list, not a generator: the runner pickles the
+        # prefetched batch to replay it at execution; bounded by
+        # batch_rows so this is never large.
+        return list(self.inner.read(_Range(start, end)))
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.inner.rows)
+        if lo >= hi:
+            return iter([]), {"next": lo}
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+
 class DocGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -102,6 +141,9 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> DocGenStreamReader:
+        return DocGenStreamReader(self.options)
 
 
 def register_docgen(spark: SparkSession) -> None:

@@ -52,3 +52,21 @@ def test_planted_near_dups_found_by_flagship(spark):
 def test_option_validation(spark):
     with pytest.raises(Exception):
         _read(spark, rows=10, parts=0).count()
+
+
+def test_streamed_corpus_equals_batch_corpus(spark):
+    register_docgen(spark)
+    q = (
+        spark.readStream.format("docgen")
+        .option("rows", 250).option("batch_rows", 60).option("seed", 9)
+        .load()
+        .writeStream.format("memory").queryName("docgen_stream").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.table("docgen_stream")
+    batch = _read(spark, rows=250, seed=9)
+    assert streamed.count() == 250
+    assert (
+        streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count() == 0
+    )
