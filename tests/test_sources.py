@@ -205,3 +205,21 @@ def test_upsert_parquet_null_partition_merges(spark, tmp_path):
     updates = spark.createDataFrame([(3, None, 30)], "k long, part string, v long")
     upsert_parquet(spark, updates, path, ["k"], partition_col="part")
     assert _rows(spark, path) == {(1, None): 10, (2, "a"): 20, (3, None): 30}
+
+
+def test_observed_quality_rides_the_action(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.functions.monitor import observed_quality
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    watched, obs = observed_quality(docs, "docs_in", ["text", "lang"])
+    watched.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["null_text"] == 0 and got["null_lang"] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        observed_quality(docs, "x", ["no_such_col"])
