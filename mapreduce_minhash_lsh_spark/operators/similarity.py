@@ -100,6 +100,30 @@ def exact_jaccard(
     (operators/bandstore.py) persists the 8-byte ids rather than the
     strings, and the derivation here is a no-op for it.
     """
+    counts = pair_overlap_counts(pairs, doc_shingles, checkpoint_dir)
+    return (
+        counts.select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > 0)
+    )
+
+
+def pair_overlap_counts(
+    pairs: DataFrame,
+    doc_shingles: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, nc, na, nb): exact shingle-set intersection
+    and set sizes per candidate pair — the shared core of every
+    set-overlap measure (Jaccard in :func:`exact_jaccard`, containment
+    in :func:`containment_pairs`).  Plan shape documented on
+    exact_jaccard; the returned relation is already materialized."""
     if "sid" in doc_shingles.columns:
         ids = doc_shingles.select("doc_id", "sid")
     else:
@@ -141,18 +165,7 @@ def exact_jaccard(
             F.size("set_b").alias("nb"),
         )
     )
-    counts = _materialize(counts, checkpoint_dir)
-    return (
-        counts.select(
-            "doc_id_a",
-            "doc_id_b",
-            (
-                F.col("nc").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("nc"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") > 0)
-    )
+    return _materialize(counts, checkpoint_dir)
 
 
 def similar_pairs(
@@ -330,3 +343,37 @@ def symmetric_pairs(pairs: DataFrame) -> DataFrame:
         F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
     )
     return fwd.unionByName(rev).distinct()
+
+
+def containment_pairs(
+    docs: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Max-containment pairs among the flagship's LSH candidates:
+    ``nc / min(na, nb) >= threshold`` — the asymmetric quote/subset
+    measure (is the smaller document essentially contained in the
+    larger one?), which Jaccard under-scores whenever sizes differ.
+
+    RECALL CONTRACT: candidates still come from the MinHash banding +
+    signature prefilter, both tuned for Jaccard >= cfg.threshold — so
+    this finds high-containment pairs *among near-dup candidates*, not
+    every size-skewed subset pair (a tweet inside a novel has high
+    containment but Jaccard ~0 and will not band together).  That is
+    the honest scale trade: exhaustive containment needs a different
+    candidate generator (e.g. per-shingle postings intersection).
+    """
+    doc_shingles = explode_shingles(docs, cfg.k).persist()
+    sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
+    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
+    cands = _materialize(
+        signature_prefilter(cands, sig, cfg, cfg.threshold), checkpoint_dir
+    )
+    counts = pair_overlap_counts(cands, doc_shingles, checkpoint_dir)
+    return counts.select(
+        "doc_id_a",
+        "doc_id_b",
+        (F.col("nc").cast("double") / F.least("na", "nb")).alias("containment"),
+    ).where(F.col("containment") >= threshold)

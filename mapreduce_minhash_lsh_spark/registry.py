@@ -3270,3 +3270,28 @@ def q_concurrent_sessions(spark, sf):
         (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")).cast("long")
         .alias("overlap_us"),
     )
+
+
+@register(
+    "containment_pairs",
+    f"""WITH {_PIPELINE_CTES}
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS DOUBLE) / least(na.n, nb.n) AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / least(na.n, nb.n) >= 0.9""",
+)
+def q_containment_pairs(spark, sf):
+    """Max-containment (nc / min set size) >= 0.9 among the flagship's
+    LSH candidates — the asymmetric quote/subset measure Jaccard
+    under-scores for size-skewed pairs (operators/similarity.py:
+    containment_pairs, incl. the recall contract: candidates are still
+    banding-generated, tuned for Jaccard — exhaustive containment needs
+    a different candidate generator).  Oracle reuses the flagship CTE
+    chain with the containment formula over the same candidate set."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    return containment_pairs(load_table(spark, sf, "documents"), _CFG, 0.9)
