@@ -3295,3 +3295,104 @@ def q_containment_pairs(spark, sf):
     )
 
     return containment_pairs(load_table(spark, sf, "documents"), _CFG, 0.9)
+
+
+@register(
+    "quantity_price_correlation",
+    """WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS DECIMAL(38,0)) AS x,
+         CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM s""",
+)
+def q_quantity_price_correlation(spark, sf):
+    """Per-flag Pearson correlation computed FROM exact decimal moment
+    sums in a pinned expression — not the built-in corr(), whose
+    float accumulation order is partition-dependent.  The five moments
+    are exact decimals; the final formula is the same IEEE double
+    arithmetic in both engines, so the result is bit-reproducible at
+    any parallelism.  One partial-aggregated pass over the fact table."""
+    li = load_table(spark, sf, "lineitem")
+    # Correlation is invariant under linear scaling, so quantize both
+    # columns to centi-units first: every moment sum is then a SCALE-0
+    # decimal — exact in both engines (decimal multiply at non-zero
+    # scale rounds differently across engines at the 38-digit cap).
+    q = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "edit_distance_pairs",
+    f"""WITH {_PIPELINE_CTES},
+texts AS (SELECT doc_id, text FROM documents)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       CAST(length(ta.text) AS BIGINT) AS len_a,
+       CAST(length(tb.text) AS BIGINT) AS len_b
+FROM candf c
+JOIN texts ta ON ta.doc_id = c.doc_id_a
+JOIN texts tb ON tb.doc_id = c.doc_id_b""",
+)
+def q_edit_distance_pairs(spark, sf):
+    """Levenshtein distance over the flagship's LSH candidates — the
+    character-level verify measure (edit distance is O(len_a x len_b)
+    per pair, so it only ever runs on the banding-bounded candidate
+    list, never all pairs; same cost discipline as the Jaccard verify).
+    JVM levenshtein on the Spark side, DuckDB's on the oracle side —
+    integer-identical by definition of the metric."""
+    docs = load_table(spark, sf, "documents")
+    sh = explode_shingles(docs, _CFG.k).persist()
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        minhash_signatures_array,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        _materialize,
+        signature_prefilter,
+    )
+
+    sig = _materialize(minhash_signatures_array(sh, _CFG), None)
+    cands = candidate_pairs(compact_band_keys(sig, _CFG), _CFG)
+    cands = _materialize(
+        signature_prefilter(cands, sig, _CFG, _CFG.threshold), None
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("_tb"))
+    return (
+        cands.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+    )
