@@ -3396,3 +3396,43 @@ def q_edit_distance_pairs(spark, sf):
             F.length("_tb").cast("long").alias("len_b"),
         )
     )
+
+
+@register(
+    "events_sliding_windows",
+    """SELECT w_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value,
+         (epoch_us(ts) // 1800000000 - s) * 1800 AS w_start
+  FROM events, (SELECT unnest([0, 1]) AS s)
+)
+GROUP BY w_start, event_type""",
+)
+def q_events_sliding_windows(spark, sf):
+    """SLIDING 1-hour windows every 30 minutes per event type — each
+    event lands in exactly two windows (the two half-hour slots its
+    timestamp covers as a start).  Batch twin of the streaming
+    ``window(..., '1 hour', '30 minutes')`` semantics, expressed as an
+    explicit 2-element slide explode so the oracle reproduces every
+    window assignment exactly; epoch-second window starts, exact
+    decimal sums."""
+    e = load_table(spark, sf, "events")
+    us_per_slot = F.lit(1_800_000_000)
+    slot = (
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_slot)) / us_per_slot
+    ).cast("long")
+    s = F.explode(F.array(F.lit(0), F.lit(1))).alias("s")
+    ex = e.select("event_type", "value", slot.alias("slot"), s)
+    return (
+        ex.groupBy(
+            ((F.col("slot") - F.col("s")) * 1800).alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -334,3 +334,31 @@ def delete_from_parquet(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+
+
+def apply_cdc(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> None:
+    """Apply a change-data-capture batch to a parquet table: rows with
+    ``op`` 'I' or 'U' upsert by key, rows with 'D' delete their key —
+    the MERGE WHEN MATCHED/NOT MATCHED/DELETE triple over the two
+    primitives above.  Deletes win over same-batch upserts of the same
+    key (the batch's final intent).  Unknown op values raise."""
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    bad = [o for o in ops if o not in ("I", "U", "D")]
+    if bad:
+        raise ValueError(f"apply_cdc: unknown op values {bad}")
+    deletes = changes.where(F.col(op_col) == "D").select(*key_cols)
+    upserts = (
+        changes.where(F.col(op_col) != "D")
+        .join(deletes, key_cols, "left_anti")
+        .drop(op_col)
+    )
+    if upserts.limit(1).count():
+        upsert_parquet(spark, upserts, path, key_cols)
+    if deletes.limit(1).count():
+        delete_from_parquet(spark, path, deletes, key_cols)

@@ -223,3 +223,31 @@ def test_observed_quality_rides_the_action(spark, tmp_path):
 
     with pytest.raises(ValueError):
         observed_quality(docs, "x", ["no_such_col"])
+
+
+def test_apply_cdc_upserts_and_deletes(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.sources.tables import apply_cdc
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    base.write.parquet(path)
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "I"), (3, None, "D"), (5, "e", "U"), (5, None, "D")],
+        ["id", "v", "op"],
+    )
+    apply_cdc(spark, changes, path, ["id"])
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    # 2 updated, 4 inserted, 3 deleted, 5 delete-wins-over-upsert
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_cdc(
+            spark,
+            spark.createDataFrame([(1, "x", "Z")], ["id", "v", "op"]),
+            path,
+            ["id"],
+        )
