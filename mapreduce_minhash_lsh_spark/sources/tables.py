@@ -362,3 +362,22 @@ def apply_cdc(
         upsert_parquet(spark, upserts, path, key_cols)
     if deletes.limit(1).count():
         delete_from_parquet(spark, path, deletes, key_cols)
+
+
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Write ``df`` globally sorted by ``sort_cols`` without a
+    single-task sort: range-partition on the sort key (sampled range
+    boundaries, one shuffle), sort WITHIN each partition, write.  File
+    i holds a contiguous, non-overlapping key range below file i+1's,
+    so readers get total order by concatenating files in order and
+    min/max row-group stats prune range predicates maximally — the
+    standard layout step before handing a corpus to consumers."""
+    cols = [F.col(c) for c in sort_cols]
+    ranged = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -251,3 +251,32 @@ def test_apply_cdc_upserts_and_deletes(spark, tmp_path):
             path,
             ["id"],
         )
+
+
+def test_write_sorted_parquet_total_order(spark, tmp_path):
+    import glob
+    import os
+
+    from mapreduce_minhash_lsh_spark.sources.tables import (
+        load_table,
+        write_sorted_parquet,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(docs, path, ["doc_id"], n_files=4)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) > 1
+    ranges = []
+    total = 0
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids), f"{f} not internally sorted"
+        if ids:
+            ranges.append((ids[0], ids[-1]))
+            total += len(ids)
+    assert total == docs.count()
+    # files hold non-overlapping, ascending ranges
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
