@@ -3436,3 +3436,62 @@ def q_events_sliding_windows(spark, sf):
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "quantity_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_quantity_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the third grouping-analytics form next
+    to cube_quantity and rollup_quantity: the two single-dimension
+    marginals plus the grand total, WITHOUT the (flag, status) cross
+    cells a cube would add.  One pass, Spark expands the sets inside a
+    single aggregate; NULL grouping keys coalesced for unambiguous
+    cross-engine hashing."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                  COALESCE(l_linestatus, 'ALL') AS linestatus,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM _li_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@register(
+    "token_length_histogram",
+    f"""SELECT CAST(({_TOK_N_SQL}) // 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN({_TOK_N_SQL}) AS BIGINT) AS min_tokens,
+       CAST(MAX({_TOK_N_SQL}) AS BIGINT) AS max_tokens
+FROM documents WHERE length(text) > 0
+GROUP BY CAST(({_TOK_N_SQL}) // 8 AS BIGINT)""",
+)
+def q_token_length_histogram(spark, sf):
+    """Token-length distribution in 8-token buckets with per-bucket
+    min/max — the length-profile pass that sizes packing budgets and
+    length filters.  Map-side token count (same tokenization as
+    frequent_tokens / packing), one partial-aggregated groupBy."""
+    from mapreduce_minhash_lsh_spark.operators.packing import (
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    n = whitespace_token_count(F.col("text"))
+    return (
+        docs.select(n.alias("n_tokens"))
+        .groupBy(F.expr("n_tokens div 8").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
