@@ -3495,3 +3495,75 @@ def q_token_length_histogram(spark, sf):
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """SELECT l_partkey, l_suppkey, avg_price FROM (
+  SELECT l_partkey, l_suppkey, avg_price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY avg_price, l_suppkey) AS rn
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  )
+) WHERE rn = 1""",
+)
+def q_cheapest_supplier_per_part(spark, sf):
+    """Per-group ARGMIN with a deterministic tie-break (TPC-H Q2's core
+    shape, partsupp stood in by observed lineitem prices): aggregate to
+    (part, supplier) grain, then a row_number window picks each part's
+    cheapest supplier — ties resolve by suppkey, so the winner is
+    engine-exact (min_by/arg_min leave ties undefined).  The rank
+    filter compiles to WindowGroupLimit: map tasks emit one row per
+    part, never a full per-part sort."""
+    li = load_table(spark, sf, "lineitem")
+    grain = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_price", "l_suppkey")
+    return (
+        grain.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "avg_price")
+    )
+
+
+@register(
+    "user_lifetime_profile",
+    """SELECT user_id,
+       CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day,
+       CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+       CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id""",
+)
+def q_user_lifetime_profile(spark, sf):
+    """Per-user lifetime rollup: first/last active epoch-day, distinct
+    active days, event count, exact value total — the profile table
+    every engagement analysis starts from.  One shuffle on user_id;
+    COUNT(DISTINCT day) expands to the standard two-phase distinct
+    aggregate."""
+    e = load_table(spark, sf, "events")
+    us_per_day = F.lit(86_400_000_000)
+    day = (
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_day)) / us_per_day
+    ).cast("long")
+    return (
+        e.select("user_id", day.alias("day"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.countDistinct("day").cast("long").alias("active_days"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double")
+            .alias("total_value"),
+        )
+    )
