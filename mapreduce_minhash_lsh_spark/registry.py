@@ -3567,3 +3567,39 @@ def q_user_lifetime_profile(spark, sf):
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "user_first_last_event",
+    """SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       first_value(epoch_us(ts)) OVER w AS first_ts_us,
+       last_value(epoch_us(ts)) OVER w AS last_ts_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def q_user_first_last_event(spark, sf):
+    """first_value/last_value over an unbounded frame with an event_id
+    tie-break — each user's entry and exit event in one windowed pass
+    (the frame must be explicitly unbounded: last_value's default frame
+    ends at CURRENT ROW and silently returns the current row).  One
+    user_id shuffle; DISTINCT collapses the per-event rows to one per
+    user."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.first("ts_us").over(w).alias("first_ts_us"),
+            F.last("ts_us").over(w).alias("last_ts_us"),
+        )
+        .distinct()
+    )
