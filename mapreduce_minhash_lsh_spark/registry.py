@@ -3603,3 +3603,21 @@ def q_user_first_last_event(spark, sf):
         )
         .distinct()
     )
+
+
+@register(
+    "partkeys_both_years",
+    """SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997""",
+)
+def q_partkeys_both_years(spark, sf):
+    """Relation-level INTERSECT (the set op the reference never had):
+    parts shipped in both 1996 and 1997.  Spark compiles intersect()
+    to a distinct left-semi join — one shuffle per side on the full
+    row, no row fan-out."""
+    li = load_table(spark, sf, "lineitem")
+    y = F.year(F.col("l_shipdate").cast("timestamp"))
+    a = li.where(y == 1996).select("l_partkey")
+    b = li.where(y == 1997).select("l_partkey")
+    return a.intersect(b)
