@@ -164,3 +164,82 @@ def test_asof_rejects_unknown_direction(spark):
             left, left, key="user_id", left_ts="l_ts", right_ts="l_ts",
             right_payload=["l_id"], direction="sideways",
         )
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    """Seeded random intervals: the grid-bucketed overlap join must
+    produce exactly the naive cross-join-filter pair set, for step
+    sizes smaller, comparable, and larger than the interval widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    rows_a, rows_b = [], []
+    for i in range(120):
+        lo = rng.randint(-500, 500)
+        rows_a.append((i, lo, lo + rng.randint(0, 80)))
+    for j in range(90):
+        lo = rng.randint(-500, 500)
+        rows_b.append((j, lo, lo + rng.randint(0, 120)))
+    a = spark.createDataFrame(rows_a, ["a_id", "a_lo", "a_hi"])
+    b = spark.createDataFrame(rows_b, ["b_id", "b_lo", "b_hi"])
+    naive = {
+        (ra[0], rb[0])
+        for ra in rows_a
+        for rb in rows_b
+        if ra[1] <= rb[2] and rb[1] <= ra[2]
+    }
+    for step in (7, 64, 1000):
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_lo", "a_hi", "b_lo", "b_hi", step=step
+            ).collect()
+        }
+        assert got == naive, f"step={step}"
+
+
+def test_asof_join_equals_naive_both_directions(spark):
+    """Seeded random events: both as-of directions must equal the naive
+    per-row scan (backward: max (ts, tie) right at-or-before; forward:
+    min (ts, tie) right at-or-after)."""
+    import random
+
+    rng = random.Random(11)
+    lefts = [
+        (rng.randint(1, 5), rng.randint(0, 200), i) for i in range(150)
+    ]
+    rights = [
+        (rng.randint(1, 5), rng.randint(0, 200), 1000 + j) for j in range(100)
+    ]
+    left = spark.createDataFrame(lefts, ["k", "l_ts", "l_id"])
+    right = spark.createDataFrame(rights, ["k", "r_ts", "r_id"])
+
+    def naive(direction):
+        out = {}
+        for k, lts, lid in lefts:
+            if direction == "backward":
+                cand = [(rts, rid) for rk, rts, rid in rights if rk == k and rts <= lts]
+                if cand:
+                    out[lid] = max(cand)[1]
+            else:
+                cand = [(rts, rid) for rk, rts, rid in rights if rk == k and rts >= lts]
+                if cand:
+                    out[lid] = min(cand)[1]
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.l_id: r.right_r_id
+            for r in asof_join(
+                left, right, key="k", left_ts="l_ts", right_ts="r_ts",
+                right_payload=["r_id"], left_tie="l_id", right_tie="r_id",
+                direction=direction,
+            ).collect()
+        }
+        assert got == naive(direction), direction
