@@ -106,3 +106,44 @@ def test_greedy_packing_invariant_under_repartitioning(spark):
         docs.repartition(13, "lang"), ctx_len=CTX, n_shards=SHARDS
     )
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_equals_python_replay_on_random_docs(spark):
+    """Seeded random corpus: the distributed packing equals a plain
+    Python replay of the spec (md5 shard, (bucket, id) order, running
+    offset, floor-div chunk) — independent of the parquet corpus the
+    oracle checks."""
+    import hashlib
+    import random
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "", "delta epsilon", "zeta  eta theta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 6))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.shard, r.chunk_id, r.n_tokens, r.start_offset)
+        for r in pack_sequences(docs, ctx_len=10, n_shards=3).collect()
+    }
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"{doc_id}:42".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    import re
+
+    sized = []
+    for doc_id, text in rows:
+        if not text:
+            continue
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if toks:
+            sized.append((bucket(doc_id) % 3, bucket(doc_id), doc_id, len(toks)))
+    want = {}
+    offsets = {}
+    for shard, b, doc_id, n in sorted(sized):
+        off = offsets.get(shard, 0)
+        want[doc_id] = (shard, off // 10, n, off)
+        offsets[shard] = off + n
+    assert got == want
