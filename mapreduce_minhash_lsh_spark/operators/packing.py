@@ -155,5 +155,7 @@ def pack_sequences_greedy(
         out["chunk_id"] = pd.Series(chunks, dtype="int64")
         return out[[id_col, "shard", "chunk_id", "n_tokens"]]
 
-    schema = f"{id_col} long, shard long, chunk_id long, n_tokens long"
+    # id dtype follows the input (string ids work, not just long)
+    id_type = sized.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, shard long, chunk_id long, n_tokens long"
     return sized.groupBy("shard").applyInPandas(walk, schema=schema)

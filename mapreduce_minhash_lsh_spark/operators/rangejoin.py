@@ -91,7 +91,14 @@ def interval_overlap_join(
     Column names of ``a`` and ``b`` must be disjoint; ``extra_pred``
     (e.g. different-user) is applied with the overlap test.
     """
-    bucket = lambda c: F.floor(F.col(c) / F.lit(step)).cast("long")  # noqa: E731
+    # Exact integer floor division: F.floor(col / step) goes through a
+    # double and is inexact beyond 2^53 (nanosecond-epoch intervals),
+    # which would break the exact-bucket-equality dedup below.  pmod
+    # makes the numerator an exact multiple of step, so integer `div`
+    # (which truncates toward zero) equals true floor for any sign.
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"((`{c}` - pmod(`{c}`, {int(step)})) div {int(step)})"
+    ).cast("long")
     ea = a.withColumn("_bucket", F.explode(F.sequence(bucket(a_lo), bucket(a_hi))))
     eb = b.withColumn("_bucket", F.explode(F.sequence(bucket(b_lo), bucket(b_hi))))
     out = (

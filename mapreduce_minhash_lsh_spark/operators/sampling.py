@@ -147,7 +147,12 @@ def rebalance_to_uniform(
     broadcast back) + a map-side filter.  The counting pass disappears
     entirely when group counts are already known from catalog stats —
     pass-through of precomputed cuts is trivial to add then.
+
+    Rows with a NULL ``group_col`` are dropped (same contract as
+    hash_sample's NULL-key rows) and are excluded from the totals, so
+    they cannot deflate other groups' retention cuts.
     """
+    df = df.where(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("_n"))
     totals = counts.agg(
         F.sum("_n").cast("long").alias("_total"),

@@ -78,11 +78,13 @@ class DocGenReader(DataSourceReader):
             raise ValueError("need 0 < min_tokens <= max_tokens")
 
     def partitions(self) -> list[InputPartition]:
-        step = -(-self.rows // self.parts)  # ceil-div: ranges tile [0, rows)
+        # ceil-div, clamped to >=1 so rows=0 yields one empty range
+        # instead of range(0, 0, 0) raising ValueError.
+        step = max(1, -(-self.rows // self.parts))
         return [
             _Range(lo, min(lo + step, self.rows))
             for lo in range(0, self.rows, step)
-        ]
+        ] or [_Range(0, 0)]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):

@@ -204,6 +204,44 @@ def test_interval_overlap_join_equals_naive(spark):
         assert got == naive, f"step={step}"
 
 
+def test_interval_overlap_join_nanosecond_epochs(spark):
+    """Values beyond 2^53 (nanosecond epochs): bucket ids must come from
+    exact integer floor division — double-based floor(col/step) is
+    inexact there and the exact-bucket-equality dedup can then drop or
+    duplicate a pair."""
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = 1_700_000_000_000_000_000  # ~2023 in ns, well beyond 2^53
+    rng = random.Random(13)
+    rows_a, rows_b = [], []
+    for i in range(60):
+        lo = base + rng.randint(0, 10_000)
+        rows_a.append((i, lo, lo + rng.randint(0, 800)))
+    for j in range(60):
+        lo = base + rng.randint(0, 10_000)
+        rows_b.append((j, lo, lo + rng.randint(0, 800)))
+    a = spark.createDataFrame(rows_a, "a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame(rows_b, "b_id long, b_lo long, b_hi long")
+    naive = sorted(
+        (ra[0], rb[0])
+        for ra in rows_a
+        for rb in rows_b
+        if ra[1] <= rb[2] and rb[1] <= ra[2]
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", step=512
+        ).collect()
+    )
+    # sorted lists (not sets) so a double-emitted pair also fails
+    assert got == naive
+
+
 def test_asof_join_equals_naive_both_directions(spark):
     """Seeded random events: both as-of directions must equal the naive
     per-row scan (backward: max (ts, tie) right at-or-before; forward:

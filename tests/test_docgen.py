@@ -54,6 +54,12 @@ def test_option_validation(spark):
         _read(spark, rows=10, parts=0).count()
 
 
+def test_zero_rows_is_an_empty_frame(spark):
+    df = _read(spark, rows=0, parts=4)
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def test_streamed_corpus_equals_batch_corpus(spark):
     register_docgen(spark)
     q = (

@@ -108,6 +108,21 @@ def test_greedy_packing_invariant_under_repartitioning(spark):
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
 
 
+def test_greedy_packing_accepts_string_doc_ids(spark):
+    """The applyInPandas output schema derives the id field's dtype from
+    the input, so non-long (e.g. string URL) doc ids pack fine."""
+    from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences_greedy
+
+    rows = [(f"doc-{i:04d}", "alpha beta gamma " * (i % 5 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    packed = pack_sequences_greedy(docs, ctx_len=16, n_shards=3)
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    assert packed.count() == 60
+    fills = packed.groupBy("shard", "chunk_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+    assert fills.where((F.col("fill") > 16) & (F.col("n") > 1)).count() == 0
+
+
 def test_pack_sequences_equals_python_replay_on_random_docs(spark):
     """Seeded random corpus: the distributed packing equals a plain
     Python replay of the spec (md5 shard, (bucket, id) order, running

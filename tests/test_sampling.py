@@ -174,3 +174,26 @@ def test_rebalance_to_uniform_caps_overrepresented_groups(spark):
     again = rebalance_to_uniform(docs.repartition(17, "source"), "lang")
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
     assert again.count() == out.count()
+
+
+def test_rebalance_excludes_null_groups_from_totals(spark):
+    """NULL-group rows are dropped AND excluded from the totals — they
+    must not deflate other groups' retention cuts (NULL never equi-joins,
+    so counting them would silently shrink every kept group)."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import rebalance_to_uniform
+
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(1000 + i, "fr") for i in range(100)]
+    )
+    clean = spark.createDataFrame(rows, "doc_id long, lang string")
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(5000 + i, None) for i in range(400)], "doc_id long, lang string"
+        )
+    )
+    kept_clean = sorted(r.doc_id for r in rebalance_to_uniform(clean, "lang").collect())
+    kept_noisy = sorted(r.doc_id for r in rebalance_to_uniform(noisy, "lang").collect())
+    # identical keep-set: NULL rows neither survive nor shift the cuts
+    assert kept_clean == kept_noisy
+    assert all(d < 2000 for d in kept_noisy)
