@@ -75,45 +75,108 @@ def compact_band_keys(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame
     )
 
 
-def candidate_pairs(
-    bands: DataFrame,
-    cfg: MinHashLSHConfig,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """(doc_id, band, band_key) -> distinct (doc_id_a < doc_id_b) pairs.
-
-    ``max_bucket_size`` caps pathological buckets (near-identical boiler-
-    plate at web scale makes single buckets with 10^6 members -> 10^12
-    pairs); dropping them trades recall for survival and is standard
-    practice at 100 TB.  AQE skew-join handles moderate skew below the cap.
-    """
-    if max_bucket_size is not None:
-        sized = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
-        bands = (
-            bands.join(
-                sized.where(F.col("_n") <= max_bucket_size), ["band", "band_key"]
-            ).drop("_n")
-        )
+def _pairs_from(bands: DataFrame, keys: list[str]) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, ["band", "band_key"])
+        a.join(b, keys)
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .distinct()
     )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: MinHashLSHConfig,
+    max_bucket_size: int | None = None,
+    oversize: str = "drop",
+) -> DataFrame:
+    """(doc_id, band, band_key) -> distinct (doc_id_a < doc_id_b) pairs.
+
+    ``max_bucket_size`` bounds pathological buckets (near-identical
+    boilerplate at web scale makes single buckets with 10^6 members ->
+    10^12 pairs).  Two policies:
+
+    - ``oversize="drop"``: oversized buckets are discarded — trades
+      recall for survival.
+    - ``oversize="split"``: full recall with the SAME per-task bound.
+      Each oversized bucket's members are hashed into ``B = ceil(n /
+      max_bucket_size)`` sub-blocks (xxhash64 — uniform regardless of id
+      structure) and replicated to the B unordered block-pairs they
+      participate in — the triangle decomposition proven in
+      ``ann.cosine_pairs``.  The equi-join is then keyed by (band,
+      band_key, gi, gj), so per-join-key membership is <= 2 blocks ~
+      2*max_bucket_size rows and the quadratic work is sliced across
+      B*(B+1)/2 independent keys instead of one hot key.  An unordered
+      pair (p-block, q-block) co-occupies exactly one group when p != q;
+      intra-block pairs are claimed only by the diagonal group (gi==gj)
+      — so every pair is emitted exactly once before the final distinct.
+      Replication cost: n*B ~ n^2/cap rows per hot bucket — same order
+      as the pair output itself, i.e. the unavoidable price of full
+      recall, NOT an extra asymptotic term.
+
+    AQE skew-join handles moderate skew below the cap in both modes.
+    """
+    if max_bucket_size is None:
+        return _pairs_from(bands, ["band", "band_key"]).distinct()
+    if oversize not in ("drop", "split"):
+        raise ValueError("oversize must be 'drop' or 'split'")
+    sized = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+    bands = bands.join(sized, ["band", "band_key"])
+    small = _pairs_from(
+        bands.where(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["band", "band_key"],
+    )
+    if oversize == "drop":
+        return small.distinct()
+    nblk = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("int")
+    big = (
+        bands.where(F.col("_n") > max_bucket_size)
+        .select(
+            "doc_id", "band", "band_key",
+            F.pmod(F.xxhash64("doc_id"), nblk).cast("int").alias("blk"),
+            nblk.alias("_nblk"),
+        )
+        .select(
+            "doc_id", "band", "band_key", "blk",
+            F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)).alias("h"),
+        )
+        .select(
+            "doc_id", "band", "band_key", "blk",
+            F.least("blk", "h").alias("gi"),
+            F.greatest("blk", "h").alias("gj"),
+        )
+    )
+    a, b = big.alias("a"), big.alias("b")
+    big_pairs = (
+        a.join(b, ["band", "band_key", "gi", "gj"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # exactly-once claim: diagonal groups own intra-block pairs,
+        # off-diagonal groups own cross-block pairs
+        .where(
+            F.when(F.col("gi") == F.col("gj"), F.col("a.blk") == F.col("b.blk"))
+            .otherwise(F.col("a.blk") != F.col("b.blk"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+    )
+    return small.unionByName(big_pairs).distinct()
 
 
 def lsh_candidates(
     doc_shingles: DataFrame,
     cfg: MinHashLSHConfig,
     max_bucket_size: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """(doc_id, shingle) -> candidate pairs, end to end."""
     return candidate_pairs(
         compact_band_keys(minhash_signatures(doc_shingles, cfg), cfg),
         cfg,
         max_bucket_size,
+        oversize,
     )

@@ -174,6 +174,7 @@ def similar_pairs(
     threshold: float | None = None,
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """documents(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= threshold).
 
@@ -201,7 +202,7 @@ def similar_pairs(
     # each action consumes it through exactly one branch.
     doc_shingles = explode_shingles(docs, cfg.k).persist()
     return similar_pairs_from_shingles(
-        doc_shingles, cfg, threshold, max_bucket_size, checkpoint_dir
+        doc_shingles, cfg, threshold, max_bucket_size, checkpoint_dir, oversize
     )
 
 
@@ -211,6 +212,7 @@ def similar_pairs_from_shingles(
     threshold: float | None = None,
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """The flagship pipeline over an arbitrary (doc_id, shingle)
     relation — the shingle UNIT is orthogonal to the MinHash/LSH/verify
@@ -221,7 +223,7 @@ def similar_pairs_from_shingles(
     expensive."""
     threshold = cfg.threshold if threshold is None else threshold
     sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
+    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size, oversize)
     cands = _materialize(
         signature_prefilter(cands, sig, cfg, threshold), checkpoint_dir
     )
@@ -351,6 +353,7 @@ def containment_pairs(
     threshold: float = 0.9,
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Max-containment pairs among the flagship's LSH candidates:
     ``nc / min(na, nb) >= threshold`` — the asymmetric quote/subset
@@ -367,7 +370,7 @@ def containment_pairs(
     """
     doc_shingles = explode_shingles(docs, cfg.k).persist()
     sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size)
+    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size, oversize)
     cands = _materialize(
         signature_prefilter(cands, sig, cfg, cfg.threshold), checkpoint_dir
     )

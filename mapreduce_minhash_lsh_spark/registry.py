@@ -349,6 +349,25 @@ def q_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "candidate_pairs_split",
+    f"WITH {_SH_CTE}, {_VOCAB_CTE}, {_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE} "
+    "SELECT doc_id_a, doc_id_b FROM cand",
+)
+def q_candidate_pairs_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-bucket triangle-split candidates (lsh.py:candidate_pairs
+    oversize='split'): a tiny cap forces most buckets through the split
+    path, and the oracle is the UNCAPPED candidate SQL — split mode is
+    full-recall by construction, and this proves it on the real corpus."""
+    sh = explode_shingles(load_table(spark, sf, "documents"), _CFG.k)
+    return candidate_pairs(
+        compact_band_keys(minhash_signatures(sh, _CFG), _CFG),
+        _CFG,
+        max_bucket_size=3,
+        oversize="split",
+    )
+
+
+@register(
     "similar_pairs",
     f"WITH {_PIPELINE_CTES} "
     f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}",

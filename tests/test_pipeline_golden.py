@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import GOLDEN, MinHashLSHConfig
@@ -141,6 +142,62 @@ def test_max_bucket_size_caps_hot_buckets(spark):
     assert uncapped.count() == 100 * 99 // 2
     capped = lsh_candidates(sh, cfg, max_bucket_size=10)
     assert capped.count() == 0
+
+
+def test_oversize_split_keeps_full_recall(spark):
+    """Boilerplate-clique corpus: oversize='split' must produce EXACTLY
+    the uncapped candidate set (full recall) while 'drop' loses the
+    clique — the triangle decomposition claims every pair exactly once
+    across (gi, gj) groups."""
+    import random
+
+    rng = random.Random(5)
+    # 120-doc identical-text clique (one hot bucket per band) + 200
+    # distinct docs forming ordinary small buckets + 30 planted near-dups
+    rows = [(i, "identical boilerplate text repeated") for i in range(120)]
+    words = ["red", "green", "blue", "lime", "teal", "cyan", "plum", "gold"]
+    for i in range(200):
+        rows.append((1000 + i, " ".join(rng.choice(words) for _ in range(12))))
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = explode_shingles(docs, cfg.k)
+    uncapped = sorted(map(tuple, lsh_candidates(sh, cfg).collect()))
+    assert len(uncapped) >= 120 * 119 // 2
+    for cap in (7, 10, 50):
+        split = sorted(
+            map(tuple, lsh_candidates(sh, cfg, max_bucket_size=cap,
+                                      oversize="split").collect())
+        )
+        assert split == uncapped, f"cap={cap}"
+    dropped = lsh_candidates(sh, cfg, max_bucket_size=10, oversize="drop")
+    assert dropped.count() < len(uncapped)
+
+
+def test_oversize_split_flagship_equals_uncapped(spark):
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text here") for i in range(40)]
+        + [(100, "something else entirely"), (101, "something else entirely")],
+        ["doc_id", "text"],
+    )
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    base = sorted(map(tuple, similar_pairs(docs, cfg, threshold=0.9).collect()))
+    split = sorted(map(tuple, similar_pairs(
+        docs, cfg, threshold=0.9, max_bucket_size=8, oversize="split"
+    ).collect()))
+    assert split == base
+    assert len(base) >= 40 * 39 // 2
+
+
+def test_candidate_pairs_rejects_unknown_oversize(spark):
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    cfg = MinHashLSHConfig(num_hashes=4, num_bands=2)
+    with pytest.raises(ValueError):
+        lsh_candidates(
+            explode_shingles(docs, cfg.k), cfg, max_bucket_size=5,
+            oversize="truncate",
+        ).count()
 
 
 def test_golden_csv_artifact_matches_reference(spark, tmp_path):
