@@ -54,6 +54,13 @@ HEADLINE = [
     "vocab_coverage",
     "q7_nation_trade_volume",
     "streaming_view_clicks",
+    # Heavy round-3 additions (VERDICT r3 #4): benched so regressions in
+    # them are visible round-over-round.
+    "containment_pairs",
+    "packed_sequences_greedy",
+    "word_similar_pairs",
+    "events_retention_cohorts",
+    "quantity_price_correlation",
 ]
 
 

@@ -21,8 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.operators.lsh import band_keys, candidate_pairs
-from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures
+from mapreduce_minhash_lsh_spark.operators.lsh import bands_for, candidate_pairs
+from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 from mapreduce_minhash_lsh_spark.session import get_spark
@@ -49,12 +49,15 @@ def main() -> None:
     big = big.repartition(64).localCheckpoint(eager=True)
     n_docs = big.count()
 
+    # Full production strategy: map-side xxhash shingle ids AND xxhash
+    # band keys (no band-key strings, no md5) — what a 100 TB run uses.
     cfg = MinHashLSHConfig(
-        num_hashes=128, num_bands=8, threshold=0.8, id_strategy="xxhash"
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
     )
     t0 = time.perf_counter()
     sh = explode_shingles(big, cfg.k).persist()
-    cands = candidate_pairs(band_keys(minhash_signatures(sh, cfg), cfg), cfg)
+    cands = candidate_pairs(bands_for(minhash_signatures_array(sh, cfg), cfg), cfg)
     n_cands = cands.count()
     t_cand = time.perf_counter() - t0
     # Steady-state end-to-end run: drop the probe's own caches, then

@@ -44,12 +44,26 @@ class MinHashLSHConfig:
     # 'xxhash': shingle id = xxhash64(shingle) mod p (cheapest per row;
     #   not SQL-oracle-checkable — no xxhash64 in DuckDB).
     id_strategy: str = "rank"
+    # Band-bucket key hash for the candidate join (operators/lsh.py):
+    # 'md5': 60-bit md5 prefix of the comma-joined band values —
+    #   engine-portable, so the DuckDB oracle buckets identically; the
+    #   default for every checked query.
+    # 'xxhash': one xxhash64 over (band index, the band's r minhash
+    #   longs) — no string materialization, no crypto hash; the
+    #   production path.  Collisions only ADD candidates, and exact
+    #   verification scores them, so verified output is unchanged
+    #   (pinned by tests/test_pipeline_golden.py).
+    band_key_strategy: str = "md5"
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.num_bands != 0:
             raise ValueError("num_hashes must be divisible by num_bands")
         if self.id_strategy not in ("rank", "md5", "xxhash"):
             raise ValueError(f"unknown id_strategy {self.id_strategy!r}")
+        if self.band_key_strategy not in ("md5", "xxhash"):
+            raise ValueError(
+                f"unknown band_key_strategy {self.band_key_strategy!r}"
+            )
 
     @property
     def rows_per_band(self) -> int:

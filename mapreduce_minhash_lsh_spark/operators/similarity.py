@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 from mapreduce_minhash_lsh_spark.operators.lsh import (
+    bands_for,
     candidate_pairs,
-    compact_band_keys,
 )
 from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
@@ -223,7 +223,7 @@ def similar_pairs_from_shingles(
     expensive."""
     threshold = cfg.threshold if threshold is None else threshold
     sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size, oversize)
+    cands = candidate_pairs(bands_for(sig, cfg), cfg, max_bucket_size, oversize)
     cands = _materialize(
         signature_prefilter(cands, sig, cfg, threshold), checkpoint_dir
     )
@@ -301,7 +301,7 @@ def cross_corpus_pairs(
     sig_seen = _materialize(minhash_signatures_array(sh_seen, cfg), checkpoint_dir)
 
     def _bands(sig: DataFrame) -> DataFrame:
-        b = compact_band_keys(sig, cfg)
+        b = bands_for(sig, cfg)
         if max_bucket_size is not None:
             sized = b.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
             b = b.join(
@@ -370,11 +370,65 @@ def containment_pairs(
     """
     doc_shingles = explode_shingles(docs, cfg.k).persist()
     sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(compact_band_keys(sig, cfg), cfg, max_bucket_size, oversize)
+    cands = candidate_pairs(bands_for(sig, cfg), cfg, max_bucket_size, oversize)
     cands = _materialize(
         signature_prefilter(cands, sig, cfg, cfg.threshold), checkpoint_dir
     )
     counts = pair_overlap_counts(cands, doc_shingles, checkpoint_dir)
+    return counts.select(
+        "doc_id_a",
+        "doc_id_b",
+        (F.col("nc").cast("double") / F.least("na", "nb")).alias("containment"),
+    ).where(F.col("containment") >= threshold)
+
+
+def containment_pairs_postings(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int = 64,
+    min_common: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exhaustive high-containment pairs via RARE-SHINGLE POSTINGS
+    intersection — the candidate generator :func:`containment_pairs`
+    (Jaccard-banded) cannot provide: a tweet quoted inside a novel has
+    containment ~1 but Jaccard ~0 and never bands with it.
+
+    Candidates: every (a < b) pair sharing >= ``min_common`` shingles
+    whose corpus document frequency is in [2, ``max_df``].  The posting
+    self-join's work is sum over rare shingles of df^2 <= max_df *
+    |rare postings| — LINEAR in corpus size for a fixed cap, never
+    all-pairs; df > max_df shingles are both the scale valve and a
+    precision filter (boilerplate k-grams would pair everything).
+    Explicit recall contract: a contained pair is missed only when its
+    overlap holds fewer than ``min_common`` corpus-rare shingles — i.e.
+    the contained text is itself pure boilerplate, exactly the case
+    where "containment" carries no signal.
+
+    Verification is exact: ``nc / min(na, nb)`` on the FULL shingle
+    sets, built only for candidate docs (pair_overlap_counts).
+    """
+    sh = explode_shingles(docs, k).persist()
+    ids = sh.select("doc_id", md5_long(F.col("shingle")).alias("sid"))
+    dfreq = ids.groupBy("sid").agg(F.count("*").alias("_df"))
+    rare = ids.join(
+        dfreq.where((F.col("_df") >= 2) & (F.col("_df") <= max_df)), "sid"
+    ).select("doc_id", "sid")
+    a, b = rare.alias("a"), rare.alias("b")
+    cands = (
+        a.join(b, "sid")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("_nshared"))
+        .where(F.col("_nshared") >= min_common)
+        .select("doc_id_a", "doc_id_b")
+    )
+    cands = _materialize(cands, checkpoint_dir)
+    counts = pair_overlap_counts(cands, sh, checkpoint_dir)
     return counts.select(
         "doc_id_a",
         "doc_id_b",

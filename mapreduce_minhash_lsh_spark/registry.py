@@ -3317,6 +3317,57 @@ def q_containment_pairs(spark, sf):
 
 
 @register(
+    "containment_pairs_postings",
+    f"""WITH {_SH_CTE},
+sid AS (SELECT doc_id, ({_md5_parse_sql("shingle")}) AS sid FROM sh),
+dfreq AS (SELECT sid, count(*) AS df FROM sid GROUP BY sid),
+rare AS (
+  SELECT s.doc_id, s.sid FROM sid s JOIN dfreq d USING (sid)
+  WHERE d.df BETWEEN 2 AND 64
+),
+pcand AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM rare a JOIN rare b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS nc
+  FROM pcand c
+  JOIN sh sa ON sa.doc_id = c.doc_id_a
+  JOIN sh sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_id_a, c.doc_id_b
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.nc AS DOUBLE) / least(na.n, nb.n) AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.nc AS DOUBLE) / least(na.n, nb.n) >= 0.9""",
+)
+def q_containment_pairs_postings(spark, sf):
+    """EXHAUSTIVE high-containment pairs via rare-shingle postings
+    intersection (similarity.py:containment_pairs_postings) — closes the
+    recall hole `containment_pairs` documents: a short text quoted
+    inside a long one (containment ~1, Jaccard ~0) never bands with it,
+    but DOES share its corpus-rare shingles.  Candidates = pairs sharing
+    >= 2 shingles of document frequency in [2, 64]; work is bounded by
+    max_df * |rare postings| (linear for fixed cap), never all-pairs;
+    verification is exact containment on the full sets.  The oracle
+    replays the identical df window, md5 postings buckets, and
+    containment formula."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        containment_pairs_postings,
+    )
+
+    return containment_pairs_postings(
+        load_table(spark, sf, "documents"), k=_CFG.k, threshold=0.9,
+        max_df=64, min_common=2,
+    )
+
+
+@register(
     "quantity_price_correlation",
     """WITH q AS (
   SELECT l_returnflag,

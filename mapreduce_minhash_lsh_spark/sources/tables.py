@@ -348,19 +348,27 @@ def apply_cdc(
     the MERGE WHEN MATCHED/NOT MATCHED/DELETE triple over the two
     primitives above.  Deletes win over same-batch upserts of the same
     key (the batch's final intent).  Unknown op values raise."""
-    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
-    bad = [o for o in ops if o not in ("I", "U", "D")]
+    # One action plans op validation AND both emptiness probes (the
+    # op domain is <= 3 rows; this replaces two limit(1).count()s plus a
+    # distinct().collect() with a single ~3-row groupBy).
+    op_counts = {
+        r[0]: r[1]
+        for r in changes.groupBy(op_col).count().collect()
+    }
+    bad = [o for o in op_counts if o not in ("I", "U", "D")]
     if bad:
         raise ValueError(f"apply_cdc: unknown op values {bad}")
+    n_deletes = op_counts.get("D", 0)
+    n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
     deletes = changes.where(F.col(op_col) == "D").select(*key_cols)
     upserts = (
         changes.where(F.col(op_col) != "D")
         .join(deletes, key_cols, "left_anti")
         .drop(op_col)
     )
-    if upserts.limit(1).count():
+    if n_upserts:
         upsert_parquet(spark, upserts, path, key_cols)
-    if deletes.limit(1).count():
+    if n_deletes:
         delete_from_parquet(spark, path, deletes, key_cols)
 
 

@@ -68,6 +68,27 @@ def test_flagship_reliable_checkpoint_identical(spark, golden_docs, tmp_path):
     assert sorted(default, key=key) == sorted(reliable, key=key)
 
 
+def test_reliable_checkpoint_files_are_load_bearing(spark, golden_docs, tmp_path):
+    """Failure-recovery evidence for SCALE.md §8: _materialize with a
+    checkpoint_dir must (a) write RDD checkpoint files under the dir and
+    (b) serve later actions FROM them, not from lineage — proven by
+    deleting the original input and re-counting.  localCheckpoint blocks
+    die with their executor; these files don't."""
+    import shutil
+
+    from mapreduce_minhash_lsh_spark.operators.similarity import _materialize
+
+    src = str(tmp_path / "src")
+    golden_docs.write.parquet(src)
+    df = spark.read.parquet(src).select("doc_id")
+    ck = _materialize(df, str(tmp_path / "ckpt"))
+    files = [p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()]
+    assert files, "no checkpoint files written under checkpoint_dir"
+    shutil.rmtree(src)  # simulate losing the upstream data
+    assert ck.count() == 5  # reads the checkpoint, lineage source is gone
+    assert sorted(r.doc_id for r in ck.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_symmetric_output_contract(spark, golden_docs):
     """Job 3 emits both directions (4 rows for 2 pairs)."""
     sym = symmetric_pairs(similar_pairs(golden_docs, GOLDEN))
@@ -188,6 +209,110 @@ def test_oversize_split_flagship_equals_uncapped(spark):
     ).collect()))
     assert split == base
     assert len(base) >= 40 * 39 // 2
+
+
+def test_xxhash_band_strategy_identical_output(spark, golden_docs):
+    """band_key_strategy='xxhash' (production: no string build, no md5)
+    must yield the SAME candidate set and the SAME verified pairs as the
+    oracle-portable md5 path — docs with equal band slices get equal keys
+    under any hash, and a 64-bit collision could only ADD a candidate
+    that exact verification then scores."""
+    import dataclasses
+
+    from mapreduce_minhash_lsh_spark.operators.lsh import bands_for, candidate_pairs
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        minhash_signatures_array,
+    )
+
+    xx = dataclasses.replace(GOLDEN, band_key_strategy="xxhash")
+    sh = explode_shingles(golden_docs, GOLDEN.k)
+    sig = minhash_signatures_array(sh, GOLDEN)
+    cands_md5 = sorted(
+        map(tuple, candidate_pairs(bands_for(sig, GOLDEN), GOLDEN).collect())
+    )
+    cands_xx = sorted(
+        map(tuple, candidate_pairs(bands_for(sig, xx), xx).collect())
+    )
+    assert cands_xx == cands_md5
+
+    key = lambda r: (r.doc_id_a, r.doc_id_b)
+    want = sorted(similar_pairs(golden_docs, GOLDEN).collect(), key=key)
+    got = sorted(similar_pairs(golden_docs, xx).collect(), key=key)
+    assert got == want
+    assert {(r.doc_id_a, r.doc_id_b) for r in got} == GOLDEN_PAIRS
+
+
+def test_xxhash_band_strategy_wide_and_array_forms_agree(spark, golden_docs):
+    """xxhash_band_keys must hash identical values whether the signature
+    arrives in array form (sig) or wide form (mh_0..mh_{n-1})."""
+    from mapreduce_minhash_lsh_spark.operators.lsh import xxhash_band_keys
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        minhash_signatures_array,
+    )
+
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    sh = explode_shingles(golden_docs, cfg.k)
+    wide = xxhash_band_keys(minhash_signatures(sh, cfg), cfg)
+    arr = xxhash_band_keys(minhash_signatures_array(sh, cfg), cfg)
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, arr.collect()))
+
+
+def test_containment_postings_finds_planted_subset(spark):
+    """A short doc quoted verbatim inside a long doc has containment 1.0
+    but Jaccard ~ len_short/len_long — the banded generator misses it
+    (that's its documented recall contract); the postings generator must
+    find it.  Unrelated docs must NOT pair."""
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        containment_pairs,
+        containment_pairs_postings,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    short = "the quick brown fox jumps over the lazy dog"
+    long_text = (
+        "".join(rng.choice(alphabet) for _ in range(300))
+        + short
+        + "".join(rng.choice(alphabet) for _ in range(300))
+    )
+    other = "".join(rng.choice(alphabet) for _ in range(200))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_text), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in containment_pairs_postings(docs, k=3, threshold=0.9).collect()
+    }
+    # containment slightly below 1: the short doc's final pad-to-k
+    # shingles ("g  ") occur at its end but mid-text in the long doc
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (1, 3) not in got and (2, 3) not in got
+
+    cfg = MinHashLSHConfig(num_hashes=128, num_bands=8, threshold=0.8, seed=42)
+    banded = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in containment_pairs(docs, cfg, 0.9).collect()
+    }
+    assert (1, 2) not in banded  # the hole the postings generator closes
+
+
+def test_containment_postings_max_df_valve(spark):
+    """Shingles above max_df generate no candidates: a corpus where every
+    shared shingle is corpus-common yields nothing (the scale valve), and
+    lowering min_common/raising max_df brings the pairs back."""
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        containment_pairs_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text") for i in range(10)], ["doc_id", "text"]
+    )
+    none = containment_pairs_postings(docs, k=3, threshold=0.9, max_df=5)
+    assert none.count() == 0  # every shingle has df=10 > 5
+    allp = containment_pairs_postings(docs, k=3, threshold=0.9, max_df=10)
+    assert allp.count() == 10 * 9 // 2
 
 
 def test_candidate_pairs_rejects_unknown_oversize(spark):
