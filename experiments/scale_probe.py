@@ -21,10 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.operators.lsh import bands_for, candidate_pairs
-from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
+from mapreduce_minhash_lsh_spark.operators.lsh import banded_pairs
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
-from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+from mapreduce_minhash_lsh_spark.operators.similarity import (
+    signature_set_relation,
+    similar_pairs,
+)
 from mapreduce_minhash_lsh_spark.session import get_spark
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 
@@ -56,9 +58,8 @@ def main() -> None:
         id_strategy="xxhash", band_key_strategy="xxhash",
     )
     t0 = time.perf_counter()
-    sh = explode_shingles(big, cfg.k).persist()
-    cands = candidate_pairs(bands_for(minhash_signatures_array(sh, cfg), cfg), cfg)
-    n_cands = cands.count()
+    rel = signature_set_relation(explode_shingles(big, cfg.k), cfg)
+    n_cands = banded_pairs(rel, cfg).count()
     t_cand = time.perf_counter() - t0
     # Steady-state end-to-end run: drop the probe's own caches, then
     # WARM the pipeline's generated code on the base corpus before
@@ -67,7 +68,6 @@ def main() -> None:
     # compilation and old-gen GC, not throughput; any long-running
     # deployment amortizes it to zero, so the probe reports the number
     # that scales.
-    sh.unpersist()
     spark.catalog.clearCache()
     similar_pairs(base, cfg).count()
     spark.catalog.clearCache()

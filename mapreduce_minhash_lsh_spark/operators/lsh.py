@@ -115,6 +115,77 @@ def bands_for(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     return compact_band_keys(signatures, cfg)
 
 
+def _key_array(signatures: DataFrame, cfg: MinHashLSHConfig):
+    """Column: array of num_bands compact band keys (one long per band),
+    under cfg.band_key_strategy — the per-doc band-key vector."""
+    r = cfg.rows_per_band
+    if "sig" in signatures.columns:
+        def cols(band: int) -> list:
+            return [F.col("sig")[band * r + i] for i in range(r)]
+        def joined(band: int):
+            return F.array_join(
+                F.transform(
+                    F.slice("sig", band * r + 1, r), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+    else:
+        def cols(band: int) -> list:
+            return [F.col(f"mh_{band * r + i}") for i in range(r)]
+        def joined(band: int):
+            return F.concat_ws(",", *cols(band))
+    if cfg.band_key_strategy == "xxhash":
+        return F.array(*[
+            F.xxhash64(F.lit(band), *cols(band)) for band in range(cfg.num_bands)
+        ])
+    return F.array(*[md5_long(joined(band)) for band in range(cfg.num_bands)])
+
+
+def banded_pairs(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """Uncapped candidate pairs WITHOUT the global distinct: each pair is
+    emitted exactly once, by its LOWEST agreeing band.
+
+    ``candidate_pairs`` emits a pair once per agreeing band and
+    deduplicates with a ``.distinct()`` — for near-identical docs all b
+    bands agree, so the distinct shuffles ~b rows per true pair (the
+    widest shuffle of the flagship at the 10x probe).  Here each band
+    row carries the doc's full band-key vector (b longs — +~64 B on the
+    band relation, negligible), and after the equi-join a codegen'd
+    CASE-over-band filter keeps the match only if NO earlier band also
+    matched.  Two docs can match a given band in exactly one bucket
+    (the bucket IS their shared key), so "lowest agreeing band" is
+    unique — each pair survives exactly once and the distinct (a full
+    shuffle + hash-dedup of the pair fan-out) disappears.
+
+    Only for the UNCAPPED path: with ``max_bucket_size`` dropping
+    oversized buckets, a pair whose lowest agreeing band was dropped
+    would be suppressed in its surviving later band (the filter checks
+    key equality, not bucket survival) — ``candidate_pairs`` keeps the
+    distinct-based form for the capped modes.
+    """
+    bands = signatures.select(
+        "doc_id", _key_array(signatures, cfg).alias("keys")
+    ).select("doc_id", "keys", F.posexplode("keys").alias("band", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    # CASE band WHEN i: did any band j < i match?  Plain getItem+OR chains
+    # stay inside whole-stage codegen (no higher-order functions).
+    not_earlier = F.when(F.col("band") == 0, F.lit(True))
+    for bi in range(1, cfg.num_bands):
+        earlier = F.col("a.keys")[0] == F.col("b.keys")[0]
+        for j in range(1, bi):
+            earlier = earlier | (F.col("a.keys")[j] == F.col("b.keys")[j])
+        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(not_earlier)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+    )
+
+
 def _pairs_from(bands: DataFrame, keys: list[str]) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (

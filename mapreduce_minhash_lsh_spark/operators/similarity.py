@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+from mapreduce_minhash_lsh_spark.functions.hashing import affine_hash, md5_long
 from mapreduce_minhash_lsh_spark.operators.lsh import (
+    banded_pairs,
     bands_for,
     candidate_pairs,
 )
@@ -168,6 +169,116 @@ def pair_overlap_counts(
     return _materialize(counts, checkpoint_dir)
 
 
+def signature_set_relation(
+    doc_shingles: DataFrame,
+    cfg: MinHashLSHConfig,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, sig: array<long>, sh_set: array<long>) in ONE shuffle.
+
+    The signature mins and the exact-verify shingle sets both need the
+    shingle relation grouped by doc_id; computing them in one aggregate
+    halves the passes over the widest relation of the pipeline (and with
+    it, the only reason ``similar_pairs`` ever persisted the shingle
+    relation — it is now consumed exactly once).  sh_set ids are 60-bit
+    md5 (the oracle-certified intersection contract — see exact_jaccard)
+    except under the 'xxhash' id strategy, where the whole pipeline is
+    off the oracle and xxhash64 is cheaper.
+
+    The relation feeds the band join AND both payload sides of the
+    verify join within one action, so it is eagerly materialized
+    (cold-cache branch race — SCALE.md §1).
+    """
+    if cfg.id_strategy == "xxhash":
+        sid = F.xxhash64(F.col("shingle"))
+    else:
+        sid = md5_long(F.col("shingle"))
+    # Both shingle_id (minhash domain) and sid (set-intersection id)
+    # derive map-side from the shingle string — one projection, no join
+    # — except 'rank', whose dense ids need the vocabulary join.
+    if cfg.id_strategy == "rank":
+        from mapreduce_minhash_lsh_spark.operators.shingling import vocabulary
+
+        base = (
+            doc_shingles.select("doc_id", "shingle", sid.alias("sid"))
+            .join(vocabulary(doc_shingles), "shingle")
+            .select("doc_id", "shingle_id", "sid")
+        )
+    else:
+        from mapreduce_minhash_lsh_spark.functions.hashing import (
+            md5_id,
+            xxhash_id,
+        )
+
+        mk = md5_id if cfg.id_strategy == "md5" else xxhash_id
+        base = doc_shingles.select(
+            "doc_id",
+            mk(F.col("shingle"), cfg.prime).alias("shingle_id"),
+            sid.alias("sid"),
+        )
+    aggs = [
+        F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(cfg.hash_params())
+    ]
+    aggs.append(F.collect_set("sid").alias("sh_set"))
+    rel = base.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)]).alias("sig"),
+        "sh_set",
+    )
+    return _materialize(rel, checkpoint_dir)
+
+
+def fused_overlap_counts(
+    pairs: DataFrame,
+    rel: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, nc, na, nb) with the signature-agreement
+    prefilter FUSED into the verify join: one pair of joins attaches
+    (sig, sh_set) payloads, the integer agreement cutoff is evaluated
+    first, and ``array_intersect`` runs only on survivors (nc = -1
+    marks prefilter-rejected pairs).  Versus the two-stage form this
+    saves two joins over the candidate list and one materialization
+    barrier; the exact-verification semantics (EST_SLACK cutoff, md5-id
+    intersection) are unchanged.  Materialized for the same
+    re-evaluation reason as pair_overlap_counts."""
+    cut = min_agree(cfg, threshold)
+    pa = rel.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sh_set").alias("set_a"),
+    )
+    pb = rel.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sh_set").alias("set_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    nc = F.when(
+        agree >= cut, F.size(F.array_intersect("set_a", "set_b"))
+    ).otherwise(F.lit(-1))
+    counts = (
+        pairs.join(pa, "doc_id_a")
+        .join(pb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            nc.alias("nc"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+    )
+    return _materialize(counts, checkpoint_dir)
+
+
 def similar_pairs(
     docs: DataFrame,
     cfg: MinHashLSHConfig,
@@ -180,29 +291,18 @@ def similar_pairs(
 
     The whole reference pipeline (3 MR jobs + driver-side permutation
     generation + CSV handoffs, Main.java:47-81) as one lazy DataFrame DAG.
-    ``doc_shingles`` feeds both MinHash and verification; Catalyst plans
-    it, and at scale a .persist() on the shingle relation is worthwhile —
-    see SCALE.md.
+    The shingle relation is consumed exactly once (signature_set_relation
+    computes signatures and verify-sets in one aggregate), so no persist
+    is needed on it.
 
-    Note: the internal persists use the default MEMORY_AND_DISK level and
-    are left to LRU eviction; when looping over many corpora in one
-    long-lived session, call ``spark.catalog.clearCache()`` between runs.
+    Note: intermediates are eagerly materialized (localCheckpoint, or a
+    reliable checkpoint under ``checkpoint_dir``); when looping over many
+    corpora in one long-lived session, call ``spark.catalog.clearCache()``
+    between runs.
     """
-    threshold = cfg.threshold if threshold is None else threshold
-    # The shingle relation feeds MinHash AND verification, and the
-    # candidate list feeds three branches of the verify join.  A lazy
-    # persist is NOT enough for anything consumed by multiple branches
-    # of ONE action: the branches race on the cold cache and each
-    # recomputes the full lineage.  That bites twice here —
-    #   * the candidate list (three branches of the verify join), and
-    #   * the SIGNATURE relation (band join + both prefilter sides all
-    #     inside the cands action — measured 2x on the flagship at
-    #     sf0.1: eager sig 3.2 s vs lazy persist 6.6 s).
-    # Both are eagerly materialized; sh stays a lazy persist because
-    # each action consumes it through exactly one branch.
-    doc_shingles = explode_shingles(docs, cfg.k).persist()
     return similar_pairs_from_shingles(
-        doc_shingles, cfg, threshold, max_bucket_size, checkpoint_dir, oversize
+        explode_shingles(docs, cfg.k), cfg, threshold, max_bucket_size,
+        checkpoint_dir, oversize,
     )
 
 
@@ -219,16 +319,36 @@ def similar_pairs_from_shingles(
     machinery, so char k-grams (``similar_pairs``), word n-grams
     (registry: ``word_similar_pairs``), or any caller-defined feature
     set (URL tokens, AST nodes, ...) all run the identical plan.
-    ``doc_shingles`` should already be persisted if its lineage is
-    expensive."""
+
+    Plan shape (one shuffle per arrow, all relations after the first
+    are candidate-list-sized):
+      shingles -> [groupBy doc] (sig, sh_set) -> [band self-join,
+      lowest-band emission, no distinct] candidates -> [2 payload
+      joins, agreement prefilter fused ahead of array_intersect]
+      (nc, na, nb) -> jaccard filter.
+    Measured at the 10x probe (SCALE.md §7): 15.5 s -> 11.0 s warm vs
+    the round-3 staged form, identical candidates and verified pairs.
+    """
     threshold = cfg.threshold if threshold is None else threshold
-    sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(bands_for(sig, cfg), cfg, max_bucket_size, oversize)
-    cands = _materialize(
-        signature_prefilter(cands, sig, cfg, threshold), checkpoint_dir
-    )
-    return exact_jaccard(cands, doc_shingles, checkpoint_dir).where(
-        F.col("jaccard") >= threshold
+    rel = signature_set_relation(doc_shingles, cfg, checkpoint_dir)
+    if max_bucket_size is None:
+        cands = banded_pairs(rel, cfg)
+    else:
+        cands = candidate_pairs(
+            bands_for(rel, cfg), cfg, max_bucket_size, oversize
+        )
+    counts = fused_overlap_counts(cands, rel, cfg, threshold, checkpoint_dir)
+    return (
+        counts.where(F.col("nc") > 0)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -364,22 +484,28 @@ def containment_pairs(
     signature prefilter, both tuned for Jaccard >= cfg.threshold — so
     this finds high-containment pairs *among near-dup candidates*, not
     every size-skewed subset pair (a tweet inside a novel has high
-    containment but Jaccard ~0 and will not band together).  That is
-    the honest scale trade: exhaustive containment needs a different
-    candidate generator (e.g. per-shingle postings intersection).
+    containment but Jaccard ~0 and will not band together).  For
+    exhaustive containment use :func:`containment_pairs_postings`.
     """
-    doc_shingles = explode_shingles(docs, cfg.k).persist()
-    sig = _materialize(minhash_signatures_array(doc_shingles, cfg), checkpoint_dir)
-    cands = candidate_pairs(bands_for(sig, cfg), cfg, max_bucket_size, oversize)
-    cands = _materialize(
-        signature_prefilter(cands, sig, cfg, cfg.threshold), checkpoint_dir
+    rel = signature_set_relation(
+        explode_shingles(docs, cfg.k), cfg, checkpoint_dir
     )
-    counts = pair_overlap_counts(cands, doc_shingles, checkpoint_dir)
-    return counts.select(
-        "doc_id_a",
-        "doc_id_b",
-        (F.col("nc").cast("double") / F.least("na", "nb")).alias("containment"),
-    ).where(F.col("containment") >= threshold)
+    if max_bucket_size is None:
+        cands = banded_pairs(rel, cfg)
+    else:
+        cands = candidate_pairs(
+            bands_for(rel, cfg), cfg, max_bucket_size, oversize
+        )
+    counts = fused_overlap_counts(cands, rel, cfg, cfg.threshold, checkpoint_dir)
+    return (
+        counts.where(F.col("nc") >= 0)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("nc").cast("double") / F.least("na", "nb")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
 
 
 def containment_pairs_postings(
