@@ -25,7 +25,6 @@ from mapreduce_minhash_lsh_spark.operators.lsh import (
     bands_for,
     candidate_pairs,
 )
-from mapreduce_minhash_lsh_spark.operators.minhash import minhash_signatures_array
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 
 # Signature-agreement prefilter slack: the positionwise-agreement MinHash
@@ -235,6 +234,7 @@ def fused_overlap_counts(
     cfg: MinHashLSHConfig,
     threshold: float,
     checkpoint_dir: str | None = None,
+    rel_b: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, nc, na, nb) with the signature-agreement
     prefilter FUSED into the verify join: one pair of joins attaches
@@ -244,14 +244,20 @@ def fused_overlap_counts(
     saves two joins over the candidate list and one materialization
     barrier; the exact-verification semantics (EST_SLACK cutoff, md5-id
     intersection) are unchanged.  Materialized for the same
-    re-evaluation reason as pair_overlap_counts."""
+    re-evaluation reason as pair_overlap_counts.
+
+    ``rel_b``: optional separate payload relation for the doc_id_b side
+    (asymmetric joins — cross-corpus: a-side is always the new corpus,
+    b-side the seen corpus, so neither join scans the other's docs)."""
+    if rel_b is None:
+        rel_b = rel
     cut = min_agree(cfg, threshold)
     pa = rel.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("sig").alias("sig_a"),
         F.col("sh_set").alias("set_a"),
     )
-    pb = rel.select(
+    pb = rel_b.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("sig").alias("sig_b"),
         F.col("sh_set").alias("set_b"),
@@ -412,16 +418,18 @@ def cross_corpus_pairs(
     boilerplate clique on either side makes the bucket join quadratic).
     """
     threshold = cfg.threshold if threshold is None else threshold
-    sh_new = explode_shingles(new_docs, cfg.k).persist()
-    sh_seen = explode_shingles(seen_docs, cfg.k).persist()
-    # Eager: each side's signatures feed its band table AND a prefilter
-    # side within one action — a lazy persist would recompute them per
-    # branch (see the race note in similar_pairs).
-    sig_new = _materialize(minhash_signatures_array(sh_new, cfg), checkpoint_dir)
-    sig_seen = _materialize(minhash_signatures_array(sh_seen, cfg), checkpoint_dir)
+    # Each side's (sig, sh_set) relation is built in ONE shuffle and
+    # eagerly materialized — it feeds that side's band table and its
+    # payload join within one action (race note on signature_set_relation).
+    rel_new = signature_set_relation(
+        explode_shingles(new_docs, cfg.k), cfg, checkpoint_dir
+    )
+    rel_seen = signature_set_relation(
+        explode_shingles(seen_docs, cfg.k), cfg, checkpoint_dir
+    )
 
-    def _bands(sig: DataFrame) -> DataFrame:
-        b = bands_for(sig, cfg)
+    def _bands(rel: DataFrame) -> DataFrame:
+        b = bands_for(rel, cfg)
         if max_bucket_size is not None:
             sized = b.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
             b = b.join(
@@ -429,29 +437,30 @@ def cross_corpus_pairs(
             ).drop("_n")
         return b
     cands = (
-        _bands(sig_new)
+        _bands(rel_new)
         .withColumnRenamed("doc_id", "doc_id_a")
         .join(
-            _bands(sig_seen).withColumnRenamed("doc_id", "doc_id_b"),
+            _bands(rel_seen).withColumnRenamed("doc_id", "doc_id_b"),
             ["band", "band_key"],
         )
         .where(F.col("doc_id_a") != F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    cands = _materialize(
-        signature_prefilter(
-            cands, sig_new.unionByName(sig_seen), cfg, threshold
-        ),
-        checkpoint_dir,
+    counts = fused_overlap_counts(
+        cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen
     )
-    verified = exact_jaccard(
-        cands, sh_new.unionByName(sh_seen), checkpoint_dir
-    ).where(F.col("jaccard") >= threshold)
-    return verified.select(
-        F.col("doc_id_a").alias("new_id"),
-        F.col("doc_id_b").alias("seen_id"),
-        "jaccard",
+    return (
+        counts.where(F.col("nc") > 0)
+        .select(
+            F.col("doc_id_a").alias("new_id"),
+            F.col("doc_id_b").alias("seen_id"),
+            (
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -481,3 +481,77 @@ def market_share(
         "total_revenue",
         (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
     )
+
+
+def profit_by_nation_year(
+    spark: SparkSession, sf: str, name_token: str = "rod"
+) -> DataFrame:
+    """TPC-H Q9 shape, adapted to the available schema (no partsupp
+    table, so profit = discounted revenue rather than revenue minus
+    ps_supplycost): per supplier-nation x order-year profit on parts
+    whose name contains ``name_token``.  The part filter is applied
+    BEFORE the broadcast so the fact join prunes on the small side;
+    part/supplier/nation broadcast, the fact table shuffles once for
+    the orders equi-join; decimal-exact sum."""
+    part = load_table(spark, sf, "part").where(
+        F.col("p_name").contains(name_token)
+    ).select("p_partkey")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("timestamp")).cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("profit"))
+    )
+
+
+def sole_blame_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted (no receipt/commit dates: "late" =
+    l_returnflag 'R' on a finished order): suppliers whose returned
+    line sits on a multi-supplier 'F' order where NO OTHER supplier
+    also had a returned line.
+
+    The reference formulation is a correlated EXISTS + NOT EXISTS on
+    the fact table; correlated rewrites re-join lineitem twice.  The
+    scalable plan DECORRELATES both into one per-order aggregate:
+    n_supp = countDistinct(supplier), n_ret = countDistinct(supplier
+    with a returned line) — then EXISTS(other supplier) == n_supp >= 2
+    and NOT EXISTS(other supplier with 'R'), given the probe line is
+    'R', == n_ret == 1.  One extra shuffle on l_orderkey replaces two
+    correlated self-joins; the oracle runs the literal EXISTS form, so
+    parity also proves the decorrelation equivalence."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    orders_f = load_table(spark, sf, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    probe = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .join(stats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+    )
+    return (
+        probe.join(F.broadcast(supp), probe.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )

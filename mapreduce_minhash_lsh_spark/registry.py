@@ -2898,6 +2898,50 @@ def q_q13_customer_order_distribution(spark, sf):
 
 
 @register(
+    "q9_profit_by_nation_year",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%rod%'
+GROUP BY 1, 2""",
+)
+def q_q9_profit_by_nation_year(spark, sf):
+    """TPC-H Q9 shape adapted to the schema (no partsupp: profit =
+    discounted revenue) — plans/tpch.py:profit_by_nation_year; part
+    filter pruned before broadcast, one fact shuffle."""
+    return _tpch.profit_by_nation_year(spark, sf)
+
+
+@register(
+    "q21_sole_blame_suppliers",
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name""",
+)
+def q_q21_sole_blame_suppliers(spark, sf):
+    """TPC-H Q21 shape (plans/tpch.py:sole_blame_suppliers): the
+    correlated EXISTS + NOT EXISTS pair DECORRELATED into one per-order
+    aggregate (n_supp, n_ret) — one l_orderkey shuffle instead of two
+    correlated fact self-joins.  The oracle runs the literal EXISTS
+    form, so parity proves the decorrelation equivalence."""
+    return _tpch.sole_blame_suppliers(spark, sf)
+
+
+@register(
     "q19_disjunctive_revenue",
     """SELECT
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,

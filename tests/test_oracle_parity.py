@@ -1,8 +1,16 @@
 """Driver-emulating oracle parity: run every queries() entry on Spark AND
 its oracle_sql() twin on DuckDB over the same parquet tables; compare
 row count, column set, and (order-insensitively) every value.  This is a
-local rehearsal of the driver's CORRECTNESS gate, at sf0.001 for speed
-(the driver uses sf0.01 — same logic, more rows)."""
+local rehearsal of the driver's CORRECTNESS gate, at sf0.001 for speed.
+
+DRIVER-SCALE SWEEP (slow target — run before shipping a round): the
+same sweep at the driver's sf0.01, where scale-dependent divergences
+(e.g. round 2's HLL-precision bug) actually show up:
+
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \\
+        python -m pytest tests/test_oracle_parity.py -q
+
+Measured 2026-08-14: 116 passed in 225 s (SCALE.md §9)."""
 
 from __future__ import annotations
 
