@@ -54,6 +54,17 @@ class MinHashLSHConfig:
     #   verification scores them, so verified output is unchanged
     #   (pinned by tests/test_pipeline_golden.py).
     band_key_strategy: str = "md5"
+    # Signature scheme:
+    # 'affine': num_hashes independent (a_j*x + b_j) mod p mins — the
+    #   textbook family; per-shingle cost is num_hashes multiply-mods.
+    # 'oph': one-permutation hashing with rotation densification
+    #   (Li, Owen, Zhang 2012 / Shrivastava, Li 2014): ONE hash per
+    #   shingle, bucketed mod num_hashes, min per bucket; empty buckets
+    #   borrow circularly from the next non-empty one, offset by
+    #   prime*distance so borrowed values cannot spuriously collide.
+    #   ~num_hashes-fold less signature CPU — the 100 TB path for long
+    #   documents; slightly higher estimator variance on short ones.
+    sig_strategy: str = "affine"
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.num_bands != 0:
@@ -64,6 +75,8 @@ class MinHashLSHConfig:
             raise ValueError(
                 f"unknown band_key_strategy {self.band_key_strategy!r}"
             )
+        if self.sig_strategy not in ("affine", "oph"):
+            raise ValueError(f"unknown sig_strategy {self.sig_strategy!r}")
 
     @property
     def rows_per_band(self) -> int:

@@ -98,3 +98,95 @@ def signatures_long(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFrame
     """(doc_id, h, minhash) long format — the SQL-oracle-friendly shape."""
     arr = minhash_signatures_array(doc_shingles, cfg)
     return arr.select("doc_id", F.posexplode("sig").alias("h", "minhash"))
+
+
+def oph_signatures_array(
+    doc_shingles: DataFrame, cfg: MinHashLSHConfig
+) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, sig: array<long>) via ONE-PERMUTATION
+    HASHING with rotation densification — cfg.sig_strategy='oph'.
+
+    The affine family pays num_hashes multiply-mods per shingle row; at
+    100 TB the signature stage is corpus_size x num_hashes of CPU.  OPH
+    (Li/Owen/Zhang 2012) hashes each shingle ONCE, partitions the hash
+    space into num_hashes buckets (shingle_id mod n), and takes the min
+    per non-empty bucket; empty buckets borrow the next non-empty
+    bucket's min circularly (Shrivastava/Li 2014 rotation), offset by
+    prime * borrow-distance so two docs that borrow from different
+    distances can never spuriously agree.  Per-shingle work drops
+    ~num_hashes-fold; collision probability per position remains ~J.
+
+    Plan: one aggregate over the big shingle relation (groupBy doc_id,
+    bucket — map-side partials shrink it to <=n rows/doc/partition),
+    then the densification runs on the TINY (doc x 2n)-slot relation:
+    explode 2n slots (circular unroll), left-join the bucket mins, one
+    `first(..., ignorenulls)` window forward-scan, re-collect to the
+    n-array.  Every post-aggregate relation is n-bounded per doc, so
+    the 100 TB cost is the single pass over the shingles.
+
+    Engine-portable under the 'md5'/'rank' id strategies (integer mins
+    and distances only) — the DuckDB oracle replays it exactly.
+    """
+    ids = shingle_ids(doc_shingles, cfg)
+    b1 = ids.groupBy(
+        "doc_id", (F.col("shingle_id") % cfg.num_hashes).alias("bucket")
+    ).agg(F.min("shingle_id").alias("bmin"))
+    return oph_sig_from_buckets(b1, cfg)
+
+
+def oph_sig_from_buckets(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """(doc_id, bucket, bmin) -> (doc_id, sig) — the densification half
+    of OPH, shared by :func:`oph_signatures_array` and the fused
+    ``signature_set_relation`` (which carries per-bucket shingle sets
+    through the same aggregate)."""
+    n = cfg.num_hashes
+    slots = (
+        b1.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2 * n - 1))).alias("slot"),
+        )
+    )
+    unrolled = b1.select(
+        "doc_id", F.col("bucket").alias("slot"), "bmin"
+    ).unionByName(
+        b1.select("doc_id", (F.col("bucket") + n).alias("slot"), "bmin")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = (
+        slots.join(unrolled, ["doc_id", "slot"], "left")
+        .select(
+            "doc_id",
+            "slot",
+            F.first("bmin", ignorenulls=True).over(w).alias("fv"),
+            F.first(
+                F.when(F.col("bmin").isNotNull(), F.col("slot")),
+                ignorenulls=True,
+            ).over(w).alias("fs"),
+        )
+        .where(F.col("slot") < n)
+    )
+    sig_rows = filled.select(
+        "doc_id",
+        "slot",
+        # prime * distance must multiply as LONG: prime fits int32, so an
+        # int-typed product overflows at distance >= 2
+        (
+            F.col("fv")
+            + F.lit(cfg.prime).cast("long")
+            * (F.col("fs") - F.col("slot")).cast("long")
+        ).alias("mh"),
+    )
+    return sig_rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("slot", "mh"))),
+            lambda s: s["mh"],
+        ).alias("sig")
+    )

@@ -215,6 +215,26 @@ def signature_set_relation(
             mk(F.col("shingle"), cfg.prime).alias("shingle_id"),
             sid.alias("sid"),
         )
+    if cfg.sig_strategy == "oph":
+        from mapreduce_minhash_lsh_spark.operators.minhash import (
+            oph_sig_from_buckets,
+        )
+
+        # One pass over the shingles: per-(doc, bucket) min AND the
+        # bucket's shingle set; the doc's verify set is the flatten of
+        # its bucket sets (disjoint by construction).
+        b1 = base.groupBy(
+            "doc_id", (F.col("shingle_id") % cfg.num_hashes).alias("bucket")
+        ).agg(
+            F.min("shingle_id").alias("bmin"),
+            F.collect_set("sid").alias("bset"),
+        )
+        sets = b1.groupBy("doc_id").agg(
+            F.flatten(F.collect_list("bset")).alias("sh_set")
+        )
+        sig = oph_sig_from_buckets(b1.select("doc_id", "bucket", "bmin"), cfg)
+        rel = sig.join(sets, "doc_id")
+        return _materialize(rel.select("doc_id", "sig", "sh_set"), checkpoint_dir)
     aggs = [
         F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(cfg.hash_params())

@@ -3735,3 +3735,87 @@ def q_partkeys_both_years(spark, sf):
     a = li.where(y == 1996).select("l_partkey")
     b = li.where(y == 1997).select("l_partkey")
     return a.intersect(b)
+
+
+# --------------------------------------------------------------------------
+# One-permutation hashing (round 4): ~num_hashes-fold cheaper signatures
+# --------------------------------------------------------------------------
+
+_N_H = _CFG.num_hashes
+
+# OPH signature CTE: one md5-derived hash per shingle, bucketed mod n,
+# min per bucket, rotation densification (borrow the next non-empty
+# bucket circularly, offset by prime * distance).  Emits the same
+# sig(doc_id, h, minhash) shape as _SIG_CTE, so the whole downstream
+# band/candidate/agree/jaccard chain is reused verbatim.
+_OPH_SIG_CTE = f"""
+{_IDS_CTE},
+ob AS (
+  SELECT doc_id, shingle_id % {_N_H} AS bucket, min(shingle_id) AS bmin
+  FROM ids GROUP BY 1, 2
+),
+oslots AS (
+  SELECT d.doc_id, s.slot
+  FROM (SELECT DISTINCT doc_id FROM ob) d,
+       (SELECT unnest(range(0, {2 * _N_H})) AS slot) s
+),
+ou AS (
+  SELECT doc_id, bucket AS slot, bmin FROM ob
+  UNION ALL
+  SELECT doc_id, bucket + {_N_H} AS slot, bmin FROM ob
+),
+ofill AS (
+  SELECT s.doc_id, s.slot,
+         first_value(u.bmin IGNORE NULLS) OVER w AS fv,
+         first_value(CASE WHEN u.bmin IS NOT NULL THEN s.slot END IGNORE NULLS) OVER w AS fs
+  FROM oslots s LEFT JOIN ou u ON u.doc_id = s.doc_id AND u.slot = s.slot
+  WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.slot
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+sig AS (
+  SELECT doc_id, slot AS h, fv + {_P} * (fs - slot) AS minhash
+  FROM ofill WHERE slot < {_N_H}
+)"""
+
+_OPH_CFG = MinHashLSHConfig(
+    num_hashes=128, num_bands=8, threshold=0.8, id_strategy="md5",
+    sig_strategy="oph",
+)
+
+
+@register(
+    "oph_signatures",
+    f"WITH {_SH_CTE}, {_OPH_SIG_CTE} "
+    "SELECT doc_id, CAST(h AS INTEGER) AS h, minhash FROM sig",
+)
+def q_oph_signatures(spark, sf):
+    """One-permutation-hashing signatures (operators/minhash.py:
+    oph_signatures_array): ONE hash per shingle instead of 128 affine
+    evaluations — the signature stage's 100 TB cost drops ~128x; empty
+    buckets are rotation-densified with a prime*distance offset.  The
+    oracle replays bucketing, per-bucket mins, and the circular borrow
+    window exactly (integer arithmetic throughout)."""
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        oph_signatures_array,
+    )
+
+    sh = explode_shingles(load_table(spark, sf, "documents"), _OPH_CFG.k)
+    arr = oph_signatures_array(sh, _OPH_CFG)
+    return arr.select(
+        "doc_id", F.posexplode("sig").alias("h", "minhash")
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
+
+
+@register(
+    "oph_similar_pairs",
+    f"WITH {_SH_CTE}, {_OPH_SIG_CTE}, {_BANDS_CTE}, {_CAND_CTE}, {_AGREE_CTE}, {_JACCARD_CTE} "
+    f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}",
+)
+def q_oph_similar_pairs(spark, sf):
+    """The FULL flagship chain on OPH signatures (sig_strategy='oph'):
+    banding, candidates, agreement prefilter, and exact verification are
+    the identical code paths — only the signature aggregate changes, and
+    the oracle swaps one CTE.  Exact verification makes precision 1
+    regardless of the signature scheme; candidate recall under OPH is
+    probed at scale in experiments/oph_probe.py."""
+    return similar_pairs(load_table(spark, sf, "documents"), _OPH_CFG)
