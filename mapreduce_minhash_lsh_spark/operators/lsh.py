@@ -198,6 +198,39 @@ def _pairs_from(bands: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def banded_cross_pairs(
+    sig_a: DataFrame, sig_b: DataFrame, cfg: MinHashLSHConfig
+) -> DataFrame:
+    """Asymmetric (a-side vs b-side) candidate pairs with lowest-band
+    emission — the cross-corpus twin of :func:`banded_pairs`: each
+    (a, b) pair is emitted by its lowest agreeing band only, so no
+    global distinct over the band fan-out.  Returns (doc_id_a,
+    doc_id_b) with a-side ids always in doc_id_a.  Uncapped only, same
+    reasoning as banded_pairs."""
+    def _bands(sig: DataFrame, side: str) -> DataFrame:
+        return sig.select(
+            "doc_id", _key_array(sig, cfg).alias("keys")
+        ).select(
+            F.col("doc_id").alias(f"doc_id_{side}"),
+            F.col("keys").alias(f"keys_{side}"),
+            F.posexplode("keys").alias("band", "band_key"),
+        )
+
+    a, b = _bands(sig_a, "a"), _bands(sig_b, "b")
+    not_earlier = F.when(F.col("band") == 0, F.lit(True))
+    for bi in range(1, cfg.num_bands):
+        earlier = F.col("keys_a")[0] == F.col("keys_b")[0]
+        for j in range(1, bi):
+            earlier = earlier | (F.col("keys_a")[j] == F.col("keys_b")[j])
+        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .where(not_earlier)
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
 def candidate_pairs(
     bands: DataFrame,
     cfg: MinHashLSHConfig,

@@ -438,35 +438,43 @@ def cross_corpus_pairs(
     boilerplate clique on either side makes the bucket join quadratic).
     """
     threshold = cfg.threshold if threshold is None else threshold
-    # Each side's (sig, sh_set) relation is built in ONE shuffle and
-    # eagerly materialized — it feeds that side's band table and its
-    # payload join within one action (race note on signature_set_relation).
-    rel_new = signature_set_relation(
-        explode_shingles(new_docs, cfg.k), cfg, checkpoint_dir
-    )
-    rel_seen = signature_set_relation(
-        explode_shingles(seen_docs, cfg.k), cfg, checkpoint_dir
-    )
+    from mapreduce_minhash_lsh_spark.operators.lsh import banded_cross_pairs
 
-    def _bands(rel: DataFrame) -> DataFrame:
-        b = bands_for(rel, cfg)
-        if max_bucket_size is not None:
+    # ONE materialization for both corpora: the union's (sig, sh_set)
+    # relation is built in a single groupBy (ids are unique across
+    # corpora by contract), then each side is recovered with a semi/anti
+    # join against the new-id list — AQE broadcasts it when small (the
+    # typical crawl-vs-corpus shape); no second blocking barrier, and
+    # the combined aggregate amortizes the fixed shuffle cost the
+    # two-relation form paid twice.
+    sh_all = explode_shingles(new_docs, cfg.k).unionByName(
+        explode_shingles(seen_docs, cfg.k)
+    )
+    rel_all = signature_set_relation(sh_all, cfg, checkpoint_dir)
+    new_ids = new_docs.select("doc_id")
+    rel_new = rel_all.join(new_ids, "doc_id", "left_semi")
+    rel_seen = rel_all.join(new_ids, "doc_id", "left_anti")
+
+    if max_bucket_size is None:
+        cands = banded_cross_pairs(rel_new, rel_seen, cfg)
+    else:
+        def _bands(rel: DataFrame) -> DataFrame:
+            b = bands_for(rel, cfg)
             sized = b.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
-            b = b.join(
+            return b.join(
                 sized.where(F.col("_n") <= max_bucket_size), ["band", "band_key"]
             ).drop("_n")
-        return b
-    cands = (
-        _bands(rel_new)
-        .withColumnRenamed("doc_id", "doc_id_a")
-        .join(
-            _bands(rel_seen).withColumnRenamed("doc_id", "doc_id_b"),
-            ["band", "band_key"],
+        cands = (
+            _bands(rel_new)
+            .withColumnRenamed("doc_id", "doc_id_a")
+            .join(
+                _bands(rel_seen).withColumnRenamed("doc_id", "doc_id_b"),
+                ["band", "band_key"],
+            )
+            .where(F.col("doc_id_a") != F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .distinct()
         )
-        .where(F.col("doc_id_a") != F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-    )
     counts = fused_overlap_counts(
         cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen
     )
