@@ -99,3 +99,41 @@ def vocabulary(doc_shingles: DataFrame, prefix_len: int = 2) -> DataFrame:
             (F.col("_offset") + within).cast("long").alias("shingle_id"),
         )
     )
+
+
+def expand_weighted_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    cap: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle#i) expansion for WEIGHTED Jaccard: each shingle
+    appears once per occurrence up to ``cap`` (suffix #1..#tf).
+
+    For tf weights capped at ``cap``,
+
+        sum_s min(tf_a, tf_b) / sum_s max(tf_a, tf_b)
+        == |expand(A) n expand(B)| / |expand(A) u expand(B)|
+
+    — weighted Jaccard IS plain set Jaccard on the expanded relation,
+    so the entire MinHash/LSH/verify pipeline (and its DuckDB oracle)
+    runs unchanged on this output: weighted near-dup detection costs
+    one extra (doc, shingle) aggregate, nothing else.  The cap bounds
+    the expansion to <= cap x the distinct-shingle relation and makes
+    repetition saturate (a page that repeats its boilerplate 100x is
+    not 100x more similar to another copy of it).  Fixed-k shingles
+    make the '#i' suffix parse unambiguous.
+    """
+    raw = explode_shingles(docs, k, id_col, text_col, distinct=False)
+    tf = raw.groupBy("doc_id", "shingle").agg(
+        F.least(F.count("*"), F.lit(cap)).alias("tf")
+    )
+    return tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("i"),
+        "shingle",
+    ).select(
+        "doc_id",
+        F.concat_ws("#", "shingle", F.col("i").cast("string")).alias("shingle"),
+    )

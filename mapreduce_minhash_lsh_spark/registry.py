@@ -3819,3 +3819,61 @@ def q_oph_similar_pairs(spark, sf):
     regardless of the signature scheme; candidate recall under OPH is
     probed at scale in experiments/oph_probe.py."""
     return similar_pairs(load_table(spark, sf, "documents"), _OPH_CFG)
+
+
+# --------------------------------------------------------------------------
+# Weighted (tf-aware) near-dup (round 4): capped-multiplicity expansion
+# --------------------------------------------------------------------------
+
+_W_CAP = 4
+
+# Weighted shingle relation: each (doc, 3-gram) occurrence up to cap=4
+# becomes a distinct 'shingle#i' element — weighted Jaccard on capped tf
+# equals plain set Jaccard on this relation, so every downstream CTE is
+# the flagship chain verbatim.
+_WEIGHTED_SH_CTE = f"""
+wsh0 AS (
+  SELECT doc_id, rpad(substr(text, CAST(i AS INTEGER), {_K}), {_K}, ' ') AS shingle
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0)
+),
+wtf AS (
+  SELECT doc_id, shingle, least(count(*), {_W_CAP}) AS tf
+  FROM wsh0 GROUP BY doc_id, shingle
+),
+sh AS (
+  SELECT doc_id, shingle || '#' || CAST(i AS VARCHAR) AS shingle
+  FROM (SELECT doc_id, shingle, unnest(range(1, tf + 1)) AS i FROM wtf)
+)"""
+
+_WEIGHTED_PIPELINE_CTES = ",".join(
+    [_WEIGHTED_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE, _CAND_CTE,
+     _AGREE_CTE, _JACCARD_CTE]
+)
+
+
+@register(
+    "weighted_similar_pairs",
+    f"WITH {_WEIGHTED_PIPELINE_CTES} "
+    f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}",
+)
+def q_weighted_similar_pairs(spark, sf):
+    """WEIGHTED near-dup pairs: jaccard here is the tf-weighted Jaccard
+    sum(min tf)/sum(max tf) with tf capped at 4 — repetition-aware
+    similarity (a doc that repeats a phrase 4x vs one that has it once
+    scores lower than set Jaccard pretends).  Implemented as the
+    UNCHANGED flagship pipeline over expand_weighted_shingles
+    (operators/shingling.py): capped-weight Jaccard is exactly set
+    Jaccard on the '#i'-expanded relation, a textbook reduction that
+    reuses banding, candidates, prefilter, and exact verify as-is."""
+    from mapreduce_minhash_lsh_spark.operators.shingling import (
+        expand_weighted_shingles,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        similar_pairs_from_shingles,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return similar_pairs_from_shingles(
+        expand_weighted_shingles(docs, k=_CFG.k, cap=_W_CAP), _CFG
+    )

@@ -315,6 +315,53 @@ def test_containment_postings_max_df_valve(spark):
     assert allp.count() == 10 * 9 // 2
 
 
+def test_weighted_jaccard_semantics(spark):
+    """Weighted (capped-tf) Jaccard via expansion: for repeat-free docs
+    it equals set Jaccard; when one doc repeats shared content its
+    weighted score drops below the set score (min/max tf asymmetry);
+    and the expansion itself is verified against a Python replay."""
+    from mapreduce_minhash_lsh_spark.operators.shingling import (
+        expand_weighted_shingles,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        similar_pairs_from_shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " " + base + " " + base)],
+        ["doc_id", "text"],
+    )
+    cfg = MinHashLSHConfig(num_hashes=16, num_bands=16, threshold=0.3, seed=42)
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in similar_pairs_from_shingles(
+            expand_weighted_shingles(docs, k=3, cap=4), cfg, threshold=0.3
+        ).collect()
+    }
+    plain = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in similar_pairs(docs, cfg, threshold=0.3).collect()
+    }
+    assert abs(got[(1, 2)] - 1.0) < 1e-12  # identical docs: weighted j = 1
+    # tripled doc vs single: set Jaccard ~1 (same shingle set) but the
+    # weighted score is pulled down by the tf mismatch
+    assert plain[(1, 3)] > 0.9
+    assert got[(1, 3)] < plain[(1, 3)] - 0.2
+
+    # expansion replay: per (doc, shingle) multiplicity capped at 4
+    from collections import Counter
+
+    from tests.test_shingling import shingles_py
+
+    rows = expand_weighted_shingles(docs, k=3, cap=4).collect()
+    got_counts = Counter((r.doc_id, r.shingle.rsplit("#", 1)[0]) for r in rows)
+    for doc_id, text in [(1, base), (3, base + " " + base + " " + base)]:
+        want = Counter(shingles_py(text))
+        for s, n in want.items():
+            assert got_counts[(doc_id, s)] == min(n, 4), (doc_id, s)
+
+
 def test_candidate_pairs_rejects_unknown_oversize(spark):
     docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     cfg = MinHashLSHConfig(num_hashes=4, num_bands=2)
