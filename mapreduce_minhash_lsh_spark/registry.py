@@ -3877,3 +3877,90 @@ def q_weighted_similar_pairs(spark, sf):
     return similar_pairs_from_shingles(
         expand_weighted_shingles(docs, k=_CFG.k, cap=_W_CAP), _CFG
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (round 4): chunk granularity + flagship composition
+# --------------------------------------------------------------------------
+
+_CHUNK_LEN = 200
+_CHUNK_MUL = 100_000  # chunk_id = doc_id * mul + idx; idx < len/200 << mul
+
+# Non-overlapping 200-char chunks as pseudo-documents, then the flagship
+# CTE chain verbatim over the chunk relation; the final select folds
+# chunk pairs back to ordered doc pairs.
+_PARA_SH_CTE = f"""
+chunks AS (
+  SELECT doc_id * {_CHUNK_MUL} + ci AS doc_id,
+         substr(text, CAST(ci * {_CHUNK_LEN} + 1 AS INTEGER), {_CHUNK_LEN}) AS text
+  FROM (SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / {_CHUNK_LEN}.0) AS BIGINT))) AS ci
+        FROM documents WHERE length(text) > 0)
+),
+sh AS (
+  SELECT DISTINCT doc_id, rpad(substr(text, CAST(i AS INTEGER), {_K}), {_K}, ' ') AS shingle
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM chunks WHERE length(text) > 0)
+)"""
+
+_PARA_PIPELINE_CTES = ",".join(
+    [_PARA_SH_CTE, _VOCAB_CTE, _SIG_CTE, _BANDS_CTE, _CAND_CTE,
+     _AGREE_CTE, _JACCARD_CTE]
+)
+
+
+@register(
+    "paragraph_near_dups",
+    f"""WITH {_PARA_PIPELINE_CTES}
+SELECT least(doc_id_a // {_CHUNK_MUL}, doc_id_b // {_CHUNK_MUL}) AS doc_a,
+       greatest(doc_id_a // {_CHUNK_MUL}, doc_id_b // {_CHUNK_MUL}) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+       max(jaccard) AS max_chunk_jaccard
+FROM jac
+WHERE jaccard >= {_CFG.threshold}
+  AND doc_id_a // {_CHUNK_MUL} <> doc_id_b // {_CHUNK_MUL}
+GROUP BY 1, 2""",
+)
+def q_paragraph_near_dups(spark, sf):
+    """PARAGRAPH-granular dedup: documents are split into 200-char
+    non-overlapping chunks, the UNCHANGED flagship pipeline runs on the
+    chunk relation (chunk_id = doc_id*100000 + idx), and chunk pairs
+    fold back to ordered doc pairs with the shared-chunk count — finds
+    documents that share near-identical paragraphs even when the whole
+    documents are dissimilar (partial-plagiarism / template-section
+    detection, the granular sibling of containment_pairs_postings).
+    Composition only: no new operator code, same scale contract as the
+    flagship at chunk granularity."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    chunks = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.length("text") / F.lit(float(_CHUNK_LEN)))
+                    .cast("long") - 1,
+                )
+            ).alias("ci"),
+        )
+        .select(
+            (F.col("doc_id") * _CHUNK_MUL + F.col("ci")).alias("doc_id"),
+            F.expr(
+                f"substr(text, CAST(ci * {_CHUNK_LEN} + 1 AS INT), {_CHUNK_LEN})"
+            ).alias("text"),
+        )
+    )
+    pairs = similar_pairs(chunks, _CFG)
+    da = (F.col("doc_id_a") / _CHUNK_MUL).cast("long")
+    db = (F.col("doc_id_b") / _CHUNK_MUL).cast("long")
+    return (
+        pairs.where(da != db)
+        .groupBy(
+            F.least(da, db).alias("doc_a"),
+            F.greatest(da, db).alias("doc_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_chunk_pairs"),
+            F.max("jaccard").alias("max_chunk_jaccard"),
+        )
+    )
