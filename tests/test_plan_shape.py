@@ -104,3 +104,60 @@ def test_flagship_whole_stage_codegen_spans(spark):
         or "- * HashAggregate" in ln
         for ln in p.splitlines()
     ), p[:1500]
+
+
+def test_banded_pairs_has_no_dedup_aggregate(spark):
+    """The lowest-band emission contract: the uncapped candidate join
+    must contain NO aggregate (the r3 form paid a global distinct —
+    ~b rows per true pair through one extra shuffle).  A regression
+    re-introducing the distinct is invisible at sf0.001 and a full
+    extra shuffle of the widest relation at 100 TB."""
+    from mapreduce_minhash_lsh_spark.operators.lsh import banded_pairs
+    from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_set_relation,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rel = signature_set_relation(
+        explode_shingles(docs, 3), registry.PIPELINE_CFG
+    )
+    p = plan(banded_pairs(rel, registry.PIPELINE_CFG))
+    assert "Aggregate" not in p, p[:1200]
+    assert "Join" in p
+
+
+def test_signature_set_relation_single_aggregate(spark):
+    """The fused (sig, sh_set) relation must be ONE aggregate over the
+    shingle relation — not a join of two (which would shuffle the wide
+    relation twice)."""
+    from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_set_relation,
+    )
+    import re
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    # build WITHOUT materializing: call through and introspect the
+    # checkpointed plan's parent by rebuilding the lazy form
+    from mapreduce_minhash_lsh_spark.functions.hashing import (
+        affine_hash,
+        md5_id,
+        md5_long,
+    )
+
+    cfg = registry.PIPELINE_CFG
+    sh = explode_shingles(docs, cfg.k)
+    base = sh.select(
+        "doc_id",
+        md5_id(F.col("shingle"), cfg.prime).alias("shingle_id"),
+        md5_long(F.col("shingle")).alias("sid"),
+    )
+    aggs = [
+        F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(cfg.hash_params())
+    ]
+    aggs.append(F.collect_set("sid").alias("sh_set"))
+    p = plan(base.groupBy("doc_id").agg(*aggs))
+    # exactly one exchange: the partial->final aggregate pair rides it
+    assert len(re.findall(r"Exchange", p)) == 1, p[:1200]
