@@ -61,6 +61,15 @@ HEADLINE = [
     "word_similar_pairs",
     "events_retention_cohorts",
     "quantity_price_correlation",
+    # Round-4 operator families: exhaustive containment (postings),
+    # weighted and paragraph-granular near-dup, OPH signatures, and the
+    # Q9/Q21 relational shapes.
+    "containment_pairs_postings",
+    "weighted_similar_pairs",
+    "paragraph_near_dups",
+    "oph_similar_pairs",
+    "q9_profit_by_nation_year",
+    "q21_sole_blame_suppliers",
 ]
 
 

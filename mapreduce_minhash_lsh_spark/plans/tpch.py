@@ -534,11 +534,17 @@ def sole_blame_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret"),
+    # Two-level aggregate instead of two countDistincts: multiple
+    # DISTINCT aggregates compile to an Expand (x2 fan-out of the fact
+    # table before the shuffle); the (order, supplier) pre-aggregate
+    # shrinks map output first and the per-order counts ride its
+    # partitioning without the fan-out.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    stats = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_ret"),
     )
     orders_f = load_table(spark, sf, "orders").where(
         F.col("o_orderstatus") == "F"
