@@ -362,6 +362,89 @@ def test_weighted_jaccard_semantics(spark):
             assert got_counts[(doc_id, s)] == min(n, 4), (doc_id, s)
 
 
+def test_banded_pairs_equals_distinct_candidates_random(spark):
+    """Lowest-band emission must produce EXACTLY the distinct candidate
+    set on arbitrary corpora (both hash strategies, both sig schemes) —
+    seeded-random docs with planted dups, cliques, and singletons."""
+    import dataclasses
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.lsh import (
+        banded_pairs,
+        bands_for,
+        candidate_pairs,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_set_relation,
+    )
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+        rows.append((i, text))
+        if rng.random() < 0.3:  # planted near-dup
+            rows.append((1000 + i, text + " tail"))
+    rows += [(5000 + i, "clique text shared verbatim") for i in range(15)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for band_strategy in ("md5", "xxhash"):
+        for sig_strategy in ("affine", "oph"):
+            cfg = MinHashLSHConfig(
+                num_hashes=16, num_bands=4, seed=7,
+                id_strategy="md5", band_key_strategy=band_strategy,
+                sig_strategy=sig_strategy,
+            )
+            rel = signature_set_relation(explode_shingles(docs, cfg.k), cfg)
+            via_distinct = sorted(
+                map(tuple, candidate_pairs(bands_for(rel, cfg), cfg).collect())
+            )
+            via_lowest = sorted(map(tuple, banded_pairs(rel, cfg).collect()))
+            assert via_lowest == via_distinct, (band_strategy, sig_strategy)
+            # exactly-once: no duplicates even BEFORE any dedup
+            assert len(via_lowest) == len(set(via_lowest))
+
+
+def test_banded_cross_pairs_equals_distinct_cross_random(spark):
+    """The asymmetric lowest-band join must equal the distinct cross
+    band join on a random split of the same corpus."""
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.lsh import (
+        banded_cross_pairs,
+        bands_for,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_set_relation,
+    )
+
+    rng = random.Random(13)
+    words = ["red", "green", "blue", "lime", "teal"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(4, 12))))
+        for i in range(150)
+    ]
+    rows += [(500 + i, rows[i][1]) for i in range(40)]  # cross dups
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = MinHashLSHConfig(num_hashes=16, num_bands=4, seed=3, id_strategy="md5")
+    new = docs.where(F.col("doc_id") % 2 == 0)
+    seen = docs.where(F.col("doc_id") % 2 == 1)
+    rel_new = signature_set_relation(explode_shingles(new, cfg.k), cfg)
+    rel_seen = signature_set_relation(explode_shingles(seen, cfg.k), cfg)
+    got = sorted(map(tuple, banded_cross_pairs(rel_new, rel_seen, cfg).collect()))
+    want = sorted(map(tuple, (
+        bands_for(rel_new, cfg).withColumnRenamed("doc_id", "doc_id_a")
+        .join(
+            bands_for(rel_seen, cfg).withColumnRenamed("doc_id", "doc_id_b"),
+            ["band", "band_key"],
+        )
+        .select("doc_id_a", "doc_id_b").distinct().collect()
+    )))
+    assert got == want
+    assert len(got) == len(set(got))
+
+
 def test_candidate_pairs_rejects_unknown_oversize(spark):
     docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     cfg = MinHashLSHConfig(num_hashes=4, num_bands=2)
