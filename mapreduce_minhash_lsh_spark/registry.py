@@ -3964,3 +3964,53 @@ def q_paragraph_near_dups(spark, sf):
             F.max("jaccard").alias("max_chunk_jaccard"),
         )
     )
+
+
+@register(
+    "embedding_dedup_drop_ids",
+    f"""WITH RECURSIVE ae AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {_DOT.format(x='a.v', y='b.v')} AS dot
+  FROM ae a JOIN ae b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+{_NORMS_CTE.lstrip()},
+simpairs AS (
+  SELECT vec_id_a, vec_id_b FROM dots
+  JOIN norms na ON na.vec_id = vec_id_a
+  JOIN norms nb ON nb.vec_id = vec_id_b
+  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+),
+edges AS (
+  SELECT vec_id_a AS src, vec_id_b AS dst FROM simpairs
+  UNION SELECT vec_id_b, vec_id_a FROM simpairs
+),
+enodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM enodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS vec_id, MIN(dst) AS group_id FROM reach GROUP BY src)
+SELECT vec_id AS drop_id, group_id AS keep_id FROM grp WHERE vec_id <> group_id""",
+)
+def q_embedding_dedup_drop_ids(spark, sf):
+    """SEMANTIC dedup end-to-end: exact embedding-cosine near-dup pairs
+    (>= 0.5) -> connected components (the same min-label propagation +
+    pointer jumping as the text path) -> drop list keeping each
+    component's min id.  Composition of `embedding_near_dup` and
+    `near_dup_groups` — the embedding-side twin of `near_dup_drop_ids`;
+    at scale the pair stage swaps to the SRP-bucketed generator
+    (ann.srp_bucket) with the identical downstream."""
+    pairs = _ann.cosine_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.5
+    ).select(
+        F.col("vec_id_a").alias("doc_id_a"),
+        F.col("vec_id_b").alias("doc_id_b"),
+    )
+    groups = _dedup.near_dup_groups(pairs)
+    return (
+        groups.where(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
+    )
