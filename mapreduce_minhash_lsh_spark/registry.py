@@ -4014,3 +4014,39 @@ def q_embedding_dedup_drop_ids(spark, sf):
         groups.where(F.col("doc_id") != F.col("group_id"))
         .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
     )
+
+
+@register(
+    "near_dup_group_sizes",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src),
+gsizes AS (SELECT group_id, count(*) AS group_size FROM grp GROUP BY group_id)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM gsizes GROUP BY group_size""",
+)
+def q_near_dup_group_sizes(spark, sf):
+    """Dedup-run telemetry: the histogram of near-dup component sizes
+    (group_size -> how many groups) — the number an operator actually
+    watches per corpus snapshot: a fat tail here means boilerplate
+    cliques (time to lower max_bucket_size or tighten banding), a
+    mass at size 2 means ordinary near-dup pairs.  Emitted linear in
+    docs regardless of clique size — the aggregate form of the
+    dedup-by-group answer SCALE.md §7 gives for quadratic pair
+    volume."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )
