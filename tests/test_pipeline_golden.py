@@ -445,6 +445,46 @@ def test_banded_cross_pairs_equals_distinct_cross_random(spark):
     assert len(got) == len(set(got))
 
 
+def test_flagship_partition_invariance(spark):
+    """SCALE.md's reproducibility claim, tested directly: the flagship's
+    output — including every jaccard double — must be IDENTICAL whether
+    the input arrives in 1 partition or 17, and across two different
+    shuffle-partition settings.  Integer ids, integer mins, and
+    ratios-of-ints make this hold bitwise; a float accumulation snuck
+    into the pipeline would break it."""
+    import random
+
+    rng = random.Random(21)
+    words = ["ash", "oak", "elm", "fir", "yew", "maple"]
+    rows = []
+    for i in range(80):
+        t = " ".join(rng.choice(words) for _ in range(rng.randint(4, 12)))
+        rows.append((i, t))
+        if i % 3 == 0:
+            rows.append((100 + i, t + " x"))
+    cfg = MinHashLSHConfig(num_hashes=32, num_bands=8, threshold=0.5, seed=5,
+                           id_strategy="md5")
+    base = None
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_parts, n_shuffle in ((1, 3), (17, 11)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+            docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(
+                n_parts
+            )
+            got = sorted(
+                (r.doc_id_a, r.doc_id_b, r.jaccard)
+                for r in similar_pairs(docs, cfg).collect()
+            )
+            assert got, "corpus must produce at least one pair"
+            if base is None:
+                base = got
+            else:
+                assert got == base  # bitwise: doubles compared exactly
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def test_candidate_pairs_rejects_unknown_oversize(spark):
     docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     cfg = MinHashLSHConfig(num_hashes=4, num_bands=2)
