@@ -4050,3 +4050,36 @@ def q_near_dup_group_sizes(spark, sf):
     return sizes.groupBy("group_size").agg(
         F.count("*").cast("long").alias("n_groups")
     )
+
+
+@register(
+    "events_debounce",
+    """SELECT event_id, user_id, event_type, ts_us FROM (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events)
+WHERE prev_us IS NULL OR ts_us - prev_us >= 60000000""",
+)
+def q_events_debounce(spark, sf):
+    """Telemetry DEBOUNCE: drop an event that follows another event of
+    the same (user, type) within 60 s — duplicate-click / retry-storm
+    suppression, the batch twin of streaming watermarked dedup.  One
+    keyed window (lag on integer micros, deterministic event_id
+    tie-break), no self-join; the gap test is exact int64 arithmetic so
+    both engines agree bitwise.  Semantics note: the gap is measured
+    from the previous RAW event (standard lag form), not the previous
+    kept one — the sequential variant is what the streaming
+    dropDuplicates-within-watermark path provides."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts_us",
+                  prev.alias("prev_us"))
+        .where(F.col("prev_us").isNull()
+               | (F.col("ts_us") - F.col("prev_us") >= 60_000_000))
+        .drop("prev_us")
+    )
