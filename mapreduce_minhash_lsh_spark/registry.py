@@ -4083,3 +4083,50 @@ def q_events_debounce(spark, sf):
                | (F.col("ts_us") - F.col("prev_us") >= 60_000_000))
         .drop("prev_us")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """WITH rfm AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS BIGINT) AS last_order_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, last_order_day, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order_day, c_custkey) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary, c_custkey) AS BIGINT) AS m_quartile
+FROM rfm""",
+)
+def q_customer_rfm_segments(spark, sf):
+    """RFM segmentation: per customer the recency (last order day as an
+    integer epoch-day), frequency (order count) and monetary (exact
+    decimal spend) plus ntile(4) quartile scores for each axis — the
+    canonical customer-binning feature pass.  The ntile windows are
+    GLOBAL by the metric, which is a deliberate single-reducer-per-
+    window shape at the customer-dimension scale (customers ~= dim
+    table, not the fact table); unique c_custkey tie-breaks keep every
+    quartile engine-exact.  One shuffle for the per-customer aggregate,
+    then window passes over the small aggregate."""
+    orders = load_table(spark, sf, "orders")
+    # exact integer floor-div (not float /): the repo's own overlap-join
+    # fix (ADVICE r3) — double quotients go inexact past 2^53 and an
+    # off-by-one day here would flip a quartile boundary
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(day).alias("last_order_day"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double").alias("monetary"),
+    )
+    wr = Window.orderBy("last_order_day", "c_custkey")
+    wf = Window.orderBy("frequency", "c_custkey")
+    wm = Window.orderBy("monetary", "c_custkey")
+    return rfm.select(
+        "c_custkey", "last_order_day", "frequency", "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
