@@ -4130,3 +4130,57 @@ def q_customer_rfm_segments(spark, sf):
         F.ntile(4).over(wf).cast("long").alias("f_quartile"),
         F.ntile(4).over(wm).cast("long").alias("m_quartile"),
     )
+
+
+@register(
+    "events_hourly_anomalies",
+    """WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour_bucket, h.n,
+       (h.n - CAST(m.s1 AS DOUBLE) / m.k)
+         / sqrt(CAST(m.s2 AS DOUBLE) / m.k
+                - (CAST(m.s1 AS DOUBLE) / m.k) * (CAST(m.s1 AS DOUBLE) / m.k)) AS z
+FROM hourly h JOIN moments m USING (event_type)
+WHERE abs((h.n - CAST(m.s1 AS DOUBLE) / m.k)
+         / sqrt(CAST(m.s2 AS DOUBLE) / m.k
+                - (CAST(m.s1 AS DOUBLE) / m.k) * (CAST(m.s1 AS DOUBLE) / m.k))) >= 2.0""",
+)
+def q_events_hourly_anomalies(spark, sf):
+    """Ops anomaly detection: hours whose per-type event volume is >= 2
+    population standard deviations from that type's mean — the rate
+    monitor an ingestion pipeline alarms on.  Counts and moment sums
+    are exact integers; the z formula is the SAME pinned IEEE double
+    expression in both engines (the quantity_price_correlation
+    pattern), so results are bit-reproducible at any parallelism.  Two
+    aggregates (hour rollup, then per-type moments over the small hourly
+    relation) + one broadcast-size join — no window, no global sort."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 3600000000").alias("hour_bucket"),
+    ).agg(F.count("*").alias("n"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    z = (F.col("n") - mean) / F.sqrt(
+        F.col("s2").cast("double") / F.col("k") - mean * mean
+    )
+    return (
+        hourly.join(moments, "event_type")
+        .select("event_type", "hour_bucket", "n", z.alias("z"))
+        .where(F.abs(F.col("z")) >= 2.0)
+    )
