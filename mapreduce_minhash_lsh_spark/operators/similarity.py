@@ -198,23 +198,43 @@ def signature_set_relation(
     if cfg.id_strategy == "rank":
         from mapreduce_minhash_lsh_spark.operators.shingling import vocabulary
 
-        base = (
-            doc_shingles.select("doc_id", "shingle", sid.alias("sid"))
-            .join(vocabulary(doc_shingles), "shingle")
-            .select("doc_id", "shingle_id", "sid")
-        )
-    else:
-        from mapreduce_minhash_lsh_spark.functions.hashing import (
-            md5_id,
-            xxhash_id,
-        )
+        # 'rank' is the one strategy that consumes doc_shingles TWICE
+        # (base projection + the vocabulary pass), so the single-
+        # consumption claim below doesn't hold here: persist the shingle
+        # relation for the duration of the (eager) materialization, then
+        # release it — no cached-RDD growth across repeated calls.
+        doc_shingles = doc_shingles.persist()
+        try:
+            base = (
+                doc_shingles.select("doc_id", "shingle", sid.alias("sid"))
+                .join(vocabulary(doc_shingles), "shingle")
+                .select("doc_id", "shingle_id", "sid")
+            )
+            return _sig_set_from_base(base, cfg, checkpoint_dir)
+        finally:
+            doc_shingles.unpersist()
+    from mapreduce_minhash_lsh_spark.functions.hashing import (
+        md5_id,
+        xxhash_id,
+    )
 
-        mk = md5_id if cfg.id_strategy == "md5" else xxhash_id
-        base = doc_shingles.select(
-            "doc_id",
-            mk(F.col("shingle"), cfg.prime).alias("shingle_id"),
-            sid.alias("sid"),
-        )
+    mk = md5_id if cfg.id_strategy == "md5" else xxhash_id
+    base = doc_shingles.select(
+        "doc_id",
+        mk(F.col("shingle"), cfg.prime).alias("shingle_id"),
+        sid.alias("sid"),
+    )
+    return _sig_set_from_base(base, cfg, checkpoint_dir)
+
+
+def _sig_set_from_base(
+    base: DataFrame,
+    cfg: MinHashLSHConfig,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """(doc_id, shingle_id, sid) -> the materialized (doc_id, sig,
+    sh_set) relation — the strategy-independent aggregate tail of
+    :func:`signature_set_relation`."""
     if cfg.sig_strategy == "oph":
         from mapreduce_minhash_lsh_spark.operators.minhash import (
             oph_sig_from_buckets,
@@ -419,6 +439,7 @@ def cross_corpus_pairs(
     threshold: float | None = None,
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup: (new_id, seen_id, jaccard >= threshold) for
     every NEW document that near-duplicates a SEEN document — the "dedup
@@ -429,7 +450,14 @@ def cross_corpus_pairs(
     |new| x (bucket hit rate) — never a rescan of seen-vs-seen.
 
     Doc ids must be unique ACROSS both corpora (they key the verify
-    joins).  At production scale the seen side's signatures/bands are
+    joins and the single-union signature aggregate).  A violated
+    contract does NOT self-pair benignly: the two same-id documents'
+    shingles silently merge into one polluted signature and the
+    seen-side copy vanishes from the output entirely (the union
+    aggregate cannot tell the corpora apart) — pass
+    ``check_disjoint=True`` to fail fast instead (one cheap
+    left-semi ``isEmpty`` probe on the id intersection).  At
+    production scale the seen side's signatures/bands are
     precomputed and stored — exactly the band-store layout
     ``streaming/jobs.incremental_similar_pairs`` maintains; this batch
     form recomputes them so the operator is self-contained.
@@ -440,6 +468,16 @@ def cross_corpus_pairs(
     threshold = cfg.threshold if threshold is None else threshold
     from mapreduce_minhash_lsh_spark.operators.lsh import banded_cross_pairs
 
+    if check_disjoint:
+        overlap = new_docs.select("doc_id").join(
+            seen_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+        if not overlap.isEmpty():
+            raise ValueError(
+                "cross_corpus_pairs: doc ids must be disjoint across "
+                "corpora; at least one id appears in both "
+                f"(e.g. {overlap.limit(3).collect()})"
+            )
     # ONE materialization for both corpora: the union's (sig, sh_set)
     # relation is built in a single groupBy (ids are unique across
     # corpora by contract), then each side is recovered with a semi/anti
@@ -572,26 +610,33 @@ def containment_pairs_postings(
     Verification is exact: ``nc / min(na, nb)`` on the FULL shingle
     sets, built only for candidate docs (pair_overlap_counts).
     """
+    # persist is released before returning: both consumers (candidate
+    # generation and the verify counts) are driven to completion by the
+    # eager _materialize calls below, so repeated calls in a long-lived
+    # session leave no cached shingle relations behind.
     sh = explode_shingles(docs, k).persist()
-    ids = sh.select("doc_id", md5_long(F.col("shingle")).alias("sid"))
-    dfreq = ids.groupBy("sid").agg(F.count("*").alias("_df"))
-    rare = ids.join(
-        dfreq.where((F.col("_df") >= 2) & (F.col("_df") <= max_df)), "sid"
-    ).select("doc_id", "sid")
-    a, b = rare.alias("a"), rare.alias("b")
-    cands = (
-        a.join(b, "sid")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+    try:
+        ids = sh.select("doc_id", md5_long(F.col("shingle")).alias("sid"))
+        dfreq = ids.groupBy("sid").agg(F.count("*").alias("_df"))
+        rare = ids.join(
+            dfreq.where((F.col("_df") >= 2) & (F.col("_df") <= max_df)), "sid"
+        ).select("doc_id", "sid")
+        a, b = rare.alias("a"), rare.alias("b")
+        cands = (
+            a.join(b, "sid")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .agg(F.count("*").alias("_nshared"))
+            .where(F.col("_nshared") >= min_common)
+            .select("doc_id_a", "doc_id_b")
         )
-        .agg(F.count("*").alias("_nshared"))
-        .where(F.col("_nshared") >= min_common)
-        .select("doc_id_a", "doc_id_b")
-    )
-    cands = _materialize(cands, checkpoint_dir)
-    counts = pair_overlap_counts(cands, sh, checkpoint_dir)
+        cands = _materialize(cands, checkpoint_dir)
+        counts = pair_overlap_counts(cands, sh, checkpoint_dir)
+    finally:
+        sh.unpersist()
     return counts.select(
         "doc_id_a",
         "doc_id_b",

@@ -3951,8 +3951,10 @@ def q_paragraph_near_dups(spark, sf):
         )
     )
     pairs = similar_pairs(chunks, _CFG)
-    da = (F.col("doc_id_a") / _CHUNK_MUL).cast("long")
-    db = (F.col("doc_id_b") / _CHUNK_MUL).cast("long")
+    # integer floor-div, matching the oracle's `//` (double division
+    # rounds and goes inexact past 2^53)
+    da = F.expr(f"doc_id_a div {_CHUNK_MUL}")
+    db = F.expr(f"doc_id_b div {_CHUNK_MUL}")
     return (
         pairs.where(da != db)
         .groupBy(

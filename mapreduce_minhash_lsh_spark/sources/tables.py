@@ -366,6 +366,13 @@ def apply_cdc(
         .join(deletes, key_cols, "left_anti")
         .drop(op_col)
     )
+    # The pre-anti-join count can overstate: when every upsert key is also
+    # deleted in the same batch the post-anti-join relation is empty, and
+    # upsert_parquet on an empty relation is a full table rewrite (or the
+    # creation of an empty table on a fresh path) for a no-op — re-probe
+    # the anti-joined relation cheaply before paying that.
+    if n_upserts and n_deletes:
+        n_upserts = not upserts.isEmpty()
     if n_upserts:
         upsert_parquet(spark, upserts, path, key_cols)
     if n_deletes:
