@@ -141,11 +141,39 @@ def _key_array(signatures: DataFrame, cfg: MinHashLSHConfig):
     return F.array(*[md5_long(joined(band)) for band in range(cfg.num_bands)])
 
 
+def _not_earlier(
+    cfg: MinHashLSHConfig,
+    keys_a,
+    keys_b,
+    survs_a=None,
+):
+    """CASE-over-band filter: keep a band match only if NO earlier band
+    also matched (and, when a survival vector is supplied, survived the
+    bucket-size cap).  ``keys_a``/``keys_b``/``survs_a`` are callables
+    j -> Column.  Plain getItem+AND/OR chains stay inside whole-stage
+    codegen (no higher-order functions); survival is a bucket property,
+    so when keys agree at band j both sides' survival flags are equal
+    and side a's suffices."""
+    def match(j: int):
+        c = keys_a(j) == keys_b(j)
+        if survs_a is not None:
+            c = c & survs_a(j)
+        return c
+
+    not_earlier = F.when(F.col("band") == 0, F.lit(True))
+    for bi in range(1, cfg.num_bands):
+        earlier = match(0)
+        for j in range(1, bi):
+            earlier = earlier | match(j)
+        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
+    return not_earlier
+
+
 def banded_pairs(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     """Uncapped candidate pairs WITHOUT the global distinct: each pair is
     emitted exactly once, by its LOWEST agreeing band.
 
-    ``candidate_pairs`` emits a pair once per agreeing band and
+    The distinct-based form emits a pair once per agreeing band and
     deduplicates with a ``.distinct()`` — for near-identical docs all b
     bands agree, so the distinct shuffles ~b rows per true pair (the
     widest shuffle of the flagship at the 10x probe).  Here each band
@@ -157,28 +185,22 @@ def banded_pairs(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     unique — each pair survives exactly once and the distinct (a full
     shuffle + hash-dedup of the pair fan-out) disappears.
 
-    Only for the UNCAPPED path: with ``max_bucket_size`` dropping
-    oversized buckets, a pair whose lowest agreeing band was dropped
-    would be suppressed in its surviving later band (the filter checks
-    key equality, not bucket survival) — ``candidate_pairs`` keeps the
-    distinct-based form for the capped modes.
+    Capped twin: :func:`banded_pairs_capped` (lowest SURVIVING band).
     """
     bands = signatures.select(
         "doc_id", _key_array(signatures, cfg).alias("keys")
     ).select("doc_id", "keys", F.posexplode("keys").alias("band", "band_key"))
     a, b = bands.alias("a"), bands.alias("b")
-    # CASE band WHEN i: did any band j < i match?  Plain getItem+OR chains
-    # stay inside whole-stage codegen (no higher-order functions).
-    not_earlier = F.when(F.col("band") == 0, F.lit(True))
-    for bi in range(1, cfg.num_bands):
-        earlier = F.col("a.keys")[0] == F.col("b.keys")[0]
-        for j in range(1, bi):
-            earlier = earlier | (F.col("a.keys")[j] == F.col("b.keys")[j])
-        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(not_earlier)
+        .where(
+            _not_earlier(
+                cfg,
+                lambda j: F.col("a.keys")[j],
+                lambda j: F.col("b.keys")[j],
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -217,18 +239,27 @@ def banded_cross_pairs(
         )
 
     a, b = _bands(sig_a, "a"), _bands(sig_b, "b")
-    not_earlier = F.when(F.col("band") == 0, F.lit(True))
-    for bi in range(1, cfg.num_bands):
-        earlier = F.col("keys_a")[0] == F.col("keys_b")[0]
-        for j in range(1, bi):
-            earlier = earlier | (F.col("keys_a")[j] == F.col("keys_b")[j])
-        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_id_a") != F.col("doc_id_b"))
-        .where(not_earlier)
+        .where(
+            _not_earlier(
+                cfg,
+                lambda j: F.col("keys_a")[j],
+                lambda j: F.col("keys_b")[j],
+            )
+        )
         .select("doc_id_a", "doc_id_b")
     )
+
+
+# Buckets above this many members go through the triangle split under
+# oversize='auto'; smaller ones take the plain per-bucket join, which AQE
+# handles comfortably.  Measured crossover (SCALE.md §7): a 1 250-member
+# bucket is pure overhead to split (plain join 0.77 s vs split 2.94 s),
+# a 5 000-member bucket splits 1.9x faster than AQE-only (21.9 s vs
+# 42.0 s) — the boundary sits between 10^3 and 10^4.
+AUTO_SPLIT_THRESHOLD = 2048
 
 
 def candidate_pairs(
@@ -236,12 +267,13 @@ def candidate_pairs(
     cfg: MinHashLSHConfig,
     max_bucket_size: int | None = None,
     oversize: str = "drop",
+    auto_split_threshold: int = AUTO_SPLIT_THRESHOLD,
 ) -> DataFrame:
     """(doc_id, band, band_key) -> distinct (doc_id_a < doc_id_b) pairs.
 
     ``max_bucket_size`` bounds pathological buckets (near-identical
     boilerplate at web scale makes single buckets with 10^6 members ->
-    10^12 pairs).  Two policies:
+    10^12 pairs).  Three policies:
 
     - ``oversize="drop"``: oversized buckets are discarded — trades
       recall for survival.
@@ -256,59 +288,187 @@ def candidate_pairs(
       B*(B+1)/2 independent keys instead of one hot key.  An unordered
       pair (p-block, q-block) co-occupies exactly one group when p != q;
       intra-block pairs are claimed only by the diagonal group (gi==gj)
-      — so every pair is emitted exactly once before the final distinct.
-      Replication cost: n*B ~ n^2/cap rows per hot bucket — same order
-      as the pair output itself, i.e. the unavoidable price of full
-      recall, NOT an extra asymptotic term.
+      — so every pair is emitted exactly once.  Replication cost: n*B ~
+      n^2/cap rows per hot bucket — same order as the pair output
+      itself, i.e. the unavoidable price of full recall, NOT an extra
+      asymptotic term.
+    - ``oversize="auto"``: full recall like 'split', but the triangle
+      decomposition is engaged only for buckets above
+      ``auto_split_threshold`` (default the measured plain-join/split
+      crossover); buckets between ``max_bucket_size`` and the threshold
+      take the plain join, where AQE's skew handling is measured faster
+      than paying the split's block replication.
 
-    AQE skew-join handles moderate skew below the cap in both modes.
+    Since round 5 every capped mode emits each pair EXACTLY ONCE — by
+    its lowest agreeing band whose bucket survived the cap — so the
+    global pair ``.distinct()`` (the widest shuffle of the capped
+    pipeline: ~num_bands rows per true pair) is gone from the
+    production path too, matching :func:`banded_pairs`.  The price is
+    one groupBy(doc_id) over the docs x num_bands band relation to
+    rebuild each doc's per-band (key, survival) vectors — bounded by
+    corpus size, never by pair volume.  Prefer
+    :func:`banded_pairs_capped` when signatures are at hand: it skips
+    that regroup entirely for the full-recall modes.
+
+    AQE skew-join handles moderate skew below the cap in all modes.
     """
     if max_bucket_size is None:
         return _pairs_from(bands, ["band", "band_key"]).distinct()
-    if oversize not in ("drop", "split"):
-        raise ValueError("oversize must be 'drop' or 'split'")
-    sized = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
-    bands = bands.join(sized, ["band", "band_key"])
-    small = _pairs_from(
-        bands.where(F.col("_n") <= max_bucket_size).drop("_n"),
-        ["band", "band_key"],
+    _check_oversize(oversize)
+    docvec = bands.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+            lambda s: s["band_key"],
+        ).alias("keys")
     )
+    return _capped_pairs(docvec, cfg, max_bucket_size, oversize, auto_split_threshold)
+
+
+def banded_pairs_capped(
+    signatures: DataFrame,
+    cfg: MinHashLSHConfig,
+    max_bucket_size: int,
+    oversize: str = "drop",
+    auto_split_threshold: int = AUTO_SPLIT_THRESHOLD,
+) -> DataFrame:
+    """Capped candidate pairs straight from signatures — the production
+    entry: the per-doc band-key vector is computed MAP-SIDE from the
+    signature (no regroup), so the full-recall modes ('split'/'auto')
+    add zero shuffles over the uncapped :func:`banded_pairs` beyond the
+    bucket-size aggregate, and 'drop' pays only the docs x num_bands
+    survival regroup.  Policies and exactly-once emission as documented
+    on :func:`candidate_pairs`."""
+    _check_oversize(oversize)
+    docvec = signatures.select(
+        "doc_id", _key_array(signatures, cfg).alias("keys")
+    )
+    return _capped_pairs(docvec, cfg, max_bucket_size, oversize, auto_split_threshold)
+
+
+def _check_oversize(oversize: str) -> None:
+    if oversize not in ("drop", "split", "auto"):
+        raise ValueError("oversize must be 'drop', 'split' or 'auto'")
+
+
+def _capped_pairs(
+    docvec: DataFrame,
+    cfg: MinHashLSHConfig,
+    max_bucket_size: int,
+    oversize: str,
+    auto_split_threshold: int,
+) -> DataFrame:
+    """(doc_id, keys: array<long>) -> capped candidate pairs, each pair
+    emitted exactly once by its lowest surviving agreeing band."""
+    rows = docvec.select(
+        "doc_id", "keys", F.posexplode("keys").alias("band", "band_key")
+    )
+    sized = rows.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+    rows = rows.join(sized, ["band", "band_key"])
+
     if oversize == "drop":
-        return small.distinct()
-    nblk = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("int")
-    big = (
-        bands.where(F.col("_n") > max_bucket_size)
-        .select(
+        # Survival is a global bucket property, so each doc's per-band
+        # survival vector needs one regroup of the docs x num_bands
+        # relation — the (bounded) price of dropping the pair-fanout
+        # distinct.  The join then runs on surviving rows only, and the
+        # lowest-band filter checks key equality AND survival.
+        flagged = rows.select(
             "doc_id", "band", "band_key",
-            F.pmod(F.xxhash64("doc_id"), nblk).cast("int").alias("blk"),
-            nblk.alias("_nblk"),
+            (F.col("_n") <= max_bucket_size).alias("_s"),
         )
-        .select(
-            "doc_id", "band", "band_key", "blk",
-            F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)).alias("h"),
+        vecs = flagged.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("band", "band_key", "_s"))
+            ).alias("v")
         )
-        .select(
-            "doc_id", "band", "band_key", "blk",
-            F.least("blk", "h").alias("gi"),
-            F.greatest("blk", "h").alias("gj"),
+        surv_rows = (
+            vecs.select(
+                "doc_id",
+                F.transform("v", lambda s: s["band_key"]).alias("keys"),
+                F.transform("v", lambda s: s["_s"]).alias("survs"),
+            )
+            .select(
+                "doc_id", "keys", "survs",
+                F.posexplode("keys").alias("band", "band_key"),
+            )
+            .where(F.element_at("survs", F.col("band") + 1))
         )
+        a, b = surv_rows.alias("a"), surv_rows.alias("b")
+        return (
+            a.join(b, ["band", "band_key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .where(
+                _not_earlier(
+                    cfg,
+                    lambda j: F.col("a.keys")[j],
+                    lambda j: F.col("b.keys")[j],
+                    lambda j: F.col("a.survs")[j],
+                )
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+        )
+
+    # Full-recall modes: every bucket emits (plain join below the split
+    # threshold, triangle decomposition above), so survival is vacuous
+    # and the lowest-band filter needs keys only.
+    thr = (
+        max_bucket_size
+        if oversize == "split"
+        else max(max_bucket_size, auto_split_threshold)
     )
-    a, b = big.alias("a"), big.alias("b")
-    big_pairs = (
-        a.join(b, ["band", "band_key", "gi", "gj"])
+    ne = _not_earlier(
+        cfg,
+        lambda j: F.col("a.keys")[j],
+        lambda j: F.col("b.keys")[j],
+    )
+    small_rows = rows.where(F.col("_n") <= thr).drop("_n")
+    a, b = small_rows.alias("a"), small_rows.alias("b")
+    small = (
+        a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        # exactly-once claim: diagonal groups own intra-block pairs,
-        # off-diagonal groups own cross-block pairs
-        .where(
-            F.when(F.col("gi") == F.col("gj"), F.col("a.blk") == F.col("b.blk"))
-            .otherwise(F.col("a.blk") != F.col("b.blk"))
-        )
+        .where(ne)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
     )
-    return small.unionByName(big_pairs).distinct()
+    nblk = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("int")
+    big_rows = (
+        rows.where(F.col("_n") > thr)
+        .select(
+            "doc_id", "keys", "band", "band_key",
+            F.pmod(F.xxhash64("doc_id"), nblk).cast("int").alias("blk"),
+            nblk.alias("_nblk"),
+        )
+        .select(
+            "doc_id", "keys", "band", "band_key", "blk",
+            F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)).alias("h"),
+        )
+        .select(
+            "doc_id", "keys", "band", "band_key", "blk",
+            F.least("blk", "h").alias("gi"),
+            F.greatest("blk", "h").alias("gj"),
+        )
+    )
+    a, b = big_rows.alias("a"), big_rows.alias("b")
+    big_pairs = (
+        a.join(b, ["band", "band_key", "gi", "gj"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # exactly-once claim within the bucket: diagonal groups own
+        # intra-block pairs, off-diagonal groups own cross-block pairs
+        .where(
+            F.when(F.col("gi") == F.col("gj"), F.col("a.blk") == F.col("b.blk"))
+            .otherwise(F.col("a.blk") != F.col("b.blk"))
+        )
+        .where(ne)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+    )
+    return small.unionByName(big_pairs)
 
 
 def lsh_candidates(
@@ -316,11 +476,14 @@ def lsh_candidates(
     cfg: MinHashLSHConfig,
     max_bucket_size: int | None = None,
     oversize: str = "drop",
+    auto_split_threshold: int = AUTO_SPLIT_THRESHOLD,
 ) -> DataFrame:
-    """(doc_id, shingle) -> candidate pairs, end to end."""
-    return candidate_pairs(
-        bands_for(minhash_signatures(doc_shingles, cfg), cfg),
-        cfg,
-        max_bucket_size,
-        oversize,
+    """(doc_id, shingle) -> candidate pairs, end to end.  Signatures are
+    at hand here, so the capped modes take the regroup-free
+    :func:`banded_pairs_capped` production path."""
+    sig = minhash_signatures(doc_shingles, cfg)
+    if max_bucket_size is None:
+        return candidate_pairs(bands_for(sig, cfg), cfg)
+    return banded_pairs_capped(
+        sig, cfg, max_bucket_size, oversize, auto_split_threshold
     )

@@ -22,8 +22,8 @@ from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.functions.hashing import affine_hash, md5_long
 from mapreduce_minhash_lsh_spark.operators.lsh import (
     banded_pairs,
+    banded_pairs_capped,
     bands_for,
-    candidate_pairs,
 )
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 
@@ -380,9 +380,7 @@ def similar_pairs_from_shingles(
     if max_bucket_size is None:
         cands = banded_pairs(rel, cfg)
     else:
-        cands = candidate_pairs(
-            bands_for(rel, cfg), cfg, max_bucket_size, oversize
-        )
+        cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
     counts = fused_overlap_counts(cands, rel, cfg, threshold, checkpoint_dir)
     return (
         counts.where(F.col("nc") > 0)
@@ -568,9 +566,7 @@ def containment_pairs(
     if max_bucket_size is None:
         cands = banded_pairs(rel, cfg)
     else:
-        cands = candidate_pairs(
-            bands_for(rel, cfg), cfg, max_bucket_size, oversize
-        )
+        cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
     counts = fused_overlap_counts(cands, rel, cfg, cfg.threshold, checkpoint_dir)
     return (
         counts.where(F.col("nc") >= 0)

@@ -194,6 +194,81 @@ def test_oversize_split_keeps_full_recall(spark):
     assert dropped.count() < len(uncapped)
 
 
+def test_capped_modes_exactly_once_and_equivalent(spark):
+    """Round-5 rework: every capped mode emits each pair EXACTLY ONCE
+    (no global distinct) by its lowest surviving agreeing band.  Checks
+    on a mixed corpus (hot clique + near-dup families + background):
+
+    * no duplicate rows in any mode (the exactly-once claim);
+    * 'drop' set-equal to the reference distinct-based semantics
+      (distinct pairs from surviving buckets) — including pairs whose
+      lowest AGREEING band was dropped but a later band survives;
+    * 'split' and 'auto' (both triangle-forced and plain-forced)
+      set-equal to the uncapped candidate set (full recall);
+    * the bands-relation API (candidate_pairs) matches the
+      signature-relation API (banded_pairs_capped).
+    """
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.lsh import (
+        _pairs_from,
+        banded_pairs_capped,
+        bands_for,
+        candidate_pairs,
+    )
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        minhash_signatures_array,
+    )
+
+    rng = random.Random(55)
+    rows = [(i, "identical boilerplate clique text") for i in range(25)]
+    # near-dup families: base text with small per-member mutations, so
+    # members agree in SOME bands only and bucket membership varies per
+    # band (exercising partial survival under 'drop')
+    words = ["red", "green", "blue", "lime", "teal", "cyan", "plum", "gold"]
+    for fam in range(6):
+        base = [rng.choice(words) for _ in range(14)]
+        for m in range(8):
+            t = list(base)
+            if m:
+                t[rng.randrange(len(t))] = rng.choice(words)
+            rows.append((1000 + fam * 100 + m, " ".join(t)))
+    for i in range(60):
+        rows.append((5000 + i, " ".join(rng.choice(words) for _ in range(10))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    sh = explode_shingles(docs, cfg.k)
+    sig = minhash_signatures_array(sh, cfg)
+    bands = bands_for(sig, cfg).localCheckpoint()
+    uncapped = sorted(
+        map(tuple, _pairs_from(bands, ["band", "band_key"]).distinct().collect())
+    )
+    sized = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+    for cap in (5, 9, 26):
+        ref_drop = sorted(map(tuple, _pairs_from(
+            bands.join(
+                sized.where(F.col("_n") <= cap), ["band", "band_key"]
+            ).drop("_n"),
+            ["band", "band_key"],
+        ).distinct().collect()))
+        for got_df in (
+            candidate_pairs(bands, cfg, cap, "drop"),
+            banded_pairs_capped(sig, cfg, cap, "drop"),
+        ):
+            got = [tuple(r) for r in got_df.collect()]
+            assert len(got) == len(set(got)), f"duplicates: drop cap={cap}"
+            assert sorted(got) == ref_drop, f"drop cap={cap}"
+        for mode, thr in (("split", 2048), ("auto", 6), ("auto", 10**6)):
+            got = [
+                tuple(r)
+                for r in banded_pairs_capped(
+                    sig, cfg, cap, mode, auto_split_threshold=thr
+                ).collect()
+            ]
+            assert len(got) == len(set(got)), f"duplicates: {mode} cap={cap} thr={thr}"
+            assert sorted(got) == uncapped, f"{mode} cap={cap} thr={thr}"
+
+
 def test_oversize_split_flagship_equals_uncapped(spark):
     from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 
