@@ -161,6 +161,185 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
         )
 
 
+def similar_groups(
+    docs: DataFrame,
+    cfg,
+    threshold: float | None = None,
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+    oversize: str = "auto",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """(doc_id, group_id) — output-equivalent to
+    ``near_dup_groups(similar_pairs(docs, cfg, threshold))`` but WITHOUT
+    materializing the full verified pair list: the dedup-by-group answer
+    that breaks the quadratic output wall (SCALE.md §7: the verify
+    payload join over all O(k²) clique pairs is what exhausts spill at
+    the 160× probe; the group answer needs only a spanning structure).
+
+    Algorithm — Borůvka-style connected components with VERIFICATION AS
+    THE EDGE ORACLE:
+
+    1. LSH candidates (lowest-band emission, optionally capped) are
+       prefiltered once by the signature-agreement cutoff — the cheap
+       (sig-only payload) half of the flagship's verification SPEC,
+       which kills most of the j≈0.5 candidate background so later
+       rounds converge on true edges.
+    2. Each round, every current component nominates ONE incident
+       candidate edge (its minimum, for determinism); only those
+       O(#components) representative edges pay the exact shingle-set
+       verification (``fused_overlap_counts`` — the expensive sh_set
+       payload join never sees the full candidate list).  Verified
+       edges merge components (min-label, via :func:`near_dup_groups`
+       on the component graph); failed edges are deleted.
+    3. Candidate edges whose endpoints land in one component are
+       discarded UNVERIFIED — their endpoints are already connected by
+       verified edges, so they cannot change the components.
+
+    Exactness: let E* be the candidate edges that would pass the full
+    flagship verification and W ⊆ E* the edges this routine verified
+    true.  Every e ∈ E* \\ W was discarded only while its endpoints
+    were already W-connected, so components(W) = components(E*) — and
+    a doc appears in a multi-doc component iff it has a true edge, so
+    filtering to components of size ≥ 2 reproduces
+    ``near_dup_groups(similar_pairs(...))`` exactly (tests pin this).
+
+    Cost: a k-clique verifies k-1 edges (every member nominates the
+    min member) instead of k(k-1)/2; false candidate edges each cost
+    one verification at most.  When nomination stops being productive
+    — a round verifies nothing, or one round of nominations already
+    covers a quarter of the remaining edges — the loop escalates to
+    ONE exhaustive sweep of the residual inter-component edges and
+    finishes.  That residual cost is unavoidable for any exact
+    algorithm (a false edge between two components that never merge
+    must be inspected to be rejected); the quadratic savings come from
+    the intra-component skips, which happened in the earlier rounds.
+    Total verifications O(docs · log max-component + residual), rounds
+    O(log max-component) + 1.  Pass ``max_iter`` to bound rounds
+    explicitly; exhaustion raises rather than mislabeling.
+    """
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig  # noqa: F401
+    from mapreduce_minhash_lsh_spark.operators.lsh import (
+        banded_pairs,
+        banded_pairs_capped,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        _materialize,
+        fused_overlap_counts,
+        signature_prefilter,
+        signature_set_relation,
+    )
+
+    threshold = cfg.threshold if threshold is None else threshold
+    rel = signature_set_relation(
+        explode_shingles(docs, cfg.k), cfg, checkpoint_dir
+    )
+    if max_bucket_size is None:
+        cands = banded_pairs(rel, cfg)
+    else:
+        cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
+    edges = _materialize(
+        signature_prefilter(
+            cands, rel.select("doc_id", "sig"), cfg, threshold
+        ).select("doc_id_a", "doc_id_b"),
+        checkpoint_dir,
+    )
+    labels = _materialize(
+        edges.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id")),
+        checkpoint_dir,
+    )
+    iteration = 0
+    exhaustive = False
+    while True:
+        iteration += 1
+        la = labels.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("group_id").alias("_la")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("group_id").alias("_lb")
+        )
+        live = _materialize(
+            edges.join(la, "doc_id_a").join(lb, "doc_id_b")
+            .where(F.col("_la") != F.col("_lb"))
+            .select("doc_id_a", "doc_id_b", "_la", "_lb"),
+            checkpoint_dir,
+        )
+        n_live = live.count()
+        if n_live == 0:
+            break
+        if max_iter is not None and iteration > max_iter:
+            raise RuntimeError(
+                f"similar_groups did not converge within max_iter={max_iter} "
+                "rounds; raise the bound"
+            )
+        edges = live.select("doc_id_a", "doc_id_b")
+        if exhaustive:
+            reps = edges
+        else:
+            # Borůvka nomination: each component's min incident edge.
+            reps = _materialize(
+                live.select(F.col("_la").alias("_c"), "doc_id_a", "doc_id_b")
+                .unionByName(
+                    live.select(F.col("_lb").alias("_c"), "doc_id_a", "doc_id_b")
+                )
+                .groupBy("_c")
+                .agg(F.min(F.struct("doc_id_a", "doc_id_b")).alias("_e"))
+                .select(F.col("_e.doc_id_a").alias("doc_id_a"),
+                        F.col("_e.doc_id_b").alias("doc_id_b"))
+                .distinct(),
+                checkpoint_dir,
+            )
+            if reps.count() * 4 >= n_live:
+                # one nomination round already covers most of the
+                # residual: the per-round bookkeeping costs more than it
+                # saves — sweep everything that is left
+                reps = edges
+                exhaustive = True
+        counts = fused_overlap_counts(reps, rel, cfg, threshold, checkpoint_dir)
+        verified = counts.where(F.col("nc") > 0).where(
+            F.col("nc").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("nc"))
+            >= threshold
+        ).select("doc_id_a", "doc_id_b")
+        failed = reps.join(verified, ["doc_id_a", "doc_id_b"], "left_anti")
+        edges = _materialize(
+            edges.join(failed, ["doc_id_a", "doc_id_b"], "left_anti"),
+            checkpoint_dir,
+        )
+        # Contract: components over the (tiny) component graph of the
+        # verified representative edges, then relabel every doc.
+        comp_edges = (
+            verified.join(la, "doc_id_a").join(lb, "doc_id_b")
+            .select(F.col("_la").alias("doc_id_a"), F.col("_lb").alias("doc_id_b"))
+        )
+        if comp_edges.isEmpty():
+            # an unproductive nomination round: the surviving residual
+            # is dominated by false edges — verify it wholesale next
+            # round instead of draining one edge per component per round
+            exhaustive = True
+            continue
+        cc = near_dup_groups(comp_edges).select(
+            F.col("doc_id").alias("_c"), F.col("group_id").alias("_g")
+        )
+        labels = _materialize(
+            labels.join(cc, labels.group_id == cc._c, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_g"), F.col("group_id")).alias("group_id"),
+            ),
+            checkpoint_dir,
+        )
+    # Docs whose component stayed a singleton have no verified edge —
+    # they are not part of any near-dup group.
+    sizes = labels.groupBy("group_id").agg(F.count("*").alias("_n"))
+    return labels.join(
+        sizes.where(F.col("_n") >= 2), "group_id", "left_semi"
+    ).select("doc_id", "group_id")
+
+
 def quality_drop_ids(
     groups: DataFrame,
     scored: DataFrame,

@@ -767,6 +767,32 @@ def q_near_dup_groups(spark, sf):
     return _dedup.near_dup_groups(pairs)
 
 
+@register(
+    "similar_groups",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src""",
+)
+def q_similar_groups(spark, sf):
+    """GROUP-LEVEL flagship (dedup.similar_groups): same answer as
+    near_dup_groups∘similar_pairs — the oracle is literally the same
+    recursive-CTE SQL — but computed by Borůvka rounds that verify one
+    representative candidate edge per component instead of all O(k²)
+    clique pairs, the output shape that survives quadratically-duplicated
+    corpora (SCALE.md §7's 160× wall)."""
+    return _dedup.similar_groups(load_table(spark, sf, "documents"), _CFG)
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings + SimHash fingerprints
 # --------------------------------------------------------------------------

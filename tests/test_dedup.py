@@ -71,3 +71,92 @@ def test_empty_inputs_flow_through(spark):
     assert cross_corpus_pairs(empty_docs, empty_docs, PIPELINE_CFG).count() == 0
     empty_edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
     assert near_dup_groups(empty_edges).count() == 0
+
+
+def _mutate(base: list[str], rng, words, n: int) -> str:
+    t = list(base)
+    for _ in range(n):
+        t[rng.randrange(len(t))] = rng.choice(words)
+    return " ".join(t)
+
+
+def test_similar_groups_equals_groups_of_similar_pairs(spark):
+    """similar_groups must be OUTPUT-EQUIVALENT to
+    near_dup_groups(similar_pairs(...)) on a corpus that exercises every
+    branch: an identical clique (one Borůvka round collapses it), a
+    DRIFTING near-dup chain (multi-round contraction, transitive
+    grouping), borderline pairs around the threshold (failed
+    representative edges must be deleted and retried, not mislabeled),
+    and unrelated background (candidate noise killed by the prefilter)."""
+    import random
+
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.dedup import similar_groups
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+
+    rng = random.Random(99)
+    words = [
+        "alpha", "bravo", "china", "delta", "echos", "foxes", "golfs",
+        "hotel", "india", "julia", "kilos", "limas", "mikes", "novas",
+    ]
+    rows = []
+    # identical 15-clique
+    rows += [(i, "identical boilerplate clique text body") for i in range(15)]
+    # drifting chain: each member mutates the previous slightly — adjacent
+    # pairs are near-dups, ends are not; the component spans the chain
+    base = [rng.choice(words) for _ in range(30)]
+    for i in range(10):
+        rows.append((100 + i, " ".join(base)))
+        base[rng.randrange(len(base))] = rng.choice(words)
+    # borderline family: larger mutations so some pairs fall just below
+    # the threshold (candidate edges that FAIL verification)
+    base2 = [rng.choice(words) for _ in range(12)]
+    for i in range(8):
+        rows.append((200 + i, _mutate(base2, rng, words, rng.randrange(4))))
+    # background
+    for i in range(80):
+        rows.append((1000 + i, " ".join(rng.choice(words) for _ in range(14))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for threshold in (0.8, 0.6):
+        cfg = MinHashLSHConfig(num_hashes=16, num_bands=8, threshold=threshold)
+        want = sorted(
+            map(
+                tuple,
+                near_dup_groups(
+                    similar_pairs(docs, cfg, threshold=threshold)
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, similar_groups(docs, cfg, threshold=threshold).collect())
+        )
+        assert got == want, f"threshold={threshold}"
+        assert len(want) > 15  # the corpus actually grouped things
+
+
+def test_similar_groups_capped_and_empty(spark):
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.dedup import similar_groups
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+
+    cfg = MinHashLSHConfig(num_hashes=8, num_bands=4)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert similar_groups(empty_docs, cfg).count() == 0
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text here") for i in range(40)]
+        + [(100, "some other words"), (101, "some other words"),
+           (200, "entirely unrelated phrasing")],
+        ["doc_id", "text"],
+    )
+    # capped full-recall mode must still reproduce the uncapped groups
+    want = sorted(map(tuple, near_dup_groups(
+        similar_pairs(docs, cfg, threshold=0.9)
+    ).collect()))
+    for mode in ("split", "auto"):
+        got = sorted(map(tuple, similar_groups(
+            docs, cfg, threshold=0.9, max_bucket_size=8, oversize=mode,
+        ).collect()))
+        assert got == want, mode
+        assert {r[1] for r in got} == {0, 100}
