@@ -57,14 +57,25 @@ class MinHashLSHConfig:
     # Signature scheme:
     # 'affine': num_hashes independent (a_j*x + b_j) mod p mins — the
     #   textbook family; per-shingle cost is num_hashes multiply-mods.
-    # 'oph': one-permutation hashing with rotation densification
-    #   (Li, Owen, Zhang 2012 / Shrivastava, Li 2014): ONE hash per
-    #   shingle, bucketed mod num_hashes, min per bucket; empty buckets
-    #   borrow circularly from the next non-empty one, offset by
-    #   prime*distance so borrowed values cannot spuriously collide.
-    #   ~num_hashes-fold less signature CPU — the 100 TB path for long
-    #   documents; slightly higher estimator variance on short ones.
+    # 'oph': one-permutation hashing (Li, Owen, Zhang 2012): ONE hash
+    #   per shingle, bucketed mod num_hashes, min per bucket; empty
+    #   buckets are filled per ``densify``.  ~num_hashes-fold less
+    #   signature CPU — the 100 TB path for long documents; higher
+    #   estimator variance on short ones.
     sig_strategy: str = "affine"
+    # Empty-bucket densification for sig_strategy='oph':
+    # 'optimal': Shrivastava (ICML 2017)-style optimal densification —
+    #   each empty slot walks a slot-specific universal-hash probe
+    #   sequence (shared across docs) to the first non-empty bucket and
+    #   copies its min.  Slot sequences are independent, so adjacent
+    #   empty slots decorrelate — measured ~10x fewer spurious LSH
+    #   candidates than rotation on short-doc corpora (SCALE.md §10).
+    #   The default and production path; integer-only, oracle-replayable.
+    # 'rotation': Shrivastava/Li 2014 rotation — borrow circularly from
+    #   the next non-empty bucket, offset by prime*distance.  Cheaper to
+    #   densify (one window pass) but adjacent empty slots borrow the
+    #   same donor, correlating signature positions.
+    densify: str = "optimal"
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.num_bands != 0:
@@ -77,6 +88,8 @@ class MinHashLSHConfig:
             )
         if self.sig_strategy not in ("affine", "oph"):
             raise ValueError(f"unknown sig_strategy {self.sig_strategy!r}")
+        if self.densify not in ("optimal", "rotation"):
+            raise ValueError(f"unknown densify {self.densify!r}")
 
     @property
     def rows_per_band(self) -> int:

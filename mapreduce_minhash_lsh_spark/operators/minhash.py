@@ -104,28 +104,25 @@ def oph_signatures_array(
     doc_shingles: DataFrame, cfg: MinHashLSHConfig
 ) -> DataFrame:
     """(doc_id, shingle) -> (doc_id, sig: array<long>) via ONE-PERMUTATION
-    HASHING with rotation densification — cfg.sig_strategy='oph'.
+    HASHING — cfg.sig_strategy='oph'.
 
     The affine family pays num_hashes multiply-mods per shingle row; at
     100 TB the signature stage is corpus_size x num_hashes of CPU.  OPH
     (Li/Owen/Zhang 2012) hashes each shingle ONCE, partitions the hash
     space into num_hashes buckets (shingle_id mod n), and takes the min
-    per non-empty bucket; empty buckets borrow the next non-empty
-    bucket's min circularly (Shrivastava/Li 2014 rotation), offset by
-    prime * borrow-distance so two docs that borrow from different
-    distances can never spuriously agree.  Per-shingle work drops
+    per non-empty bucket; empty buckets are filled per ``cfg.densify``
+    ('optimal' — default, slot-keyed probe sequences; or 'rotation' —
+    circular borrow with prime*distance offset; see
+    :func:`oph_sig_from_buckets`).  Per-shingle work drops
     ~num_hashes-fold; collision probability per position remains ~J.
 
     Plan: one aggregate over the big shingle relation (groupBy doc_id,
-    bucket — map-side partials shrink it to <=n rows/doc/partition),
-    then the densification runs on the TINY (doc x 2n)-slot relation:
-    explode 2n slots (circular unroll), left-join the bucket mins, one
-    `first(..., ignorenulls)` window forward-scan, re-collect to the
-    n-array.  Every post-aggregate relation is n-bounded per doc, so
+    bucket — map-side partials shrink it to <=n rows/doc/partition);
+    the densification then runs only on n-bounded per-doc relations, so
     the 100 TB cost is the single pass over the shingles.
 
-    Engine-portable under the 'md5'/'rank' id strategies (integer mins
-    and distances only) — the DuckDB oracle replays it exactly.
+    Engine-portable under the 'md5'/'rank' id strategies (integer mins,
+    ranks and distances only) — the DuckDB oracle replays it exactly.
     """
     ids = shingle_ids(doc_shingles, cfg)
     b1 = ids.groupBy(
@@ -134,11 +131,115 @@ def oph_signatures_array(
     return oph_sig_from_buckets(b1, cfg)
 
 
+# Optimal-densification probe-sequence constants — part of the pipeline
+# SPEC (the DuckDB oracle embeds the same literals): empty slot i's j-th
+# probe targets bucket ((DENS_A*(i*(DENS_T+1)+j) + DENS_B) mod prime) mod
+# num_hashes.  DENS_A is Knuth's 32-bit golden-ratio multiplier; products
+# stay far below 2^63 (slot*(T+1)+j <= ~2^12), so the arithmetic is exact
+# int64 in both engines.
+DENS_A = 2_654_435_761
+DENS_B = 40_503
+DENS_T = 16  # hashed probe attempts before the circular-walk fallback
+
+
+def densify_probe_rows(cfg: MinHashLSHConfig) -> list[tuple[int, int, int]]:
+    """The (slot, rank, donor-bucket) probe table of optimal
+    densification — doc-independent (the sequence sharing across docs is
+    what makes the estimator collision probability ~J, Shrivastava 2017),
+    so it is computed once driver-side and broadcast: rank 0 is the slot
+    itself, ranks 1..DENS_T are the universal-hash probes."""
+    n = cfg.num_hashes
+    rows = [(s, 0, s) for s in range(n)]
+    for s in range(n):
+        for r in range(1, DENS_T + 1):
+            rows.append(
+                (s, r, ((DENS_A * (s * (DENS_T + 1) + r) + DENS_B) % cfg.prime) % n)
+            )
+    return rows
+
+
 def oph_sig_from_buckets(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     """(doc_id, bucket, bmin) -> (doc_id, sig) — the densification half
     of OPH, shared by :func:`oph_signatures_array` and the fused
     ``signature_set_relation`` (which carries per-bucket shingle sets
-    through the same aggregate)."""
+    through the same aggregate).  Dispatches on ``cfg.densify``."""
+    if cfg.densify == "optimal":
+        return _oph_densify_optimal(b1, cfg)
+    return _oph_densify_rotation(b1, cfg)
+
+
+def _oph_densify_optimal(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """Optimal densification (Shrivastava, ICML 2017 style): each empty
+    slot probes a SLOT-SPECIFIC universal-hash sequence of donor buckets
+    (rank 1..DENS_T) and copies the first non-empty bucket's min; rank 0
+    is the slot's own bucket.  Because the probe sequence depends on the
+    slot (not the doc), two docs empty at the same slot walk the same
+    donors and agree iff the first commonly-non-empty donor's mins agree
+    — and because DIFFERENT slots probe independent sequences, adjacent
+    empty slots decorrelate, unlike rotation where they all borrow the
+    same next non-empty bucket (the measured 10x candidate inflation on
+    short docs, SCALE.md §10).
+
+    Spurious agreement across different donors is impossible by
+    construction: bucket d's ids are ≡ d (mod num_hashes), so copied
+    values from different buckets can never be equal — no offset term is
+    needed.
+
+    Plan: the probe table (num_hashes x (DENS_T+1) rows) broadcasts; one
+    join + argmin-by-rank resolves every slot with >= 1 non-empty probed
+    donor (rows per doc ~ probes x fill rate — n-bounded, independent of
+    corpus size).  The rare unresolved slots (P ~ empty_rate^DENS_T;
+    material only for docs with << num_hashes distinct shingles) fall
+    back to the deterministic circular walk — the nearest non-empty
+    bucket clockwise, value copied — via a join against the doc's own
+    (<= num_hashes)-row bucket relation.
+    """
+    n = cfg.num_hashes
+    spark = b1.sparkSession
+    donors = spark.createDataFrame(
+        densify_probe_rows(cfg), "slot int, r int, donor int"
+    )
+    hits = (
+        b1.join(F.broadcast(donors), b1.bucket == donors.donor)
+        .groupBy("doc_id", "slot")
+        .agg(F.min(F.struct("r", "bmin")).alias("_m"))
+        .select("doc_id", "slot", F.col("_m.bmin").alias("mh"))
+    )
+    all_slots = (
+        b1.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("slot"),
+        )
+    )
+    missing = all_slots.join(hits, ["doc_id", "slot"], "left_anti")
+    tail = (
+        missing.join(b1, "doc_id")
+        .select(
+            "doc_id", "slot", "bmin",
+            F.pmod(F.col("bucket") - F.col("slot"), F.lit(n)).alias("_d"),
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.min(F.struct("_d", "bmin")).alias("_m"))
+        .select("doc_id", "slot", F.col("_m.bmin").alias("mh"))
+    )
+    sig_rows = hits.unionByName(tail)
+    return sig_rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("slot", "mh"))),
+            lambda s: s["mh"],
+        ).alias("sig")
+    )
+
+
+def _oph_densify_rotation(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
+    """Rotation densification (Shrivastava/Li 2014): empty buckets borrow
+    the next non-empty bucket's min circularly, offset by prime *
+    borrow-distance so different borrow distances cannot spuriously
+    agree.  One window pass; kept for comparison (cfg.densify=
+    'rotation') — adjacent empty slots borrow the SAME donor, which
+    correlates positions on sparse signatures."""
     n = cfg.num_hashes
     slots = (
         b1.select("doc_id")

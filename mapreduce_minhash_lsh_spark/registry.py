@@ -3770,37 +3770,61 @@ def q_partkeys_both_years(spark, sf):
 _N_H = _CFG.num_hashes
 
 # OPH signature CTE: one md5-derived hash per shingle, bucketed mod n,
-# min per bucket, rotation densification (borrow the next non-empty
-# bucket circularly, offset by prime * distance).  Emits the same
-# sig(doc_id, h, minhash) shape as _SIG_CTE, so the whole downstream
-# band/candidate/agree/jaccard chain is reused verbatim.
+# min per bucket, OPTIMAL densification (operators/minhash.py
+# _oph_densify_optimal; Shrivastava ICML 2017 style): each empty slot
+# walks its slot-specific universal-hash probe sequence — the same
+# DENS_A/DENS_B/DENS_T literals — to the first non-empty bucket and
+# copies its min (rank 0 = the slot itself); slots whose DENS_T probes
+# all miss fall back to the circular walk, arg_min by clockwise
+# distance.  Emits the same sig(doc_id, h, minhash) shape as _SIG_CTE,
+# so the whole downstream band/candidate/agree/jaccard chain is reused
+# verbatim.
+from mapreduce_minhash_lsh_spark.operators.minhash import (  # noqa: E402
+    DENS_A as _DENS_A,
+    DENS_B as _DENS_B,
+    DENS_T as _DENS_T,
+)
+
 _OPH_SIG_CTE = f"""
 {_IDS_CTE},
 ob AS (
   SELECT doc_id, shingle_id % {_N_H} AS bucket, min(shingle_id) AS bmin
   FROM ids GROUP BY 1, 2
 ),
+donors AS (
+  SELECT slot, 0 AS r, slot AS donor
+  FROM (SELECT unnest(range(0, {_N_H})) AS slot)
+  UNION ALL
+  SELECT slot, r,
+         (({_DENS_A} * (slot * {_DENS_T + 1} + r) + {_DENS_B}) % {_P}) % {_N_H} AS donor
+  FROM (SELECT unnest(range(0, {_N_H})) AS slot),
+       (SELECT unnest(range(1, {_DENS_T + 1})) AS r)
+),
+ohits AS (
+  SELECT b.doc_id, d.slot, arg_min(b.bmin, d.r) AS mh
+  FROM ob b JOIN donors d ON d.donor = b.bucket
+  GROUP BY 1, 2
+),
 oslots AS (
   SELECT d.doc_id, s.slot
   FROM (SELECT DISTINCT doc_id FROM ob) d,
-       (SELECT unnest(range(0, {2 * _N_H})) AS slot) s
+       (SELECT unnest(range(0, {_N_H})) AS slot) s
 ),
-ou AS (
-  SELECT doc_id, bucket AS slot, bmin FROM ob
-  UNION ALL
-  SELECT doc_id, bucket + {_N_H} AS slot, bmin FROM ob
+omiss AS (
+  SELECT s.doc_id, s.slot FROM oslots s
+  WHERE NOT EXISTS (SELECT 1 FROM ohits h
+                    WHERE h.doc_id = s.doc_id AND h.slot = s.slot)
 ),
-ofill AS (
-  SELECT s.doc_id, s.slot,
-         first_value(u.bmin IGNORE NULLS) OVER w AS fv,
-         first_value(CASE WHEN u.bmin IS NOT NULL THEN s.slot END IGNORE NULLS) OVER w AS fs
-  FROM oslots s LEFT JOIN ou u ON u.doc_id = s.doc_id AND u.slot = s.slot
-  WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.slot
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+otail AS (
+  SELECT m.doc_id, m.slot,
+         arg_min(b.bmin, (b.bucket - m.slot + {_N_H}) % {_N_H}) AS mh
+  FROM omiss m JOIN ob b ON b.doc_id = m.doc_id
+  GROUP BY 1, 2
 ),
 sig AS (
-  SELECT doc_id, slot AS h, fv + {_P} * (fs - slot) AS minhash
-  FROM ofill WHERE slot < {_N_H}
+  SELECT doc_id, slot AS h, mh AS minhash FROM ohits
+  UNION ALL
+  SELECT doc_id, slot AS h, mh AS minhash FROM otail
 )"""
 
 _OPH_CFG = MinHashLSHConfig(
@@ -3818,9 +3842,11 @@ def q_oph_signatures(spark, sf):
     """One-permutation-hashing signatures (operators/minhash.py:
     oph_signatures_array): ONE hash per shingle instead of 128 affine
     evaluations — the signature stage's 100 TB cost drops ~128x; empty
-    buckets are rotation-densified with a prime*distance offset.  The
-    oracle replays bucketing, per-bucket mins, and the circular borrow
-    window exactly (integer arithmetic throughout)."""
+    buckets are filled by OPTIMAL densification (slot-keyed probe
+    sequences, round 5 — rotation correlated adjacent slots and
+    inflated candidates ~10x on short docs).  The oracle replays
+    bucketing, per-bucket mins, the probe table and the circular-walk
+    fallback exactly (integer arithmetic throughout)."""
     from mapreduce_minhash_lsh_spark.operators.minhash import (
         oph_signatures_array,
     )

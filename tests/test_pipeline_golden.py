@@ -665,3 +665,65 @@ def test_band_store_prune_removes_docs(spark, golden_docs, tmp_path):
     prune_band_store(spark, store, spark.createDataFrame([(99,)], "doc_id long"))
     again = sorted(cross_pairs_against_store(new, GOLDEN, store).collect(), key=key)
     assert again == want
+
+
+def test_oph_optimal_densification_semantics(spark):
+    """Pin the optimal-densification contract (round 5):
+
+    * a doc with every bucket non-empty gets exactly its per-bucket mins
+      (densification is a no-op);
+    * signatures are deterministic and partition-invariant;
+    * copied values keep their donor's residue class mod num_hashes, so
+      values copied from different donors can never spuriously agree;
+    * ultra-short docs (fewer shingles than probe attempts can cover)
+      still resolve every slot via the circular-walk fallback;
+    * 'rotation' remains available and differs (offset encoding).
+    """
+    import dataclasses
+
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        oph_signatures_array,
+    )
+
+    n = 8
+    cfg = MinHashLSHConfig(
+        num_hashes=n, num_bands=4, id_strategy="md5", sig_strategy="oph"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a reasonably long text with many distinct shingles in it"),
+         (2, "ab"),  # single shingle -> 1 non-empty bucket, 7 fallbacks
+         (3, "a reasonably long text with many distinct shingles in it")],
+        ["doc_id", "text"],
+    )
+    sh = explode_shingles(docs, cfg.k)
+    sig = {r.doc_id: r.sig for r in oph_signatures_array(sh, cfg).collect()}
+    assert len(sig[1]) == n and len(sig[2]) == n
+    assert sig[1] == sig[3]  # identical docs -> identical signatures
+    # every slot resolved, and each value sits in SOME residue class of a
+    # non-empty bucket of the doc
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_id as _mid
+    ids = {r.doc_id: r.shingle_id for r in
+           sh.select("doc_id", _mid(F.col("shingle"), cfg.prime)
+                     .alias("shingle_id")).collect()}
+    assert all(v is not None for v in sig[2])
+    short_buckets = {
+        r.sid % n
+        for r in sh.where(F.col("doc_id") == 2)
+        .select(_mid(F.col("shingle"), cfg.prime).alias("sid"))
+        .collect()
+    }
+    # every slot copied from one of the doc's (few) non-empty buckets —
+    # residue classes prove the donor, and prove cross-donor values can
+    # never collide
+    assert all(v % n in short_buckets for v in sig[2])
+    # full doc: slot i == min of bucket i wherever bucket i is non-empty
+    mins = {}
+    for r in sh.where(F.col("doc_id") == 1).select(
+        _mid(F.col("shingle"), cfg.prime).alias("sid")
+    ).collect():
+        mins[r.sid % n] = min(mins.get(r.sid % n, r.sid), r.sid)
+    for b, m in mins.items():
+        assert sig[1][b] == m
+    rot = dataclasses.replace(cfg, densify="rotation")
+    sig_rot = {r.doc_id: r.sig for r in oph_signatures_array(sh, rot).collect()}
+    assert sig_rot[1] != sig[1] or sig_rot[2] != sig[2]
