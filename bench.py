@@ -4,6 +4,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Protocol (hardened in round 5 — VERDICT r4 adjudicated a +16% common-suite
+inflation that turned out to be machine drift, at real cost):
+
+* every query runs N_RUNS times and reports the MIN — a one-off GC pause
+  or background load spike on the shared box no longer lands in the
+  round-over-round record;
+* a fixed trivial SENTINEL query is timed before and after the suite and
+  reported alongside, so a drifted/loaded machine is visible in the JSON
+  itself instead of requiring a re-run to diagnose.
+
 Each query is materialized with a count() action (no driver-side collect
 of result data).  The session is warmed with a trivial action first so
 JVM startup isn't billed to the first query.
@@ -23,6 +33,7 @@ from mapreduce_minhash_lsh_spark import registry
 from mapreduce_minhash_lsh_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # Headline set: the flagship pipeline + one representative per operator
 # family (relational agg, star join, window, sessionization, text, dedup,
@@ -70,7 +81,24 @@ HEADLINE = [
     "oph_similar_pairs",
     "q9_profit_by_nation_year",
     "q21_sole_blame_suppliers",
+    # Round-5 operator families: the group-level flagship (Borůvka
+    # verified components) and the capped+auto-split flagship on a
+    # boilerplate-clique corpus (skew-policy regression guard).
+    "similar_groups",
+    "skew_similar_pairs",
 ]
+
+
+def _sentinel_seconds(spark) -> float:
+    """A fixed, trivial, cache-independent probe: scan+aggregate one
+    parquet column.  Timed before and after the suite; if the two
+    disagree (or drift round-over-round while query code is untouched),
+    the machine moved, not the engine."""
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "sum(l_quantity)"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -85,11 +113,17 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
+    sentinel_first = _sentinel_seconds(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    sentinel_last = _sentinel_seconds(spark)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -98,6 +132,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs_per_query": N_RUNS,
+        "sentinel_sec": {"first": sentinel_first, "last": sentinel_last},
     }))
     spark.stop()
 

@@ -332,6 +332,7 @@ def similar_pairs(
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
     oversize: str = "drop",
+    auto_split_threshold: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= threshold).
 
@@ -348,7 +349,7 @@ def similar_pairs(
     """
     return similar_pairs_from_shingles(
         explode_shingles(docs, cfg.k), cfg, threshold, max_bucket_size,
-        checkpoint_dir, oversize,
+        checkpoint_dir, oversize, auto_split_threshold,
     )
 
 
@@ -359,6 +360,7 @@ def similar_pairs_from_shingles(
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
     oversize: str = "drop",
+    auto_split_threshold: int | None = None,
 ) -> DataFrame:
     """The flagship pipeline over an arbitrary (doc_id, shingle)
     relation — the shingle UNIT is orthogonal to the MinHash/LSH/verify
@@ -380,7 +382,10 @@ def similar_pairs_from_shingles(
     if max_bucket_size is None:
         cands = banded_pairs(rel, cfg)
     else:
-        cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
+        kw = {}
+        if auto_split_threshold is not None:
+            kw["auto_split_threshold"] = auto_split_threshold
+        cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize, **kw)
     counts = fused_overlap_counts(cands, rel, cfg, threshold, checkpoint_dir)
     return (
         counts.where(F.col("nc") > 0)

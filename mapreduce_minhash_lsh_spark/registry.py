@@ -131,9 +131,14 @@ _PRIORITY: list[str] = [
     "packed_sequences",
     "simhash",
     "simhash_near_pairs",
+    # Second signature scheme (round 5, VERDICT r4 #5: carries driver-
+    # board evidence for OPH + optimal densification; ann_lsh_topk moved
+    # past the window — still registered and pytest-oracle-green, the
+    # ANN family keeps ann_topk exact + ann_ivf_topk as hash-green
+    # representatives)
+    "oph_similar_pairs",
     # ANN / embeddings
     "ann_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
     "embeddings_rp_project",
@@ -364,6 +369,57 @@ def q_candidate_pairs_split(spark: SparkSession, sf: str) -> DataFrame:
         _CFG,
         max_bucket_size=3,
         oversize="split",
+    )
+
+
+# Boilerplate-clique skew probe for the HEADLINE bench (VERDICT r4 #8):
+# 2% of docs are rewritten into one near-identical boilerplate clique (7
+# sub-variants), so every band gets a hot bucket — the capped flagship's
+# policy layer is what is being measured round-over-round.  At sf0.01 the
+# 120-member clique stays below the 512 auto-split threshold (plain join,
+# AQE); at sf0.1 the 1000-member clique crosses it and exercises the
+# triangle split.  'auto' is full recall, so the oracle is the UNCAPPED
+# pipeline SQL on the same rewritten corpus.
+_SKEW_BOILER = (
+    "terms of service apply to every page of this website please read "
+    "all provisions carefully before continuing variant "
+)
+_SKEW_DOCS_CTE = f"""
+skdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN '{_SKEW_BOILER}' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)"""
+_SKEW_PIPELINE_CTES = _SKEW_DOCS_CTE + "," + _PIPELINE_CTES.replace(
+    "FROM documents", "FROM skdocs"
+)
+
+
+@register(
+    "skew_similar_pairs",
+    f"WITH {_SKEW_PIPELINE_CTES} "
+    f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}",
+)
+def q_skew_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped flagship (max_bucket_size=256, oversize='auto',
+    auto_split_threshold=512) on the boilerplate-clique rewrite of the
+    corpus — the skew-policy regression guard in bench.py's HEADLINE."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.lit(_SKEW_BOILER), (F.col("doc_id") % 7).cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return similar_pairs(
+        docs, _CFG, max_bucket_size=256, oversize="auto",
+        auto_split_threshold=512,
     )
 
 
