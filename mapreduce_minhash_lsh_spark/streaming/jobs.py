@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet with an event-time column.
 
     The nanos timestamp surfaces either as int64 nanos (legacy
@@ -33,6 +37,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers infer NANOS natively, truncated to micros) — both shapes
     convert to the identical micros value, matching the batch path's
     ts_us exactly (see sources/tables.py).
+
+    ``max_files_per_trigger`` splits the drain into one-file micro-
+    batches (files ordered by modification time) — the watermark then
+    ADVANCES between batches, which is what lets tests (and production
+    replays) exercise real late-data semantics; the default drains
+    everything in one batch, where a first-batch watermark of -inf
+    admits every row.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = load_table(spark, sf_dir, "events").drop("ts_us")
@@ -42,25 +53,45 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
     # events.parquet is a single file; the streaming file source requires
-    # a directory, so stream the sf dir filtered down to that file.
+    # a directory, so stream the sf dir filtered down to events files
+    # (tests feed extra events_*.parquet batches the same way).
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "events*.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
     return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        reader.parquet(sf_dir)
         .withColumn("ts_us", ts_us)
         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
     )
 
 
 def streaming_hourly_rollup(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Tumbling 1h per-type counts/sums, computed as a STREAM and drained
     to completion with AvailableNow.  Returns the final result DataFrame
     (same schema/values as plans/events.hourly_rollup minus the distinct-
     user count, which streaming aggregation doesn't support exactly).
+
+    Watermark contract (tests/test_streaming.py exercises actually-late
+    rows): in ``output_mode='append'`` — the production mode for an
+    unbounded stream — a window is emitted ONCE, when the watermark
+    passes its end, its state is then evicted, and any later event whose
+    event time is below the watermark is DROPPED (state ~ rate x
+    watermark, independent of stream length); windows still open at the
+    end of an AvailableNow drain are withheld.  The default
+    ``'complete'`` mode re-emits the full result each batch and keeps
+    all state — exact on a finite drain (the batch-parity oracle path),
+    unbounded on an infinite stream.
     """
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, max_files_per_trigger)
     agg = (
         stream.withWatermark("event_time", watermark)
         .groupBy(
@@ -81,7 +112,7 @@ def streaming_hourly_rollup(
     query = (
         agg.writeStream.format("memory")
         .queryName("streaming_hourly")
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -213,12 +244,26 @@ def streaming_view_click_join(
     return spark.table("streaming_view_clicks")
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "24 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming exact dedup: first occurrence of each event_id wins,
-    state bounded by the watermark horizon."""
-    stream = _events_stream(spark, sf_dir)
+    state bounded by the watermark horizon.
+
+    The horizon IS the guarantee (tests exercise both edges with
+    actually-late rows): a duplicate id arriving within ``watermark`` of
+    the original's event time is suppressed; one arriving after the
+    watermark has passed the original's event time may be re-admitted —
+    its dedup state was evicted (that eviction is what keeps state ~
+    rate x watermark instead of growing with the stream) — and a row
+    whose OWN event time is already below the watermark is dropped as
+    late rather than emitted."""
+    stream = _events_stream(spark, sf_dir, max_files_per_trigger)
     deduped = (
-        stream.withWatermark("event_time", "24 hours")
+        stream.withWatermark("event_time", watermark)
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "ts_us")
     )
