@@ -44,6 +44,15 @@ def _events_stream(
     replays) exercise real late-data semantics; the default drains
     everything in one batch, where a first-batch watermark of -inf
     admits every row.
+
+    Directory-layout contract: the default (single-batch) path streams
+    EXACTLY ``events.parquet`` — the file the batch twin reads — so a
+    stray events-prefixed parquet in the sf dir (stale batch output,
+    test leftovers) cannot silently break stream-equals-batch parity.
+    Only when ``max_files_per_trigger`` requests a multi-batch replay
+    does the glob widen to ``events*.parquet``, admitting the extra
+    time-ordered ``events_*.parquet`` batch files the replay dir
+    provides (tests/test_streaming.py ``_write_event_batches``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = load_table(spark, sf_dir, "events").drop("ts_us")
@@ -53,14 +62,14 @@ def _events_stream(
     else:
         ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
     # events.parquet is a single file; the streaming file source requires
-    # a directory, so stream the sf dir filtered down to events files
-    # (tests feed extra events_*.parquet batches the same way).
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", "events*.parquet"
-    )
+    # a directory, so stream the sf dir filtered down to events files.
+    glob = "events.parquet"
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
+        glob = "events*.parquet"
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         reader = reader.option("latestFirst", "false")
+    reader = reader.option("pathGlobFilter", glob)
     return (
         reader.parquet(sf_dir)
         .withColumn("ts_us", ts_us)
@@ -74,22 +83,34 @@ def streaming_hourly_rollup(
     watermark: str = "2 hours",
     output_mode: str = "complete",
     max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Tumbling 1h per-type counts/sums, computed as a STREAM and drained
     to completion with AvailableNow.  Returns the final result DataFrame
     (same schema/values as plans/events.hourly_rollup minus the distinct-
     user count, which streaming aggregation doesn't support exactly).
 
-    Watermark contract (tests/test_streaming.py exercises actually-late
-    rows): in ``output_mode='append'`` — the production mode for an
-    unbounded stream — a window is emitted ONCE, when the watermark
-    passes its end, its state is then evicted, and any later event whose
-    event time is below the watermark is DROPPED (state ~ rate x
-    watermark, independent of stream length); windows still open at the
-    end of an AvailableNow drain are withheld.  The default
-    ``'complete'`` mode re-emits the full result each batch and keeps
-    all state — exact on a finite drain (the batch-parity oracle path),
-    unbounded on an infinite stream.
+    Watermark contract, exercised with actually-late rows by
+    tests/test_streaming.py::
+    test_append_rollup_drops_late_rows_and_withholds_open_windows: in
+    ``output_mode='append'`` — the production mode for an unbounded
+    stream — a window is emitted ONCE, when the watermark passes its
+    end, its state is then evicted, and any later event whose event
+    time is below the watermark is DROPPED (Spark filters late rows
+    against the PREVIOUS micro-batch's watermark —
+    eventTimeWatermarkForLateEvents — so the drop engages one batch
+    after the advance; state ~ rate x watermark, independent of stream
+    length; boundedness asserted from the stateOperators metrics in
+    the same test via ``progress_out``);
+    windows still open at the end of an AvailableNow drain are
+    withheld.  The default ``'complete'`` mode re-emits the full result
+    each batch and keeps all state — exact on a finite drain (the
+    batch-parity oracle path), unbounded on an infinite stream.
+
+    ``progress_out`` (a list, extended with the query's recentProgress
+    dicts after the drain) exposes the per-batch state-store metrics —
+    numRowsTotal is how a test or a production monitor verifies the
+    eviction actually bounds state.
     """
     stream = _events_stream(spark, sf_dir, max_files_per_trigger)
     agg = (
@@ -117,6 +138,8 @@ def streaming_hourly_rollup(
         .start()
     )
     query.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(p for p in query.recentProgress if p is not None)
     return spark.table("streaming_hourly")
 
 
@@ -249,22 +272,38 @@ def streaming_dedup(
     sf_dir: str,
     watermark: str = "24 hours",
     max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: first occurrence of each event_id wins,
     state bounded by the watermark horizon.
 
-    The horizon IS the guarantee (tests exercise both edges with
-    actually-late rows): a duplicate id arriving within ``watermark`` of
-    the original's event time is suppressed; one arriving after the
-    watermark has passed the original's event time may be re-admitted —
-    its dedup state was evicted (that eviction is what keeps state ~
-    rate x watermark instead of growing with the stream) — and a row
-    whose OWN event time is already below the watermark is dropped as
-    late rather than emitted."""
+    Uses ``dropDuplicatesWithinWatermark`` — NOT plain
+    ``dropDuplicates``: with the latter, the watermarked event-time
+    column is not part of the dedup key, so Spark never evicts dedup
+    state (state grows with distinct ids forever, and a post-horizon
+    duplicate is still suppressed).  The WithinWatermark form keys
+    eviction on first-seen event time + horizon, which is the contract
+    documented here.
+
+    The horizon IS the guarantee (both edges exercised with
+    actually-late rows by tests/test_streaming.py::
+    test_streaming_dedup_readmits_after_horizon_and_drops_late, state
+    boundedness by ::test_streaming_dedup_state_is_bounded): a
+    duplicate id arriving within ``watermark`` of the original's event
+    time is suppressed; one arriving after the watermark has passed
+    the original's event time + horizon may be re-admitted — its dedup
+    state was evicted (that eviction is what keeps state ~ rate x
+    watermark instead of growing with the stream) — and a row whose
+    OWN event time is already below the watermark is dropped as late
+    rather than emitted.
+
+    ``progress_out``: as on :func:`streaming_hourly_rollup` — the
+    drained query's recentProgress, carrying the stateOperators
+    numRowsTotal the boundedness test asserts on."""
     stream = _events_stream(spark, sf_dir, max_files_per_trigger)
     deduped = (
         stream.withWatermark("event_time", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "ts_us")
     )
     query = (
@@ -275,6 +314,8 @@ def streaming_dedup(
         .start()
     )
     query.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(p for p in query.recentProgress if p is not None)
     return spark.table("streaming_dedup")
 
 

@@ -102,3 +102,164 @@ def test_incremental_pairs_rerun_over_same_state_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert second == first
+
+
+# ---------------------------------------------------------------------------
+# Late-data / watermark semantics, exercised with ACTUALLY-LATE rows: the
+# corpus is split into time-ordered parquet files and drained with
+# maxFilesPerTrigger=1, so the watermark ADVANCES between micro-batches and
+# rows fed later with earlier event times really arrive below it.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import os as _os
+
+
+def _write_event_batches(dirpath, batches):
+    """Write each batch (list of (event_id, iso_ts, user_id, event_type))
+    as ONE parquet file under dirpath — the first named events.parquet
+    (the schema/batch-twin anchor _events_stream requires), the rest
+    events_b{i}.parquet — with strictly increasing mtimes so the file
+    source's oldest-first ordering replays them in list order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ])
+    _os.makedirs(dirpath, exist_ok=True)
+    base_mtime = 1_700_000_000
+    for i, rows in enumerate(batches):
+        name = "events.parquet" if i == 0 else f"events_b{i}.parquet"
+        path = _os.path.join(dirpath, name)
+        table = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [_dt.datetime.fromisoformat(r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0 for _ in rows],
+                "props": ['{"k": 1}' for _ in rows],
+            },
+            schema=schema,
+        )
+        pq.write_table(table, path)
+        _os.utime(path, (base_mtime + 100 * i, base_mtime + 100 * i))
+    return str(dirpath)
+
+
+def _state_rows(progress):
+    ops = progress.get("stateOperators") or []
+    return sum(int(op.get("numRowsTotal") or 0) for op in ops)
+
+
+def test_append_rollup_drops_late_rows_and_withholds_open_windows(spark, tmp_path):
+    """An event arriving BELOW the advanced watermark must not reopen (or
+    recount into) its already-emitted window, and windows the watermark
+    has not passed are withheld in append mode."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_hourly_rollup
+
+    d = _write_event_batches(
+        tmp_path / "ev",
+        [
+            # batch 0: two hour-00 views
+            [(0, "2024-03-01T00:05:00", 1, "view"),
+             (1, "2024-03-01T00:10:00", 2, "view")],
+            # batch 1: hour-10 view -> watermark advances to 08:00
+            [(2, "2024-03-01T10:00:00", 3, "view")],
+            # batch 2: spacer — Spark's late filter uses the PREVIOUS
+            # batch's watermark (eventTimeWatermarkForLateEvents), so
+            # one more batch must pass before 08:00 governs late drops
+            [(3, "2024-03-01T10:30:00", 4, "view")],
+            # batch 3: e4 is LATE (00:30 < late-filter watermark 08:00)
+            # and must be dropped, not recounted into the closed hour-00
+            # window; e5 opens hour-11, which stays open (withheld)
+            [(4, "2024-03-01T00:30:00", 5, "view"),
+             (5, "2024-03-01T11:00:00", 6, "view")],
+        ],
+    )
+    progress = []
+    got = streaming_hourly_rollup(
+        spark, d, watermark="2 hours", output_mode="append",
+        max_files_per_trigger=1, progress_out=progress,
+    ).collect()
+    rows = {(r.event_type, r.hour_epoch): r.n_events for r in got}
+    hour0 = int(_dt.datetime.fromisoformat("2024-03-01T00:00:00").replace(
+        tzinfo=_dt.timezone.utc).timestamp())
+    # exactly the closed hour-00 window, with the late row NOT counted
+    assert rows == {("view", hour0): 2}
+    # eviction really happened: the final batch's state holds only the
+    # still-open windows (hour-10, hour-11), not every window ever seen
+    assert progress, "progress_out not populated"
+    assert 0 < _state_rows(progress[-1]) <= 2
+
+
+def test_streaming_dedup_readmits_after_horizon_and_drops_late(spark, tmp_path):
+    """Both edges of the dropDuplicatesWithinWatermark horizon: a
+    duplicate inside it is suppressed; a duplicate arriving after its
+    original's state was evicted is re-admitted; a row whose OWN event
+    time is below the watermark is dropped as late."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_dedup
+
+    d = _write_event_batches(
+        tmp_path / "ev",
+        [
+            [(1, "2024-03-01T00:00:00", 1, "view"),
+             (2, "2024-03-01T00:05:00", 1, "view")],
+            # id 1 again within the 2h horizon -> suppressed; id 3 at
+            # 12:00 advances the watermark to 10:00 for the next batch
+            [(1, "2024-03-01T00:30:00", 1, "view"),
+             (3, "2024-03-01T12:00:00", 2, "view")],
+            # spacer batch: id 1's state (expiry 02:00 < eviction
+            # watermark 10:00) is evicted here; the late filter below
+            # needs one more batch to see 10:00 (late drops use the
+            # PREVIOUS batch's watermark)
+            [(5, "2024-03-01T12:30:00", 4, "view")],
+            # id 1 at 11:00: state evicted above -> re-admitted.
+            # id 2 at 01:00 and fresh id 4 at 00:45: own event time
+            # below the 10:00 watermark -> dropped as late.
+            [(1, "2024-03-01T11:00:00", 1, "view"),
+             (2, "2024-03-01T01:00:00", 1, "view"),
+             (4, "2024-03-01T00:45:00", 3, "view")],
+        ],
+    )
+    got = streaming_dedup(
+        spark, d, watermark="2 hours", max_files_per_trigger=1
+    ).collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [1, 1, 2, 3, 5]
+    us = lambda s: int(_dt.datetime.fromisoformat(s).replace(
+        tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    assert sorted(r.ts_us for r in got if r.event_id == 1) == [
+        us("2024-03-01T00:00:00"), us("2024-03-01T11:00:00")]
+
+
+def test_streaming_dedup_state_is_bounded(spark, tmp_path):
+    """State rows ~ rate x watermark, NOT distinct ids seen: after the
+    watermark passes early ids' horizon their dedup state is evicted
+    (plain dropDuplicates would hold all 12 keys forever)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_dedup
+
+    early = [(i, f"2024-03-01T00:0{i}:00", i, "view") for i in range(10)]
+    d = _write_event_batches(
+        tmp_path / "ev",
+        [
+            early,
+            [(100, "2024-03-01T23:00:00", 1, "view")],  # watermark -> 21:00
+            [(101, "2024-03-01T23:30:00", 2, "view")],
+        ],
+    )
+    progress = []
+    got = streaming_dedup(
+        spark, d, watermark="2 hours", max_files_per_trigger=1,
+        progress_out=progress,
+    ).collect()
+    assert len(got) == 12  # no duplicates fed; every row emitted once
+    assert progress, "progress_out not populated"
+    # all 10 early keys evicted; only the two fresh ones can remain
+    assert 0 < _state_rows(progress[-1]) <= 2
