@@ -168,6 +168,122 @@ def oph_sig_from_buckets(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     return _oph_densify_rotation(b1, cfg)
 
 
+def oph_bucket_map(cfg: MinHashLSHConfig):
+    """The (bucket -> bmin) map aggregate — ONE collect per doc; pair it
+    with :func:`oph_sig_expr` in the same groupBy's select to densify
+    with zero additional shuffles (buckets are distinct per doc by
+    construction, so map_from_entries cannot see a duplicate key)."""
+    return F.map_from_entries(F.collect_list(F.struct("bucket", "bmin")))
+
+
+def oph_sig_expr(bm, cfg: MinHashLSHConfig):
+    """sig: array<long> as a PURE EXPRESSION over a (bucket -> bmin) map
+    column — optimal densification with no plan beyond the one groupBy
+    that built the map.
+
+    Per slot s the value is
+    ``coalesce(bm[s], bm[probe(s,1)], .., bm[probe(s,T)], walk(s))`` —
+    rank-0 self-lookup, then the slot-keyed universal-hash probe
+    sequence (the shared SPEC literals of :func:`densify_probe_rows`;
+    the DuckDB oracle replays the same table), then the deterministic
+    circular-walk fallback (argmin by clockwise distance over the doc's
+    non-empty buckets, evaluated lazily — coalesce short-circuits, and
+    P(all T probes miss) ~ empty_rate^T).  Bit-identical to the former
+    probe-join formulation: coalesce in rank order IS argmin-by-rank,
+    and the walk IS argmin-by-distance.
+
+    Replaces the broadcast probe-join + left_anti + fallback-join +
+    regroup plan (4 extra n-bounded doc_id shuffles) that made
+    oph_similar_pairs ~1.8x the affine chain on short docs (VERDICT r5
+    perf audit).
+
+    Evaluation shape matters here, twice over:
+
+    * CollapseProject folds this expression into the signature
+      aggregate's resultExpressions, where ``bm`` is no longer a bound
+      column but the raw ``map_from_entries(collect_list buffer)`` term
+      — every textual reference re-BUILDS the map.  So each expensive
+      input is referenced exactly once, via the single-element
+      ``transform(array(x), x_bound -> ...)`` idiom (a lambda binding
+      is evaluated once per row; Catalyst cannot inline-duplicate it
+      the way CollapseProject duplicates a projected alias): the map is
+      bound once, densified once into an n-slot ``vals`` array, and
+      every probe is then an O(1) array index.
+    * The expression must be SMALL.  A per-slot Python-unrolled
+      coalesce chain is ~20n subtrees (~2 500 nodes at n=128) — each
+      fresh plan then pays multi-second codegen/JIT of a giant
+      generated class (measured ~4.5 s per call at n=128, dwarfing the
+      0.3 s execution).  Instead the probe table is ONE constant-folded
+      literal (n x T int matrix) and the slot loop is a generic
+      ``transform`` over ``sequence(0, n-1)`` — ~60 expression nodes
+      regardless of n.
+
+    Per row: n map probes to build vals, then ~n·T O(1) array probes
+    (the probe chain is evaluated eagerly per slot — T lookups into a
+    plain long array cost less than the branchy short-circuit they
+    would avoid), with the O(n)-per-slot circular walk only where every
+    probe missed (P ~ empty_rate^T)."""
+    n = cfg.num_hashes
+    probes: dict[int, list[int]] = {}
+    for s, r, d in densify_probe_rows(cfg):
+        if r > 0:
+            probes.setdefault(s, []).append(d)
+    # Literal n x T donor matrix; CreateArray-of-literals constant-folds,
+    # so the generated code carries one array literal, not 2 048 nodes.
+    probe_lit = F.array(
+        *[F.array(*[F.lit(d) for d in probes[s]]) for s in range(n)]
+    )
+
+    def sig_from_vals(vals):
+        def slot_expr(s):
+            # First non-empty probed donor in rank order == the coalesce
+            # chain / argmin-by-rank of the SPEC.  F.get, not element_at:
+            # the filtered array is EMPTY when every probe misses, and
+            # ANSI element_at throws on out-of-bounds where get nulls.
+            probe_hit = F.get(
+                F.filter(
+                    F.transform(
+                        F.element_at(probe_lit, s + F.lit(1)),
+                        lambda d: F.element_at(vals, d + F.lit(1)),
+                    ),
+                    lambda v: v.isNotNull(),
+                ),
+                0,
+            )
+            # Circular-walk fallback (argmin by clockwise distance over
+            # the non-empty slots; array_min skips nulls), lazily
+            # evaluated — coalesce short-circuits.
+            walk = F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n - 1)),
+                    lambda d: F.when(
+                        F.element_at(
+                            vals, F.pmod(s + d, F.lit(n)) + F.lit(1)
+                        ).isNotNull(),
+                        F.struct(
+                            d.alias("d"),
+                            F.element_at(
+                                vals, F.pmod(s + d, F.lit(n)) + F.lit(1)
+                            ).alias("v"),
+                        ),
+                    ),
+                )
+            )["v"]
+            return F.coalesce(
+                F.element_at(vals, s + F.lit(1)), probe_hit, walk
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(n - 1)), slot_expr)
+
+    def from_bound_map(bmv):
+        vals_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.element_at(bmv, i)
+        )
+        return F.transform(F.array(vals_expr), sig_from_vals)[0]
+
+    return F.transform(F.array(bm), from_bound_map)[0]
+
+
 def _oph_densify_optimal(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     """Optimal densification (Shrivastava, ICML 2017 style): each empty
     slot probes a SLOT-SPECIFIC universal-hash sequence of donor buckets
@@ -177,59 +293,22 @@ def _oph_densify_optimal(b1: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     donors and agree iff the first commonly-non-empty donor's mins agree
     — and because DIFFERENT slots probe independent sequences, adjacent
     empty slots decorrelate, unlike rotation where they all borrow the
-    same next non-empty bucket (the measured 10x candidate inflation on
-    short docs, SCALE.md §10).
+    same next non-empty bucket (the measured 10.2x candidate inflation
+    on short docs — experiments/results_r5.json, SCALE.md §10).
 
     Spurious agreement across different donors is impossible by
     construction: bucket d's ids are ≡ d (mod num_hashes), so copied
     values from different buckets can never be equal — no offset term is
     needed.
 
-    Plan: the probe table (num_hashes x (DENS_T+1) rows) broadcasts; one
-    join + argmin-by-rank resolves every slot with >= 1 non-empty probed
-    donor (rows per doc ~ probes x fill rate — n-bounded, independent of
-    corpus size).  The rare unresolved slots (P ~ empty_rate^DENS_T;
-    material only for docs with << num_hashes distinct shingles) fall
-    back to the deterministic circular walk — the nearest non-empty
-    bucket clockwise, value copied — via a join against the doc's own
-    (<= num_hashes)-row bucket relation.
+    Plan: ONE groupBy(doc_id) collects the (bucket -> bmin) map (<= n
+    entries), and the whole densification — probes and circular-walk
+    fallback — is a single projection (:func:`oph_sig_expr`).  No probe
+    join, no anti-join, no regroup: the only shuffle is the collect
+    itself, matching the affine path's single-aggregate shape.
     """
-    n = cfg.num_hashes
-    spark = b1.sparkSession
-    donors = spark.createDataFrame(
-        densify_probe_rows(cfg), "slot int, r int, donor int"
-    )
-    hits = (
-        b1.join(F.broadcast(donors), b1.bucket == donors.donor)
-        .groupBy("doc_id", "slot")
-        .agg(F.min(F.struct("r", "bmin")).alias("_m"))
-        .select("doc_id", "slot", F.col("_m.bmin").alias("mh"))
-    )
-    all_slots = (
-        b1.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("slot"),
-        )
-    )
-    missing = all_slots.join(hits, ["doc_id", "slot"], "left_anti")
-    tail = (
-        missing.join(b1, "doc_id")
-        .select(
-            "doc_id", "slot", "bmin",
-            F.pmod(F.col("bucket") - F.col("slot"), F.lit(n)).alias("_d"),
-        )
-        .groupBy("doc_id", "slot")
-        .agg(F.min(F.struct("_d", "bmin")).alias("_m"))
-        .select("doc_id", "slot", F.col("_m.bmin").alias("mh"))
-    )
-    sig_rows = hits.unionByName(tail)
-    return sig_rows.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("slot", "mh"))),
-            lambda s: s["mh"],
-        ).alias("sig")
+    return b1.groupBy("doc_id").agg(oph_bucket_map(cfg).alias("_bm")).select(
+        "doc_id", oph_sig_expr(F.col("_bm"), cfg).alias("sig")
     )
 
 

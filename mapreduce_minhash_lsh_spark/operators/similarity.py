@@ -237,6 +237,8 @@ def _sig_set_from_base(
     :func:`signature_set_relation`."""
     if cfg.sig_strategy == "oph":
         from mapreduce_minhash_lsh_spark.operators.minhash import (
+            oph_bucket_map,
+            oph_sig_expr,
             oph_sig_from_buckets,
         )
 
@@ -249,6 +251,17 @@ def _sig_set_from_base(
             F.min("shingle_id").alias("bmin"),
             F.collect_set("sid").alias("bset"),
         )
+        if cfg.densify == "optimal":
+            # Expression densification: sig AND sh_set ride ONE
+            # groupBy(doc_id) — no sig/sets join, no densify shuffles.
+            g = b1.groupBy("doc_id").agg(
+                oph_bucket_map(cfg).alias("_bm"),
+                F.flatten(F.collect_list("bset")).alias("sh_set"),
+            )
+            rel = g.select(
+                "doc_id", oph_sig_expr(F.col("_bm"), cfg).alias("sig"), "sh_set"
+            )
+            return _materialize(rel, checkpoint_dir)
         sets = b1.groupBy("doc_id").agg(
             F.flatten(F.collect_list("bset")).alias("sh_set")
         )
