@@ -111,9 +111,11 @@ _PRIORITY: list[str] = [
     "streaming_hourly_users",
     # Stream-stream interval join
     "streaming_view_clicks",
-    # Sketches (quantity_quantiles_approx is the same family as
-    # events_users_hll and stays oracle-checked past the window)
-    "events_users_hll",
+    # Group-level flagship (round 5: Borůvka verified components; takes
+    # the window slot of events_users_hll, whose HLL family keeps
+    # driver-board coverage via streaming_hourly_users and stays
+    # oracle-checked past the window)
+    "similar_groups",
     # Text analysis
     "text_stats",
     "lang_id",
@@ -137,9 +139,13 @@ _PRIORITY: list[str] = [
     # ANN family keeps ann_topk exact + ann_ivf_topk as hash-green
     # representatives)
     "oph_similar_pairs",
+    # Capped+auto-split flagship on a boilerplate-clique corpus (round
+    # 5: the skew-policy regression guard; takes the window slot of
+    # ann_ivf_topk — ann_topk stays as the ANN-family representative,
+    # ann_ivf_topk remains oracle-checked past the window)
+    "skew_similar_pairs",
     # ANN / embeddings
     "ann_topk",
-    "ann_ivf_topk",
     "embedding_near_dup",
     "embeddings_rp_project",
     "lsh_recall_probe",
