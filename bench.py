@@ -4,15 +4,24 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Protocol (hardened in round 5 — VERDICT r4 adjudicated a +16% common-suite
-inflation that turned out to be machine drift, at real cost):
+Protocol (hardened in rounds 5-6 — VERDICT r4/r5 adjudicated recorded
+regressions that were machine drift, at real cost):
 
 * every query runs N_RUNS times and reports the MIN — a one-off GC pause
   or background load spike on the shared box no longer lands in the
   round-over-round record;
-* a fixed trivial SENTINEL query is timed before and after the suite and
-  reported alongside, so a drifted/loaded machine is visible in the JSON
-  itself instead of requiring a re-run to diagnose.
+* a CPU-BOUND sentinel (range + xxhash64 aggregate — pure codegen'd
+  compute, no I/O) is timed before and after the suite; the r5 I/O scan
+  sentinel missed a ~2x CPU-contention inflation because a 0.3 s
+  parquet scan doesn't expose core contention.  If first/last disagree
+  by >20% the JSON carries ``"load_suspect": true`` — the record is
+  still printed (the driver wants one line) but flagged as
+  environment-contaminated;
+* ALL persisted RDDs are dropped between runs, not just the SQL cache:
+  the pipeline's localCheckpoint materializations are invisible to
+  catalog.clearCache(), and letting them accumulate starves execution
+  memory so later queries in the loop measure the leak, not the plan
+  (observed ~2x inflation over a long session in round 6).
 
 Each query is materialized with a count() action (no driver-side collect
 of result data).  The session is warmed with a trivial action first so
@@ -89,16 +98,34 @@ HEADLINE = [
 ]
 
 
-def _sentinel_seconds(spark) -> float:
-    """A fixed, trivial, cache-independent probe: scan+aggregate one
-    parquet column.  Timed before and after the suite; if the two
-    disagree (or drift round-over-round while query code is untouched),
-    the machine moved, not the engine."""
+def _io_sentinel_seconds(spark) -> float:
+    """Fixed parquet scan+aggregate — catches I/O-path drift."""
     t0 = time.perf_counter()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
         "sum(l_quantity)"
     ).collect()
     return round(time.perf_counter() - t0, 3)
+
+
+def _cpu_sentinel_seconds(spark) -> float:
+    """Fixed pure-compute probe (no I/O, whole-stage codegen'd, all
+    cores): 2e8 xxhash64 evaluations.  ~0.17 s on an idle 32-core box;
+    CPU contention inflates it roughly linearly, which the 0.3 s
+    I/O-bound scan sentinel provably did not (BENCH_r05 recorded ~2x
+    query inflation with a flat scan sentinel)."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("max(xxhash64(id))").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _drop_all_persisted(spark) -> None:
+    """Unpersist EVERYTHING: catalog.clearCache() only drops SQL-cached
+    relations; the pipelines' localCheckpoint RDDs live in the RDD
+    storage layer and accumulate across runs otherwise."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark.catalog.clearCache()
 
 
 def main() -> None:
@@ -108,12 +135,17 @@ def main() -> None:
     # sf0.1 numbers measure steady-state throughput, not one-off
     # Janino/JIT compilation (amortized to zero in any long-running
     # deployment).  Nothing from the warmup survives into the measured
-    # runs: different input path, and the cache is dropped below.
+    # runs: different input path, and all persisted state is dropped.
     qs = registry.queries()
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
-    spark.catalog.clearCache()
-    sentinel_first = _sentinel_seconds(spark)
+    _drop_all_persisted(spark)
+    # Warm both sentinel plans once untimed: the first execution pays
+    # codegen/JIT, which would read as phantom "load" in cpu_first.
+    _cpu_sentinel_seconds(spark)
+    _io_sentinel_seconds(spark)
+    cpu_first = _cpu_sentinel_seconds(spark)
+    io_first = _io_sentinel_seconds(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -121,9 +153,14 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+            _drop_all_persisted(spark)
         timings[name] = round(best, 3)
-    sentinel_last = _sentinel_seconds(spark)
+    cpu_last = _cpu_sentinel_seconds(spark)
+    io_last = _io_sentinel_seconds(spark)
+    load_suspect = (
+        max(cpu_first, cpu_last) > 1.2 * min(cpu_first, cpu_last)
+        or max(cpu_first, cpu_last) > 0.5
+    )
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -133,7 +170,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": N_RUNS,
-        "sentinel_sec": {"first": sentinel_first, "last": sentinel_last},
+        "sentinel_sec": {
+            "cpu_first": cpu_first, "cpu_last": cpu_last,
+            "io_first": io_first, "io_last": io_last,
+        },
+        "load_suspect": load_suspect,
     }))
     spark.stop()
 
