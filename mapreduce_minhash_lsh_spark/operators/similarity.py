@@ -432,6 +432,19 @@ def signature_prefilter(
         arr = F.col("sig")
     else:
         arr = F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)])
+    # Where signature values are provably < prime <= 2^31 — affine (mod
+    # p by construction) and OPH-optimal over hashed ids (bmins of
+    # mod-p ids) — cast the sig to int: lossless, positionwise equality
+    # unchanged, and it HALVES the payload this stage shuffles at PAIR
+    # volume (the first join re-shuffles (pair, sig_a) by doc_id_b for
+    # the second; at the 160x probe that intermediate is the widest
+    # relation of the group path).  Excluded: rotation densification
+    # (values carry + prime*distance, up to ~2^38) and 'rank' ids under
+    # OPH (raw ranks, unbounded at 100 TB vocab).
+    if cfg.sig_strategy == "affine" or (
+        cfg.densify == "optimal" and cfg.id_strategy in ("md5", "xxhash")
+    ):
+        arr = F.transform(arr, lambda x: x.cast("int"))
     sa = signatures.select(F.col("doc_id").alias("doc_id_a"), arr.alias("sig_a"))
     sb = signatures.select(F.col("doc_id").alias("doc_id_b"), arr.alias("sig_b"))
     agree = F.size(
