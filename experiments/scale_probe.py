@@ -5,6 +5,15 @@ original) and measure the flagship pipeline's candidate count, output,
 and wall-clock under the production ('xxhash') id strategy.
 
     python3 experiments/scale_probe.py [REPLICAS=10]
+    python3 experiments/scale_probe.py --capped [REPLICAS=10]
+        capped-vs-uncapped candidate-path A/B: uncapped banded_pairs vs
+        banded_pairs_capped under 'drop' and 'auto' at the same probe.
+    python3 experiments/scale_probe.py --groups [REPLICAS=160]
+        the GROUP-LEVEL flagship at the scale where the pair-list path
+        dies (160x: ~67M true pairs exhausted ~70 GB of shuffle-spill
+        in the verify payload join — SCALE.md §7).  similar_groups
+        verifies ~docs·log(clique) representative edges instead;
+        records wall, Borůvka rounds, and edges actually verified.
 
 Prints one JSON line per run so results can be tracked across rounds.
 """
@@ -31,7 +40,139 @@ from mapreduce_minhash_lsh_spark.session import get_spark
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
 
 
+def _drop_all_persisted(spark) -> None:
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark.catalog.clearCache()
+
+
+def _replicated(spark, replicas: int):
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            (
+                F.concat(F.col("text"), F.lit(f" copy{i}")) if i else F.col("text")
+            ).alias("text"),
+        )
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    # Materialize to a temp parquet (not localCheckpoint): probe stages
+    # drop ALL persisted RDDs between runs, which would truncate a
+    # checkpointed corpus's lineage out from under later stages.
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="probe_corpus_") + "/docs"
+    big.repartition(64).write.mode("overwrite").parquet(tmp)
+    return base, spark.read.parquet(tmp)
+
+
+def capped_probe(replicas: int) -> None:
+    """Capped-vs-uncapped candidate path at the replication probe: the
+    production cap policies must not regress the uncapped wall when no
+    bucket exceeds the cap region (r4 #1's A/B)."""
+    from mapreduce_minhash_lsh_spark.operators.lsh import banded_pairs_capped
+
+    spark = get_spark(app_name="capped-probe")
+    spark.range(1).count()
+    base, big = _replicated(spark, replicas)
+    n_docs = big.count()
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+    # Warm generated code at base scale, then materialize the signature
+    # relation ONCE: the A/B isolates the candidate stage.
+    rel_warm = signature_set_relation(explode_shingles(base, cfg.k), cfg)
+    banded_pairs(rel_warm, cfg).count()
+    banded_pairs_capped(rel_warm, cfg, 256, "drop").count()
+    banded_pairs_capped(rel_warm, cfg, 256, "auto").count()
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+    rel = signature_set_relation(explode_shingles(big, cfg.k), cfg)
+    rel.count()
+    out = {"mode": "capped_ab", "replicas": replicas, "docs": n_docs,
+           "cap": 256, "paths": {}}
+    runs = [
+        ("uncapped", lambda: banded_pairs(rel, cfg)),
+        ("capped_drop", lambda: banded_pairs_capped(rel, cfg, 256, "drop")),
+        ("capped_auto", lambda: banded_pairs_capped(rel, cfg, 256, "auto")),
+    ]
+    for name, mk in runs:
+        best, n = 9e9, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = mk().count()
+            best = min(best, time.perf_counter() - t0)
+        out["paths"][name] = {"candidates": n, "wall_sec": round(best, 2)}
+    print(json.dumps(out))
+    spark.stop()
+
+
+def groups_probe(replicas: int) -> None:
+    """similar_groups at its design point: the scale where the pair-list
+    flagship exhausts single-box spill (160x).  Instruments the Borůvka
+    loop (rounds, representative edges actually verified) by wrapping
+    fused_overlap_counts."""
+    from mapreduce_minhash_lsh_spark.operators import dedup
+    from mapreduce_minhash_lsh_spark.operators import similarity as S
+
+    spark = get_spark(app_name="groups-probe")
+    spark.range(1).count()
+    base, big = _replicated(spark, replicas)
+    n_docs = big.count()
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+    # warm generated code at base scale
+    dedup.similar_groups(base, cfg).count()
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+
+    stats = {"rounds": 0, "verified_edge_checks": 0}
+    real_counts = S.fused_overlap_counts
+
+    def counting(reps, rel, cfg_, thr, cp=None):
+        stats["rounds"] += 1
+        stats["verified_edge_checks"] += reps.count()
+        return real_counts(reps, rel, cfg_, thr, cp)
+
+    S.fused_overlap_counts = counting
+    try:
+        t0 = time.perf_counter()
+        groups = dedup.similar_groups(big, cfg)
+        n_grouped = groups.count()
+        n_groups = groups.select("group_id").distinct().count()
+        wall = round(time.perf_counter() - t0, 1)
+    finally:
+        S.fused_overlap_counts = real_counts
+    print(json.dumps({
+        "mode": "groups", "replicas": replicas, "docs": n_docs,
+        "wall_sec": wall, "boruvka_rounds": stats["rounds"],
+        "edges_verified": stats["verified_edge_checks"],
+        "docs_in_groups": n_grouped, "groups": n_groups,
+        "pair_path_at_same_scale": (
+            "dies at 160x: verify payload join exhausts ~70 GB shuffle "
+            "spill (round-4 finding, SCALE.md §7); true pairs ~67M"
+        ),
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--capped" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        capped_probe(int(args[0]) if args else 10)
+        return
+    if "--groups" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        groups_probe(int(args[0]) if args else 160)
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-probe")
     spark.range(1).count()

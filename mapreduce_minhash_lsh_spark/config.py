@@ -69,8 +69,10 @@ class MinHashLSHConfig:
     #   sequence (shared across docs) to the first non-empty bucket and
     #   copies its min.  Slot sequences are independent, so adjacent
     #   empty slots decorrelate — measured ~10x fewer spurious LSH
-    #   candidates than rotation on short-doc corpora (SCALE.md §10).
-    #   The default and production path; integer-only, oracle-replayable.
+    #   candidates than rotation on short-doc corpora (10x probe:
+    #   596k vs 6.10M vs 617k affine — experiments/results_r5.json,
+    #   SCALE.md §10).  The default and production path; integer-only,
+    #   oracle-replayable.
     # 'rotation': Shrivastava/Li 2014 rotation — borrow circularly from
     #   the next non-empty bucket, offset by prime*distance.  Cheaper to
     #   densify (one window pass) but adjacent empty slots borrow the
