@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
-from mapreduce_minhash_lsh_spark.operators.similarity import exact_jaccard
+from mapreduce_minhash_lsh_spark.operators.similarity import (
+    _materialize,
+    _reset_stats,
+    exact_jaccard,
+)
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -98,6 +102,7 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = _reset_stats(edges)
     labels = (
         edges.select(F.col("doc_id_a").alias("doc_id"))
         .distinct()
@@ -129,6 +134,7 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
             .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n_changed"))
             .localCheckpoint(eager=True)
         )
+        flagged = _reset_stats(flagged)
         changed = int(obs.get["n_changed"] or 0)
         labels = flagged.drop("_changed")
         if changed == 0:
@@ -159,6 +165,7 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        labels = _reset_stats(labels)
 
 
 def similar_groups(

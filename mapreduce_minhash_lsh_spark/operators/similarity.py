@@ -40,6 +40,34 @@ EST_SLACK = 0.21
 _CKPT_DIR_SET: dict[str, str] = {}
 
 
+def _reset_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a (checkpointed) DataFrame as a fresh LogicalRDD WITHOUT
+    the origin plan's carried statistics.
+
+    ``Dataset.checkpoint``/``localCheckpoint`` copy the replaced plan's
+    ESTIMATED stats onto the new LogicalRDD, and Catalyst's
+    size-in-bytes estimator multiplies children for joins — so in an
+    iterative operator each round's materialized relation inherits the
+    PRODUCT of the previous round's estimates and sizeInBytes compounds
+    exponentially: measured digits double per self-join round, and at
+    the 160x similar_groups probe the driver spent 40+ minutes inside
+    one plan's stats (BigInteger Toom-Cook multiplication on
+    million-digit numbers) before this fix.  Rebinding the checkpointed
+    RDD through internalCreateDataFrame drops the carried stats (leaf
+    reverts to spark.sql.defaultSizeInBytes) without touching data,
+    partitioning, or the persisted blocks.  Falls back to the input
+    unchanged if the internal constructor is unavailable.
+    """
+    try:
+        jdf = df._jdf
+        new_jdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # pragma: no cover - API-drift safety net
+        return df
+
+
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Eagerly materialize an intermediate relation, truncating lineage.
 
@@ -50,10 +78,12 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     ``checkpoint_dir`` (HDFS/S3/local path), switch to a RELIABLE
     ``checkpoint``: blocks persist to shared storage and survive executor
     loss, at the cost of one write+read of the (small) checkpointed
-    relation.  Both paths yield byte-identical results (SCALE.md §8).
+    relation.  Both paths yield byte-identical results (SCALE.md §8),
+    and both strip the checkpoint's carried plan statistics
+    (:func:`_reset_stats`) so iterative callers cannot compound them.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return _reset_stats(df.localCheckpoint(eager=True))
     # setCheckpointDir is SESSION-GLOBAL; set it once per (session, dir)
     # so repeated materializations don't re-point a dir that other code
     # sharing the session may have configured since.
@@ -61,7 +91,7 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if _CKPT_DIR_SET.get(sc.applicationId) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
         _CKPT_DIR_SET[sc.applicationId] = checkpoint_dir
-    return df.checkpoint(eager=True)
+    return _reset_stats(df.checkpoint(eager=True))
 
 
 def min_agree(cfg: MinHashLSHConfig, threshold: float) -> int:
