@@ -160,3 +160,29 @@ def test_similar_groups_capped_and_empty(spark):
         ).collect()))
         assert got == want, mode
         assert {r[1] for r in got} == {0, 100}
+
+
+def test_materialize_does_not_compound_plan_stats(spark):
+    """Checkpoints carry the origin plan's ESTIMATED stats, and join
+    estimates multiply children — an iterative operator that re-joins
+    its own output doubles the sizeInBytes DIGIT COUNT per round
+    (exponential), until planning itself drowns in BigInteger
+    multiplication (observed: 40+ driver-minutes in one localCheckpoint
+    at the 160x groups probe).  _materialize must strip the carried
+    stats so iteration keeps stats at the flat leaf default."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_minhash_lsh_spark.operators.similarity import _materialize
+
+    df = _materialize(spark.range(8).select(F.col("id")), None)
+    digits = []
+    for _ in range(6):
+        df = _materialize(
+            df.alias("a").join(df.alias("b"), "id").select("id"), None
+        )
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        digits.append(len(str(sz)))
+    assert df.count() == 8
+    # without the reset, digits ~ [8, 14, 28, 56, 111, 222]; with it the
+    # estimate stays the flat per-round default
+    assert max(digits) <= digits[0], digits
