@@ -83,7 +83,9 @@ class MinHashLSHConfig:
     #   with 'optimal' signatures for the same corpus and silently
     #   under-match if mixed.  The default changed rotation -> optimal
     #   in round 5; persisted stores record their signature_spec() and
-    #   fail fast on mismatch (operators/bandstore.py).
+    #   fail fast on mismatch (operators/bandstore.py for band stores,
+    #   streaming/jobs.incremental_similar_pairs for durable stream
+    #   state).
     densify: str = "optimal"
 
     def __post_init__(self) -> None:

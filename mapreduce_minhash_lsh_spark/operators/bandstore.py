@@ -42,6 +42,19 @@ from mapreduce_minhash_lsh_spark.operators.similarity import (
 from mapreduce_minhash_lsh_spark.sources.tables import upsert_parquet
 
 
+def _spec_exists(spark: SparkSession, spec_path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — NOT
+    ``os.path.exists``, which is always False for non-local store URIs
+    (S3/HDFS, the deployment target): there the os.path probe would
+    silently disarm the spec guard (reads skip validation; a write=True
+    build would overwrite ``_spec`` with the NEW cfg's spec, masking the
+    very mismatch the guard exists to catch)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(spec_path)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def _check_or_write_spec(
     spark: SparkSession, store_dir: str, cfg: MinHashLSHConfig, write: bool
 ) -> None:
@@ -52,11 +65,10 @@ def _check_or_write_spec(
     rotation->optimal densify default change — would silently
     under-match instead of erroring.  Fail fast instead."""
     import json
-    import os
 
     spec = json.dumps(cfg.signature_spec(), sort_keys=True)
     spec_path = f"{store_dir}/_spec"
-    if os.path.exists(spec_path):
+    if _spec_exists(spark, spec_path):
         stored = spark.read.parquet(spec_path).first().spec
         if stored != spec:
             raise ValueError(

@@ -469,10 +469,16 @@ def signature_prefilter(
     # volume (the first join re-shuffles (pair, sig_a) by doc_id_b for
     # the second; at the 160x probe that intermediate is the widest
     # relation of the group path).  Excluded: rotation densification
-    # (values carry + prime*distance, up to ~2^38) and 'rank' ids under
-    # OPH (raw ranks, unbounded at 100 TB vocab).
-    if cfg.sig_strategy == "affine" or (
-        cfg.densify == "optimal" and cfg.id_strategy in ("md5", "xxhash")
+    # (values carry + prime*distance, up to ~2^38), 'rank' ids under
+    # OPH (raw ranks, unbounded at 100 TB vocab), and any user cfg with
+    # prime > 2^31 — __post_init__ does not bound prime, and mod-p
+    # values then no longer fit an int: the cast would throw
+    # CAST_OVERFLOW under Spark 4's default ANSI mode (or silently wrap
+    # with ANSI off, corrupting agreement counts).  Such cfgs keep the
+    # lossless long path.
+    if cfg.prime <= 2**31 and (
+        cfg.sig_strategy == "affine"
+        or (cfg.densify == "optimal" and cfg.id_strategy in ("md5", "xxhash"))
     ):
         arr = F.transform(arr, lambda x: x.cast("int"))
     sa = signatures.select(F.col("doc_id").alias("doc_id_a"), arr.alias("sig_a"))

@@ -428,12 +428,16 @@ def incremental_similar_pairs(
     else:
         split_dir = os.path.join(state_dir, "docs_split")
     meta_path = os.path.join(state_dir, "source_meta") if not own_state else None
+    import json
+
+    spec = json.dumps(cfg.signature_spec(), sort_keys=True)
     try:
         if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
             docs.repartition(4).write.mode("overwrite").parquet(split_dir)
             if meta_path is not None:
                 spark.createDataFrame(
-                    [(sf_dir, docs.count())], ["sf_dir", "n_docs"]
+                    [(sf_dir, docs.count(), spec)],
+                    ["sf_dir", "n_docs", "signature_spec"],
                 ).coalesce(1).write.mode("overwrite").parquet(meta_path)
         elif meta_path is not None and os.path.exists(meta_path):
             # The committed checkpoint's offsets refer to the stored
@@ -445,6 +449,19 @@ def incremental_similar_pairs(
                     f"state_dir {state_dir!r} was built from {row.sf_dir!r}; "
                     f"refusing to resume it against {sf_dir!r} — use a fresh "
                     "state_dir per corpus"
+                )
+            # The stored band keys / shingle ids are BYTES derived from
+            # cfg.signature_spec(); resuming under a different spec (seed,
+            # id strategy, the rotation->optimal densify default change)
+            # silently under-matches — the same failure mode the band
+            # store guards against (operators/bandstore.py).  Fail fast.
+            stored_spec = getattr(row, "signature_spec", None)
+            if stored_spec is not None and stored_spec != spec:
+                raise ValueError(
+                    f"state_dir {state_dir!r} was built with signature spec "
+                    f"{stored_spec}; refusing to resume it with {spec} — "
+                    "band keys/shingle ids would not match.  Use the "
+                    "original config or a fresh state_dir."
                 )
         stream = (
             spark.readStream.format("parquet")

@@ -107,3 +107,39 @@ def test_hash_bucket_matches_python_md5(spark, key):
     got = df.select(hash_bucket(F.col("k")).alias("b")).first().b
     want = int(hashlib.md5(f"{key}:42".encode()).hexdigest()[:15], 16) % DEFAULT_BUCKETS
     assert got == want
+
+
+def test_signature_prefilter_survives_prime_above_int_range(spark):
+    """ADVICE r6: __post_init__ puts no upper bound on prime, so a cfg
+    with prime > 2^31 must NOT take the int-cast payload-shrink path —
+    under ANSI mode the cast of a >2^31 signature value would throw
+    CAST_OVERFLOW (and silently wrap with ANSI off).  The long path
+    computes the same agreement counts."""
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_prefilter,
+    )
+
+    big_prime = 2_147_483_659  # smallest prime above 2^31
+    cfg = MinHashLSHConfig(
+        num_hashes=4, num_bands=2, threshold=0.8, prime=big_prime,
+        id_strategy="md5",
+    )
+    hi = 2**31 + 7  # a legitimate mod-p signature value that overflows int
+    sigs = spark.createDataFrame(
+        [
+            (1, [hi, hi + 1, hi + 2, hi + 3]),
+            (2, [hi, hi + 1, hi + 2, 5]),      # agrees with 1 in 3 of 4
+            (3, [hi, 9, 9, 5]),                # agrees with 1 in 1 of 4
+        ],
+        ["doc_id", "sig"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["doc_id_a", "doc_id_b"]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in signature_prefilter(pairs, sigs, cfg, cfg.threshold).collect()
+    }
+    # cut = ceil((0.8 - 0.21) * 4) = 3 agreements
+    assert got == {(1, 2)}

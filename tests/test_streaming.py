@@ -104,6 +104,29 @@ def test_incremental_pairs_rerun_over_same_state_is_idempotent(spark, tmp_path):
     assert second == first
 
 
+def test_incremental_pairs_rejects_mismatched_signature_spec(spark, tmp_path):
+    """Durable incremental state holds band keys / shingle ids derived
+    from cfg.signature_spec(); resuming it under a different spec must
+    fail fast, not silently under-match (same contract as the band
+    store — config.py documents both)."""
+    import dataclasses
+
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.config import GOLDEN
+    from mapreduce_minhash_lsh_spark.streaming.jobs import incremental_similar_pairs
+
+    state = str(tmp_path / "state")
+    incremental_similar_pairs(
+        spark, SF_SMALL, GOLDEN, threshold=0.3, state_dir=state
+    )
+    reseeded = dataclasses.replace(GOLDEN, seed=GOLDEN.seed + 1)
+    with pytest.raises(ValueError, match="signature spec"):
+        incremental_similar_pairs(
+            spark, SF_SMALL, reseeded, threshold=0.3, state_dir=state
+        )
+
+
 # ---------------------------------------------------------------------------
 # Late-data / watermark semantics, exercised with ACTUALLY-LATE rows: the
 # corpus is split into time-ordered parquet files and drained with
