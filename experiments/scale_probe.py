@@ -113,11 +113,19 @@ def capped_probe(replicas: int) -> None:
     spark.stop()
 
 
-def groups_probe(replicas: int) -> None:
+def groups_probe(replicas: int, reliable_ckpt: bool = False) -> None:
     """similar_groups at its design point: the scale where the pair-list
     flagship exhausts single-box spill (160x).  Instruments the Borůvka
     loop (rounds, representative edges actually verified) by wrapping
-    fused_overlap_counts."""
+    fused_overlap_counts.
+
+    ``--ckpt``: run with a RELIABLE checkpoint_dir instead of
+    localCheckpoint — the executor-loss-survivable recovery path — and
+    record its wall overhead plus total checkpoint bytes written
+    (SCALE.md §8's at-scale row)."""
+    import shutil
+    import tempfile
+
     from mapreduce_minhash_lsh_spark.operators import dedup
     from mapreduce_minhash_lsh_spark.operators import similarity as S
 
@@ -129,8 +137,11 @@ def groups_probe(replicas: int) -> None:
         num_hashes=128, num_bands=8, threshold=0.8,
         id_strategy="xxhash", band_key_strategy="xxhash",
     )
-    # warm generated code at base scale
-    dedup.similar_groups(base, cfg).count()
+    ckpt_dir = tempfile.mkdtemp(prefix="probe_ckpt_") if reliable_ckpt else None
+    # warm generated code at base scale (same checkpoint flavor)
+    dedup.similar_groups(base, cfg, checkpoint_dir=ckpt_dir).count()
+    if ckpt_dir:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     _drop_all_persisted(spark)
     big = _replicated(spark, replicas)[1]
 
@@ -145,22 +156,30 @@ def groups_probe(replicas: int) -> None:
     S.fused_overlap_counts = counting
     try:
         t0 = time.perf_counter()
-        groups = dedup.similar_groups(big, cfg)
+        groups = dedup.similar_groups(big, cfg, checkpoint_dir=ckpt_dir)
         n_grouped = groups.count()
         n_groups = groups.select("group_id").distinct().count()
         wall = round(time.perf_counter() - t0, 1)
     finally:
         S.fused_overlap_counts = real_counts
-    print(json.dumps({
+    out = {
         "mode": "groups", "replicas": replicas, "docs": n_docs,
         "wall_sec": wall, "boruvka_rounds": stats["rounds"],
         "edges_verified": stats["verified_edge_checks"],
         "docs_in_groups": n_grouped, "groups": n_groups,
+        "checkpoint": "reliable" if reliable_ckpt else "local",
         "pair_path_at_same_scale": (
             "dies at 160x: verify payload join exhausts ~70 GB shuffle "
             "spill (round-4 finding, SCALE.md §7); true pairs ~67M"
         ),
-    }))
+    }
+    if ckpt_dir:
+        total = sum(
+            f.stat().st_size for f in Path(ckpt_dir).rglob("*") if f.is_file()
+        )
+        out["checkpoint_bytes_written"] = total
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -171,7 +190,9 @@ def main() -> None:
         return
     if "--groups" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("-")]
-        groups_probe(int(args[0]) if args else 160)
+        groups_probe(
+            int(args[0]) if args else 160, reliable_ckpt="--ckpt" in sys.argv
+        )
         return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-probe")

@@ -68,6 +68,15 @@ def ngram_jaccard_pairs(
     return exact_jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
+# Incident-edge nominations per component per Borůvka round in
+# similar_groups.  1 = classic Borůvka; 4 drains the false-candidate
+# residual 4x faster and gives a component whose min edge is false more
+# chances at a true one per round, at the same hash-aggregate plan cost
+# (the extra groupBy key is a hash salt, not a sort).  Exactness is
+# schedule-independent, so this only shifts wall-clock.
+_NOMINATIONS = 4
+
+
 def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list
     (doc_id_a, doc_id_b) -> (doc_id, group_id = min doc id of component).
@@ -211,17 +220,30 @@ def similar_groups(
     filtering to components of size ≥ 2 reproduces
     ``near_dup_groups(similar_pairs(...))`` exactly (tests pin this).
 
-    Cost: a k-clique verifies k-1 edges (every member nominates the
-    min member) instead of k(k-1)/2; false candidate edges each cost
-    one verification at most.  When nomination stops being productive
-    — a round verifies nothing, or one round of nominations already
-    covers a quarter of the remaining edges — the loop escalates to
-    ONE exhaustive sweep of the residual inter-component edges and
-    finishes.  That residual cost is unavoidable for any exact
-    algorithm (a false edge between two components that never merge
-    must be inspected to be rejected); the quadratic savings come from
-    the intra-component skips, which happened in the earlier rounds.
-    Total verifications O(docs · log max-component + residual), rounds
+    Cost: a k-clique verifies O(k) edges (members nominate toward the
+    min members) instead of k(k-1)/2; false candidate edges each cost
+    one verification at most.  Each component nominates up to
+    ``_NOMINATIONS`` incident edges per round (the min edge within each
+    of that many hash-salted edge classes — same hash-aggregate plan
+    shape as a single min, no window sort): more of the false residual
+    drains per round and a component whose min edge is false still gets
+    other chances at a true one, so the merge phase needs fewer rounds.
+    When nomination stops being productive — the round verifies fewer
+    than ~2% of its nominations (r6's 160x probe spent 20+ rounds in a
+    tail where a handful of borderline edges verified per round while
+    each round paid a full ~60M-edge relabel join), or one round of
+    nominations already covers a quarter of the remaining edges — the
+    loop escalates to ONE exhaustive sweep of the residual
+    inter-component edges and finishes.  That residual cost is
+    unavoidable for any exact algorithm (a false edge between two
+    components that never merge must be inspected to be rejected); the
+    quadratic savings come from the intra-component skips, which
+    happened in the earlier rounds.  Early escalation never breaks
+    exactness — it only moves inspection of still-live inter-component
+    edges into the sweep — and its sweep volume is bounded: a <2%
+    verify rate means the residual is ≥98% false edges any exact
+    algorithm pays for anyway.  Total verifications
+    O(docs · log max-component + residual), rounds
     O(log max-component) + 1.  Pass ``max_iter`` to bound rounds
     explicitly; exhaustion raises rather than mislabeling.
     """
@@ -260,6 +282,14 @@ def similar_groups(
     )
     iteration = 0
     exhaustive = False
+    # Edges nominated (and therefore inspected — verified or failed)
+    # last round.  Pruned from the edge set LAZILY in the next round's
+    # live plan: reps is component-count-sized, so the anti-join is a
+    # broadcast against the one 60M-edge scan that round pays anyway —
+    # the former eager `edges \\ failed` re-materialization wrote the
+    # whole residual back out once per round for nothing (r6's 160x
+    # probe: one of ~4 per-round materializations over ~60M edges).
+    excluded = None
     while True:
         iteration += 1
         la = labels.select(
@@ -271,9 +301,12 @@ def similar_groups(
         # Every per-round count rides its relation's materialization
         # action via observe() — one job per materialized relation, no
         # separate count()/isEmpty() jobs (VERDICT r5 nit).
+        base = edges
+        if excluded is not None:
+            base = base.join(excluded, ["doc_id_a", "doc_id_b"], "left_anti")
         obs_live = Observation()
         live = _materialize(
-            edges.join(la, "doc_id_a").join(lb, "doc_id_b")
+            base.join(la, "doc_id_a").join(lb, "doc_id_b")
             .where(F.col("_la") != F.col("_lb"))
             .select("doc_id_a", "doc_id_b", "_la", "_lb")
             .observe(obs_live, F.count(F.lit(1)).alias("n")),
@@ -287,18 +320,29 @@ def similar_groups(
                 f"similar_groups did not converge within max_iter={max_iter} "
                 "rounds; raise the bound"
             )
+        # live IS the pruned, still-contested edge set — materialized, so
+        # reassigning is free (no separate prune job).
         edges = live.select("doc_id_a", "doc_id_b")
+        excluded = None
         if exhaustive:
             reps = edges
+            n_reps = n_live
         else:
-            # Borůvka nomination: each component's min incident edge.
+            # Borůvka nomination: each component's min incident edge
+            # within each of _NOMINATIONS hash-salted edge classes — up
+            # to _NOMINATIONS edges per component from the same
+            # hash-aggregate plan shape as a single min (map-side
+            # partial agg, no window sort over the residual).
+            salt = F.pmod(
+                F.xxhash64("doc_id_a", "doc_id_b"), F.lit(_NOMINATIONS)
+            )
             obs_reps = Observation()
             reps = _materialize(
                 live.select(F.col("_la").alias("_c"), "doc_id_a", "doc_id_b")
                 .unionByName(
                     live.select(F.col("_lb").alias("_c"), "doc_id_a", "doc_id_b")
                 )
-                .groupBy("_c")
+                .groupBy("_c", salt.alias("_s"))
                 .agg(F.min(F.struct("doc_id_a", "doc_id_b")).alias("_e"))
                 .select(F.col("_e.doc_id_a").alias("doc_id_a"),
                         F.col("_e.doc_id_b").alias("doc_id_b"))
@@ -306,11 +350,13 @@ def similar_groups(
                 .observe(obs_reps, F.count(F.lit(1)).alias("n")),
                 checkpoint_dir,
             )
-            if int(obs_reps.get["n"] or 0) * 4 >= n_live:
+            n_reps = int(obs_reps.get["n"] or 0)
+            if n_reps * 4 >= n_live:
                 # one nomination round already covers most of the
                 # residual: the per-round bookkeeping costs more than it
                 # saves — sweep everything that is left
                 reps = edges
+                n_reps = n_live
                 exhaustive = True
         counts = fused_overlap_counts(reps, rel, cfg, threshold, checkpoint_dir)
         verified = counts.where(F.col("nc") > 0).where(
@@ -318,11 +364,6 @@ def similar_groups(
             / (F.col("na") + F.col("nb") - F.col("nc"))
             >= threshold
         ).select("doc_id_a", "doc_id_b")
-        failed = reps.join(verified, ["doc_id_a", "doc_id_b"], "left_anti")
-        edges = _materialize(
-            edges.join(failed, ["doc_id_a", "doc_id_b"], "left_anti"),
-            checkpoint_dir,
-        )
         # Contract: components over the (tiny) component graph of the
         # verified representative edges, then relabel every doc.
         # Materialized (it feeds near_dup_groups' own edge checkpoint)
@@ -334,12 +375,33 @@ def similar_groups(
             .observe(obs_comp, F.count(F.lit(1)).alias("n")),
             checkpoint_dir,
         )
-        if int(obs_comp.get["n"] or 0) == 0:
-            # an unproductive nomination round: the surviving residual
-            # is dominated by false edges — verify it wholesale next
-            # round instead of draining one edge per component per round
-            exhaustive = True
-            continue
+        n_verified = int(obs_comp.get["n"] or 0)
+        if exhaustive:
+            # Every live edge was inspected this round: the survivors
+            # are exactly the verified ones (failed edges die, and the
+            # verified merge below turns their endpoints same-label, so
+            # the next live probe is over this small set and terminates).
+            edges = verified
+            if n_verified == 0:
+                break
+        else:
+            # Nominated edges were all inspected: prune them from the
+            # residual (verified ones would die at the next label filter
+            # anyway, failed ones must not be re-nominated forever).
+            excluded = reps
+            if n_verified == 0:
+                # an unproductive nomination round: the surviving
+                # residual is dominated by false edges — verify it
+                # wholesale next round instead of draining a few edges
+                # per component per round
+                exhaustive = True
+                continue
+            if n_verified * 50 < n_reps:
+                # nearly unproductive (<2% of nominations verified —
+                # the r6 160x tail: ~20 rounds of a handful of
+                # borderline merges, each paying a full residual
+                # relabel join): take this round's merges, then sweep.
+                exhaustive = True
         cc = near_dup_groups(comp_edges).select(
             F.col("doc_id").alias("_c"), F.col("group_id").alias("_g")
         )
