@@ -103,7 +103,6 @@ _PRIORITY: list[str] = [
     "events_sessionize",
     "events_moving_avg",
     "events_funnel",
-    "events_pivot_daily",
     "rollup_quantity",
     # Events / streaming / semi-structured
     "events_json_extract",
@@ -132,7 +131,6 @@ _PRIORITY: list[str] = [
     # measurement tool; it stays oracle-checked past the window)
     "packed_sequences",
     "simhash",
-    "simhash_near_pairs",
     # Second signature scheme (round 5, VERDICT r4 #5: carries driver-
     # board evidence for OPH + optimal densification; ann_lsh_topk moved
     # past the window — still registered and pytest-oracle-green, the
@@ -144,11 +142,21 @@ _PRIORITY: list[str] = [
     # ann_ivf_topk — ann_topk stays as the ANN-family representative,
     # ann_ivf_topk remains oracle-checked past the window)
     "skew_similar_pairs",
+    # Round-7 window rotation (VERDICT r6 #3): the benched HEADLINE
+    # similarity families that had no driver CORRECTNESS row.  They take
+    # the slots of simhash_near_pairs (simhash keeps the family's
+    # driver row; the pairs variant stays registered and sweep-green),
+    # lsh_recall_probe (a measurement tool; pytest keeps it green), and
+    # events_pivot_daily (the window family is triply covered).  All
+    # three retirees remain registered and oracle-checked past the
+    # window — aliases-only rule, nothing renamed or dropped.
+    "weighted_similar_pairs",
+    "containment_pairs_postings",
+    "paragraph_near_dups",
     # ANN / embeddings
     "ann_topk",
     "embedding_near_dup",
     "embeddings_rp_project",
-    "lsh_recall_probe",
     # Sampling / splits / PII / profiling
     "documents_hash_sample",
     "train_valid_test_split",
