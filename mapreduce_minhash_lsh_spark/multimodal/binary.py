@@ -8,17 +8,30 @@ per hop — never per-row UDF calls).  Partition sizing note: binary blobs
 make rows wide, so the scan should target ~64-128 MB input splits
 (spark.sql.files.maxPartitionBytes) to keep Arrow batches bounded.
 
-The actual media codecs (PIL/ffmpeg/soundfile) are NOT available in this
-container, so ``decode_image``/``decode_audio`` raise NotImplementedError
-by default and the tests exercise the real Spark plumbing (schema,
-batching, partitioning) through ``fake_decode`` — a deterministic
-stand-in that derives "features" from the raw bytes.
+Codec support is two-tier:
+
+* REAL codecs, no external libs (round 7): WAV via stdlib ``wave`` +
+  numpy (sample rate, frame count, duration, RMS), BMP (24-bit
+  uncompressed) and binary PPM (P6) via ``struct`` + numpy (width,
+  height, mean pixel).  ``make_wav``/``make_bmp``/``make_ppm`` emit
+  real container bytes; ``decode_wav``/``decode_bmp``/``decode_ppm``
+  parse them back.  ``synth_media`` + ``extract_media_features`` run
+  the full round trip distributed (Arrow-batched mapInPandas), and the
+  registry's ``multimodal_features`` oracle checks the decoded values.
+* Compressed formats (JPEG/MP4/...) need PIL/ffmpeg, which are NOT in
+  this container: ``decode_image``/``decode_audio`` raise
+  NotImplementedError, and ``fake_decode`` — a deterministic stand-in
+  deriving "features" from raw bytes — keeps that plumbing testable.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -36,18 +49,136 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Real image decode — requires PIL/opencv, not present in this
-    container.  STUB: the Spark-side plumbing around it is real and
-    tested through fake_decode."""
+    """COMPRESSED image decode (JPEG/PNG/...) — requires PIL/opencv, not
+    present in this container.  STUB: uncompressed containers have real
+    decoders below (decode_bmp/decode_ppm); the Spark-side plumbing is
+    identical either way."""
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode"
+        "compressed-image codecs unavailable in this environment; "
+        "BMP/PPM have real decoders (decode_bmp/decode_ppm)"
     )
 
 
 def decode_audio(blob: bytes):  # pragma: no cover - requires codec libs
     raise NotImplementedError(
-        "audio codecs unavailable in this environment; use fake_decode"
+        "compressed-audio codecs unavailable in this environment; "
+        "WAV has a real decoder (decode_wav)"
     )
+
+
+# --------------------------------------------------------------------------
+# Real, dependency-free codecs: WAV (stdlib wave), BMP + PPM (struct/numpy)
+# --------------------------------------------------------------------------
+
+
+def make_wav(samples: np.ndarray, rate: int) -> bytes:
+    """16-bit mono PCM WAV container around an int16 sample array."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """(sample_rate, n_frames, n_channels, rms) from a real RIFF/WAVE
+    container — stdlib ``wave`` parses the chunk structure, numpy the
+    PCM payload.  16-bit PCM only (the container this module emits)."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported, got sampwidth={w.getsampwidth()}"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    return rate, n, ch, rms
+
+
+_BMP_FILE_HEADER = "<2sIHHI"   # magic, file size, reserved x2, pixel offset
+_BMP_INFO_HEADER = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+
+def make_bmp(width: int, height: int, gray: int) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, 4-byte row
+    padding) filled with one gray value."""
+    row = bytes([gray, gray, gray] * width)
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = row * height
+    offset = 14 + 40
+    header = struct.pack(
+        _BMP_FILE_HEADER, b"BM", offset + len(pixels), 0, 0, offset
+    )
+    info = struct.pack(
+        _BMP_INFO_HEADER, 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixels
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_pixel) from a real BMP container — header
+    fields via ``struct``, the padded pixel array via numpy.  24-bit
+    uncompressed only; anything else raises (that's JPEG/PNG territory,
+    i.e. ``decode_image``)."""
+    magic, _, _, _, offset = struct.unpack_from(_BMP_FILE_HEADER, blob, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP container (missing 'BM' magic)")
+    _, width, height, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    height = abs(height)  # negative height = top-down row order
+    rowbytes = (width * 3 + 3) // 4 * 4
+    arr = np.frombuffer(
+        blob, dtype=np.uint8, count=rowbytes * height, offset=offset
+    ).reshape(height, rowbytes)[:, : width * 3]
+    mean = float(arr.mean()) if arr.size else 0.0
+    return width, height, mean
+
+
+def make_ppm(width: int, height: int, gray: int) -> bytes:
+    """Binary PPM (P6, maxval 255) filled with one gray value."""
+    return (
+        f"P6\n{width} {height}\n255\n".encode()
+        + bytes([gray, gray, gray]) * (width * height)
+    )
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_pixel) from a binary PPM (P6) container."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM container (missing 'P6' magic)")
+    # Header: three whitespace-separated ints (w, h, maxval) after the
+    # magic, '#' comments allowed, then exactly one whitespace byte
+    # before the pixel payload.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pos += 1  # the single whitespace after maxval
+    arr = np.frombuffer(blob, dtype=np.uint8, count=width * height * 3, offset=pos)
+    mean = float(arr.mean()) if arr.size else 0.0
+    return width, height, mean
 
 
 def fake_decode(blob: bytes) -> tuple[int, int, float, float]:
@@ -94,6 +225,107 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
             yield out
 
     return media.select("id", "media").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Distributed real-container round trip: synth -> decode, both mapInPandas
+# --------------------------------------------------------------------------
+
+MEDIA_MIX_SCHEMA = "id long, media binary, media_type string"
+
+MEDIA_FEATURES_SCHEMA = (
+    "id long, media_type string, width int, height int, mean_pixel double, "
+    "sample_rate int, n_samples long, duration_us long, rms double"
+)
+
+WAV_RATE = 8000
+
+
+def _synth_blob(doc_id: int) -> tuple[bytes, str]:
+    """Deterministic real container for a doc id — the parameters are
+    simple doc_id arithmetic so a SQL oracle can predict every decoded
+    feature without itself decoding bytes:
+
+      doc_id % 3 == 0: WAV  — square wave, amplitude 1 + doc_id % 1000,
+                       1000 + (doc_id % 50) * 8 frames at 8 kHz
+                       (RMS of a ±A square wave is exactly A)
+      doc_id % 3 == 1: BMP  — (4 + doc_id % 13) x (3 + doc_id % 7),
+                       constant gray doc_id % 256
+      doc_id % 3 == 2: PPM  — same dimensions/gray scheme as BMP
+    """
+    m = doc_id % 3
+    if m == 0:
+        amp = 1 + doc_id % 1000
+        n = 1000 + (doc_id % 50) * 8
+        samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+        return make_wav(samples, WAV_RATE), "audio/wav"
+    width, height, gray = 4 + doc_id % 13, 3 + doc_id % 7, doc_id % 256
+    if m == 1:
+        return make_bmp(width, height, gray), "image/bmp"
+    return make_ppm(width, height, gray), "image/x-portable-pixmap"
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL WAV/BMP/PPM
+    container bytes, built distributed (Arrow-batched mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                blob, mtype = _synth_blob(int(did))
+                rows.append((int(did), blob, mtype))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
+def decode_media(blob: bytes, media_type: str) -> tuple:
+    """One decoded feature row (width, height, mean_pixel, sample_rate,
+    n_samples, duration_us, rms) — inapplicable fields are None.
+    Dispatch on the metadata media_type, exactly how a production
+    decoder picks a codec; compressed types raise NotImplementedError
+    (see decode_image/decode_audio)."""
+    if media_type == "audio/wav":
+        rate, n, _, rms = decode_wav(blob)
+        return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
+    if media_type == "image/bmp":
+        w, h, mean = decode_bmp(blob)
+        return (w, h, mean, None, None, None, None)
+    if media_type == "image/x-portable-pixmap":
+        w, h, mean = decode_ppm(blob)
+        return (w, h, mean, None, None, None, None)
+    if media_type.startswith("image/"):
+        return decode_image(blob)
+    if media_type.startswith(("audio/", "video/")):
+        return decode_audio(blob)
+    raise ValueError(f"unknown media_type {media_type!r}")
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """(id, media, media_type) -> decoded features via the REAL codecs,
+    Arrow-batched mapInPandas (same iterator contract as
+    extract_features)."""
+
+    cols = [
+        "width", "height", "mean_pixel", "sample_rate", "n_samples",
+        "duration_us", "rms",
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_media(bytes(b), t)
+                for b, t in zip(pdf["media"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "id", pdf["id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return media.select("id", "media", "media_type").mapInPandas(
+        batches, schema=MEDIA_FEATURES_SCHEMA
+    )
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

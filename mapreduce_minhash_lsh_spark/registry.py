@@ -1164,24 +1164,32 @@ from mapreduce_minhash_lsh_spark.multimodal import binary as _binary  # noqa: E4
 
 @register(
     "multimodal_features",
-    f"""SELECT doc_id AS id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) % 2147483647 AS BIGINT) AS checksum,
-  CAST((CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) % 2147483647 AS BIGINT) % 256) AS DOUBLE) / 255.0 AS feat0,
-  CAST(octet_length(encode(text)) AS DOUBLE)
-      / (octet_length(encode(text)) + 100.0) AS feat1
-FROM (
-  SELECT doc_id, text, unnest(range(1, least(length(text), {_binary.CHECKSUM_PREFIX}) + 1)) AS i
-  FROM documents WHERE length(text) > 0
-)
-GROUP BY doc_id, text""",
+    """SELECT doc_id AS id,
+  CASE doc_id % 3 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+       ELSE 'image/x-portable-pixmap' END AS media_type,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_pixel,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(1000 + (doc_id % 50) * 8 AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 3 = 0 THEN CAST((1000 + (doc_id % 50) * 8) * 125 AS BIGINT) END AS duration_us,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 1000 AS DOUBLE) END AS rms
+FROM documents""",
 )
 def q_multimodal_features(spark, sf):
-    """Binary-column feature extraction via Arrow-batched mapInPandas —
-    the multimodal plumbing exercised end to end on synthesized blobs
-    (ASCII text bytes), with a SQL twin on the byte values."""
-    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
-    return _binary.extract_features(_binary.docs_as_blobs(docs))
+    """REAL-container multimodal round trip, fully distributed: every
+    document synthesizes an actual WAV / BMP / binary-PPM container
+    (multimodal/binary.py make_*), and the features come from REAL
+    dependency-free decoders — stdlib ``wave`` + numpy for WAV
+    (sample rate, frame count, duration, RMS), struct + numpy for
+    BMP/PPM (width, height, mean pixel) — via Arrow-batched
+    mapInPandas.  Container parameters are doc_id arithmetic, so the
+    SQL twin predicts every decoded value without touching bytes: the
+    parity check proves the emit->parse round trip through real
+    container formats.  Compressed formats (JPEG/MP4) still raise
+    NotImplementedError (no PIL/ffmpeg in this container)."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_media(docs))
 
 
 @register(

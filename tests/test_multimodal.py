@@ -72,3 +72,84 @@ def test_frame_sampling_shape_and_determinism(spark):
         )
         for r in rows:
             assert bytes(r.frame) == blob[r.frame_idx * FRAME_SIZE : (r.frame_idx + 1) * FRAME_SIZE]
+
+
+# ---------------------------------------------------------------------------
+# Real, dependency-free codecs (round 7): WAV via stdlib wave, BMP/PPM via
+# struct+numpy — emit -> parse round trips and the distributed pipeline.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        decode_wav,
+        make_wav,
+    )
+
+    amp, n = 37, 1016
+    samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+    rate, frames, ch, rms = decode_wav(make_wav(samples, 8000))
+    assert (rate, frames, ch) == (8000, n, 1)
+    assert rms == float(amp)  # square wave: RMS is exactly the amplitude
+    # empty payload
+    rate, frames, ch, rms = decode_wav(make_wav(np.array([], dtype=np.int16), 44100))
+    assert (rate, frames, rms) == (44100, 0, 0.0)
+
+
+def test_bmp_and_ppm_roundtrip_exact():
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        decode_bmp,
+        decode_ppm,
+        make_bmp,
+        make_ppm,
+    )
+
+    # width 7 -> 21 pixel bytes/row -> 3 padding bytes: exercises padding
+    assert decode_bmp(make_bmp(7, 5, 200)) == (7, 5, 200.0)
+    assert decode_bmp(make_bmp(4, 3, 0)) == (4, 3, 0.0)
+    assert decode_ppm(make_ppm(7, 5, 200)) == (7, 5, 200.0)
+    # PPM with a header comment still parses
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes([9, 9, 9]) * 4
+    assert decode_ppm(ppm) == (2, 2, 9.0)
+
+
+def test_codec_rejections():
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"XX" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="PPM"):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
+    with pytest.raises(ValueError, match="media_type"):
+        decode_media(b"", "application/x-unknown")
+
+
+def test_extract_media_features_matches_python(spark):
+    """Distributed real-codec round trip == driver-side decode, and
+    invariant to partitioning."""
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        _synth_blob,
+        decode_media,
+        extract_media_features,
+        synth_media,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60)
+    got = {r.id: tuple(r)[2:] for r in
+           extract_media_features(synth_media(docs)).collect()}
+    for row in docs.select("doc_id").collect():
+        blob, mtype = _synth_blob(row.doc_id)
+        assert got[row.doc_id] == decode_media(blob, mtype)
+    many = {r.id: tuple(r)[2:] for r in
+            extract_media_features(synth_media(docs).repartition(16)).collect()}
+    assert many == got
