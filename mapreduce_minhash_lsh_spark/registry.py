@@ -4316,3 +4316,26 @@ def q_events_hourly_anomalies(spark, sf):
         .select("event_type", "hour_bucket", "n", z.alias("z"))
         .where(F.abs(F.col("z")) >= 2.0)
     )
+
+
+@register(
+    "incremental_similar_pairs",
+    f"WITH {_PIPELINE_CTES} "
+    f"SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= {_CFG.threshold}",
+)
+def q_incremental_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB continuous-ingest story (VERDICT r6 #6): the corpus
+    arrives as micro-batches (4 here, maxFilesPerTrigger=1), each batch
+    is minhashed with the SAME batch operators and joined against the
+    accumulated band/shingle store, and each pair is emitted exactly
+    once at the later of its two docs' batches.  BATCH EQUIVALENCE is
+    the contract — incremental over N micro-batches == the one-shot
+    flagship — so the oracle is the flagship pipeline SQL verbatim
+    (streaming/jobs.py:incremental_similar_pairs; equivalence also
+    pinned against the batch operator by
+    tests/test_streaming.py::test_incremental_similar_pairs_equals_batch)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        incremental_similar_pairs,
+    )
+
+    return incremental_similar_pairs(spark, sf, _CFG)

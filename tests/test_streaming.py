@@ -92,6 +92,16 @@ def test_incremental_pairs_rerun_over_same_state_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert first
+    # The run must actually have been incremental: the durable pair
+    # store is partitioned by batch_id, and the 4-file split with
+    # maxFilesPerTrigger=1 means >= 3 distinct micro-batches drained
+    # (the batch-equivalence contract is only meaningful if the
+    # cross-batch seen-store path really executed).
+    import glob as _glob
+    import os as _os2
+
+    batch_dirs = _glob.glob(_os2.path.join(state, "pairs", "batch_id=*"))
+    assert len(batch_dirs) >= 3, batch_dirs
     # A second run over the SAME state_dir replays nothing (offsets are
     # committed in the checkpoint) and must not double-count: the
     # per-batch dynamic-partition writes are idempotent.
