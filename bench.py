@@ -14,9 +14,12 @@ regressions that were machine drift, at real cost):
   compute, no I/O) is timed before and after the suite; the r5 I/O scan
   sentinel missed a ~2x CPU-contention inflation because a 0.3 s
   parquet scan doesn't expose core contention.  If first/last disagree
-  by >20% the JSON carries ``"load_suspect": true`` — the record is
-  still printed (the driver wants one line) but flagged as
-  environment-contaminated;
+  by >20% the whole suite is RE-MEASURED (round 7, VERDICT r6 #1: the
+  r6 record shipped annotated-but-contaminated and its regressions were
+  unadjudicatable) — up to $SPARK_GRAFT_BENCH_ATTEMPTS (default 3)
+  passes until the sentinel is stable; only if the box never settles is
+  the last record emitted with ``"load_suspect": true`` so the driver
+  still gets its one JSON line;
 * ALL persisted RDDs are dropped between runs, not just the SQL cache:
   the pipeline's localCheckpoint materializations are invisible to
   catalog.clearCache(), and letting them accumulate starves execution
@@ -144,23 +147,37 @@ def main() -> None:
     # codegen/JIT, which would read as phantom "load" in cpu_first.
     _cpu_sentinel_seconds(spark)
     _io_sentinel_seconds(spark)
-    cpu_first = _cpu_sentinel_seconds(spark)
-    io_first = _io_sentinel_seconds(spark)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-            _drop_all_persisted(spark)
-        timings[name] = round(best, 3)
-    cpu_last = _cpu_sentinel_seconds(spark)
-    io_last = _io_sentinel_seconds(spark)
-    load_suspect = (
-        max(cpu_first, cpu_last) > 1.2 * min(cpu_first, cpu_last)
-        or max(cpu_first, cpu_last) > 0.5
-    )
+    # REFUSE, don't annotate (VERDICT r6 #1): a drifting CPU sentinel
+    # means the record measures the box, not the code — re-measure the
+    # whole suite (up to MAX_ATTEMPTS) until the sentinel is stable.
+    # Only if the box never settles is the last record emitted with
+    # load_suspect=true (the driver still needs its one JSON line).
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    for attempt in range(1, max_attempts + 1):
+        cpu_first = _cpu_sentinel_seconds(spark)
+        io_first = _io_sentinel_seconds(spark)
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+                _drop_all_persisted(spark)
+            timings[name] = round(best, 3)
+        cpu_last = _cpu_sentinel_seconds(spark)
+        io_last = _io_sentinel_seconds(spark)
+        load_suspect = (
+            max(cpu_first, cpu_last) > 1.2 * min(cpu_first, cpu_last)
+            or max(cpu_first, cpu_last) > 0.5
+        )
+        if not load_suspect:
+            break
+        print(
+            f"# load_suspect on attempt {attempt}/{max_attempts} "
+            f"(cpu sentinel {cpu_first} -> {cpu_last} s); re-measuring",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -175,6 +192,7 @@ def main() -> None:
             "io_first": io_first, "io_last": io_last,
         },
         "load_suspect": load_suspect,
+        "attempts": attempt,
     }))
     spark.stop()
 

@@ -1,0 +1,485 @@
+"""Similarity search over embeddings (exact / SRP-LSH / IVF), SimHash
+fingerprints, random-projection dimensionality reduction.
+"""
+
+from __future__ import annotations
+
+from mapreduce_minhash_lsh_spark.queries._base import (  # noqa: F401
+    F,
+    _CFG,
+    _IDS_CTE,
+    _P,
+    _PARAMS,
+    _SH_CTE,
+    _VOCAB_CTE,
+    explode_shingles,
+    load_table,
+    queries,
+    register,
+)
+from mapreduce_minhash_lsh_spark.queries._shared import (  # noqa: F401
+    _dedup,
+)
+
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings + SimHash fingerprints
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.operators import ann as _ann  # noqa: E402
+from mapreduce_minhash_lsh_spark.operators import simhash as _simhash  # noqa: E402
+
+# Exact-decimal dot/norm fragments (see functions/vectors.py for why).
+# Scaled-integer dot product (see functions/vectors.py): floor each double
+# product to 1e-12 quanta, sum exactly in int64, divide back — associative,
+# so identical across engines and partition orders.
+_DOT = ("CAST(SUM(CAST(floor(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) "
+        "* 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0")
+
+_NORMS_CTE = f"""
+norms AS (
+  SELECT vec_id, {_DOT.format(x='v', y='v')} AS n2
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+  GROUP BY vec_id
+)"""
+
+
+@register(
+    "ann_topk",
+    f"""WITH qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+qe AS (SELECT vec_id AS query_id, unnest(embedding) AS qv,
+              generate_subscripts(embedding, 1) AS i FROM qv),
+ce AS (SELECT vec_id AS neighbor_id, unnest(embedding) AS cv,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT query_id, neighbor_id, {_DOT.format(x='qv', y='cv')} AS dot
+  FROM qe JOIN ce USING (i)
+  WHERE query_id != neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+{_NORMS_CTE.lstrip()},
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= 5""",
+)
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for a deterministic 1-in-50 query sample."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return _ann.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""WITH ae AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {_DOT.format(x='a.v', y='b.v')} AS dot
+  FROM ae a JOIN ae b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+{_NORMS_CTE.lstrip()}
+SELECT vec_id_a, vec_id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_id_a
+JOIN norms nb ON nb.vec_id = vec_id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5""",
+)
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.5)."""
+    return _ann.cosine_pairs(load_table(spark, sf, "embeddings"), threshold=0.5)
+
+
+# SRP planes are deterministic literals (ann._srp_planes), and srp_bucket
+# uses the scaled-integer dot — so the whole bucketed top-k (buckets,
+# hamming-1 multiprobe, exact rank within the probed set) is reproducible
+# in SQL.  The oracle below mirrors it plane-for-plane.
+_SRP_PLANES = _ann._srp_planes(64, 8, 42)
+_SRP_POW2 = [1 << j for j in range(8)]
+_SRP_PROBES = ", ".join(
+    ["qb.bucket"] + [f"xor(qb.bucket, {p})" for p in _SRP_POW2]
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH planes AS (
+  SELECT j, pw, unnest(pv) AS p, generate_subscripts(pv, 1) AS i
+  FROM (SELECT unnest({list(range(8))}) AS j,
+               unnest({_SRP_POW2}) AS pw,
+               unnest(CAST({_SRP_PLANES!r} AS DOUBLE[][])) AS pv)
+),
+emb_e AS (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.j, pl.pw,
+         SUM(CAST(floor(CAST(e.v AS DOUBLE) * pl.p * 1000000000000.0) AS BIGINT)) AS d
+  FROM emb_e e JOIN planes pl USING (i)
+  GROUP BY e.vec_id, pl.j, pl.pw
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+probes AS (
+  SELECT qb.vec_id AS query_id, unnest([{_SRP_PROBES}]) AS bucket
+  FROM buckets qb WHERE qb.vec_id % 50 = 0
+),
+cand AS (
+  SELECT p.query_id, cb.vec_id AS neighbor_id
+  FROM probes p JOIN buckets cb USING (bucket)
+  WHERE p.query_id != cb.vec_id
+),
+qe AS (SELECT vec_id AS query_id, unnest(embedding) AS qv,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id % 50 = 0),
+ce AS (SELECT vec_id AS neighbor_id, unnest(embedding) AS cv,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, {_DOT.format(x='qe.qv', y='ce.cv')} AS dot
+  FROM cand c
+  JOIN qe ON qe.query_id = c.query_id
+  JOIN ce ON ce.neighbor_id = c.neighbor_id AND ce.i = qe.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+{_NORMS_CTE.lstrip()},
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= 5""",
+)
+def q_ann_lsh_topk(spark, sf):
+    """SRP-bucketed approximate top-5 with hamming-1 multiprobe; the
+    DuckDB oracle reproduces the buckets bit-for-bit (scaled-int
+    projections), so this approximate path is exactly checkable."""
+    emb = load_table(spark, sf, "embeddings")
+    return _ann.lsh_topk(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
+
+
+def _ivf_oracle_sql(n_lists: int, n_probe: int, k: int, iters: int) -> str:
+    """DuckDB twin of operators.ann.ivf_topk — the quantizer included.
+
+    ann._centroids is engine-portable by construction (seed = lowest-id
+    vectors; Lloyd assignment via the scaled-int cosine; update = int64
+    per-dim sums -> (double(s)/1e12)/double(n) in a pinned op order), so
+    the oracle simply UNROLLS the ``iters`` Lloyd rounds as CTE pairs
+    (a{{r}} assign, c{{r}} update) and reproduces the centroids
+    bit-for-bit, then mirrors the corpus/probe assignment and the exact
+    rank tail shared with ann_topk/ann_lsh_topk."""
+    s12 = "1000000000000.0"
+    # cosine rank of every embedding vector against round-r centroids
+    def rank_cte(cprev: str) -> str:
+        return f"""(
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dot / (sqrt(nv.n2) * sqrt(cn.n2c)) DESC, d.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 CAST(SUM(CAST(floor(e.v * c.cval * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS dot
+          FROM all_e e JOIN {cprev} c ON c.i = e.i
+          GROUP BY e.vec_id, c.cid) d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN (SELECT cid, CAST(SUM(CAST(floor(cval * cval * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS n2c
+          FROM {cprev} GROUP BY cid) cn ON cn.cid = d.cid)"""
+
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""a{r} AS (
+  SELECT vec_id, cid FROM {rank_cte(f'c{r - 1}')}
+  WHERE rn = 1 AND vec_id IN (SELECT vec_id FROM samp)
+),
+s{r} AS (
+  SELECT a.cid, e.i,
+         SUM(CAST(floor(e.v * {s12}) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM a{r} a JOIN all_e e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+),
+c{r} AS (
+  SELECT p.cid, p.i,
+         COALESCE(CAST(s.s AS DOUBLE) / {s12} / CAST(s.n AS DOUBLE), p.cval) AS cval
+  FROM c{r - 1} p LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = p.i
+)""")
+    round_sql = ",\n".join(rounds)
+    return f"""WITH samp AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ann.IVF_TRAIN_CAP}
+),
+all_e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+{_NORMS_CTE.lstrip().rstrip()},
+c0 AS (
+  SELECT s.cid, e.i, e.v AS cval
+  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid
+        FROM samp ORDER BY vec_id LIMIT {n_lists}) s
+  JOIN all_e e ON e.vec_id = s.vec_id
+),
+{round_sql},
+arank AS (
+  SELECT vec_id, cid, rn FROM {rank_cte(f'c{iters}')}
+),
+corpus_assign AS (SELECT vec_id AS neighbor_id, cid AS list_id FROM arank WHERE rn = 1),
+probe_assign AS (SELECT vec_id AS query_id, cid AS list_id FROM arank
+                 WHERE rn <= {n_probe} AND vec_id % 50 = 0),
+cand AS (
+  SELECT p.query_id, ca.neighbor_id
+  FROM probe_assign p JOIN corpus_assign ca USING (list_id)
+  WHERE p.query_id != ca.neighbor_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM(CAST(floor(qe.v * ce.v * {s12}) AS BIGINT)) AS BIGINT) / {s12} AS dot
+  FROM cand c
+  JOIN all_e qe ON qe.vec_id = c.query_id
+  JOIN all_e ce ON ce.vec_id = c.neighbor_id AND ce.i = qe.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+cos AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos)
+WHERE rank <= {k}"""
+
+_SH_A, _SH_B = _PARAMS[0]
+_POW2_LIST = list(_simhash._POW2)
+
+# Fingerprint CTEs shared by the simhash query and its near-pair join —
+# ids follow _CFG.id_strategy exactly like the MinHash pipeline.
+_SIMHASH_CTES = f"""{_SH_CTE}, {_VOCAB_CTE},
+{_IDS_CTE},
+hashed AS (
+  SELECT doc_id, (CAST({_SH_A} AS BIGINT) * shingle_id + {_SH_B}) % {_P} AS h
+  FROM ids
+),
+votes AS (
+  SELECT doc_id, bit, pw,
+         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed
+  CROSS JOIN (SELECT unnest({list(range(_simhash.N_BITS))}) AS bit,
+                     unnest({_POW2_LIST}) AS pw)
+  GROUP BY doc_id, bit, pw
+),
+fp AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+@register(
+    "simhash",
+    f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp",
+)
+def q_simhash(spark, sf):
+    """32-bit SimHash fingerprints over the shingle set (Charikar 2002)."""
+    docs = load_table(spark, sf, "documents")
+    return _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
+
+
+@register(
+    "simhash_near_pairs",
+    f"""WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_simhash_near_pairs(spark, sf):
+    """Hamming<=3 SimHash pairs via the chunk-banding equi-join.  The
+    oracle is the brute-force popcount join over the same fingerprints —
+    chunk banding (4 chunks, pigeonhole over <=3 differing bits) is
+    provably complete, so the two must match exactly."""
+    docs = load_table(spark, sf, "documents")
+    fp = _simhash.simhash(explode_shingles(docs, _CFG.k), _CFG)
+    return _simhash.simhash_near_pairs(fp, max_hamming=3)
+
+
+@register("ann_ivf_topk", _ivf_oracle_sql(n_lists=16, n_probe=3, k=5, iters=2))
+def q_ann_ivf_topk(spark, sf):
+    """IVF top-5 for the 1-in-50 query sample.  Full-result oracle: the
+    quantizer itself (seeded Lloyd over the IVF_TRAIN_CAP sample) is
+    bit-reproduced by the unrolled CTE chain in _ivf_oracle_sql — the
+    last formerly-`no_oracle` query in the registry."""
+    emb = load_table(spark, sf, "embeddings")
+    return _ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=5, n_lists=16, n_probe=3
+    )
+
+
+@register(
+    "ann_ivf_recall_floor",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_20pct
+FROM embeddings WHERE vec_id % 50 = 0""",
+)
+def q_ann_ivf_recall_floor(spark, sf):
+    """Cross-path quality gate for the IVF ANN variant: aggregate
+    recall@5 of ivf_topk against the exact cosine_topk must clear a 0.2
+    floor (measured ~0.4 on this corpus with n_probe=3 — 2x margin; the
+    quantizer is deterministic, so the value is stable).  The oracle is
+    trivially computable (query count + the asserted floor), which turns
+    the otherwise SQL-inexpressible IVF path into a driver-checkable
+    row: if IVF assignment or probing breaks, recall collapses and the
+    hash comparison goes red."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = _ann.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = _ann.ivf_topk(emb, q, k=5, n_lists=16, n_probe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.join(exact, ["query_id", "neighbor_id"]).count()
+    n_q = q.count()
+    return spark.createDataFrame(
+        [(n_q, hits >= 0.2 * 5 * n_q)], "n_queries long, recall_ge_20pct boolean"
+    )
+
+
+@register(
+    "embeddings_profile",
+    """SELECT CAST(i - 1 AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_v
+FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY i""",
+)
+def q_embeddings_profile(spark, sf):
+    """Per-dimension profile of the embedding table (count/min/max/mean)
+    — the drift/normalization check a vector pipeline runs before
+    indexing.  One posexplode + one partial-aggregated groupBy on dim;
+    the mean goes through the scaled-int sum (functions/vectors.py) so
+    it is partition-order independent and engine-exact."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
+
+    emb = load_table(spark, sf, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(v).cast("double").alias("min_v"),
+            F.max(v).cast("double").alias("max_v"),
+            F.sum(F.floor(v * F.lit(SCALE)).cast("long")).alias("_s"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_v",
+            "max_v",
+            (F.col("_s").cast("double") / F.lit(SCALE) / F.col("n").cast("double"))
+            .alias("mean_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (functions/vectors.py)
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.functions import vectors as _vectors  # noqa: E402
+
+_RP_SIGNS = _vectors.rademacher_signs(in_dim=64, out_dim=8, seed=42)
+_RP_VALUES = ", ".join(
+    f"({i + 1}, {j}, {s})"
+    for j, row in enumerate(_RP_SIGNS)
+    for i, s in enumerate(row)
+)
+
+
+@register(
+    "embeddings_rp_project",
+    f"""WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000000000.0) AS BIGINT) AS qv
+  FROM embeddings
+),
+signs(i, j, s) AS (SELECT * FROM (VALUES {_RP_VALUES}))
+SELECT vec_id, CAST(j AS INTEGER) AS dim,
+       CAST(SUM(qv * s) AS BIGINT) / 1000000000000.0 AS value
+FROM q JOIN signs USING (i)
+GROUP BY vec_id, j""",
+)
+def q_embeddings_rp_project(spark, sf):
+    """Johnson-Lindenstrauss reduction 64 -> 8 dims with a seeded
+    Rademacher matrix — the standard pre-ANN shrink at scale.  Inputs
+    are quantized once to 1e-12 quanta so every projected value is an
+    exact int64 sum: bit-identical across engines and partitionings.
+    Long format (vec_id, dim, value) so the oracle checks every cell."""
+    emb = load_table(spark, sf, "embeddings")
+    proj = _vectors.rp_project(F.col("embedding"), _RP_SIGNS)
+    return emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))
+
+
+@register(
+    "embedding_dedup_drop_ids",
+    f"""WITH RECURSIVE ae AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {_DOT.format(x='a.v', y='b.v')} AS dot
+  FROM ae a JOIN ae b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+{_NORMS_CTE.lstrip()},
+simpairs AS (
+  SELECT vec_id_a, vec_id_b FROM dots
+  JOIN norms na ON na.vec_id = vec_id_a
+  JOIN norms nb ON nb.vec_id = vec_id_b
+  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+),
+edges AS (
+  SELECT vec_id_a AS src, vec_id_b AS dst FROM simpairs
+  UNION SELECT vec_id_b, vec_id_a FROM simpairs
+),
+enodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM enodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS vec_id, MIN(dst) AS group_id FROM reach GROUP BY src)
+SELECT vec_id AS drop_id, group_id AS keep_id FROM grp WHERE vec_id <> group_id""",
+)
+def q_embedding_dedup_drop_ids(spark, sf):
+    """SEMANTIC dedup end-to-end: exact embedding-cosine near-dup pairs
+    (>= 0.5) -> connected components (the same min-label propagation +
+    pointer jumping as the text path) -> drop list keeping each
+    component's min id.  Composition of `embedding_near_dup` and
+    `near_dup_groups` — the embedding-side twin of `near_dup_drop_ids`;
+    at scale the pair stage swaps to the SRP-bucketed generator
+    (ann.srp_bucket) with the identical downstream."""
+    pairs = _ann.cosine_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.5
+    ).select(
+        F.col("vec_id_a").alias("doc_id_a"),
+        F.col("vec_id_b").alias("doc_id_b"),
+    )
+    groups = _dedup.near_dup_groups(pairs)
+    return (
+        groups.where(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
+    )

@@ -1,0 +1,1146 @@
+"""LLM training-data pipeline: text analysis, dedup families, sampling
+and splits, PII redaction, packing, profiling, multimodal.
+"""
+
+from __future__ import annotations
+
+from mapreduce_minhash_lsh_spark.queries._base import (  # noqa: F401
+    F,
+    Window,
+    _CFG,
+    _K,
+    _PIPELINE_CTES,
+    candidate_pairs,
+    compact_band_keys,
+    explode_shingles,
+    load_table,
+    register,
+    similar_pairs,
+)
+from mapreduce_minhash_lsh_spark.queries._shared import (  # noqa: F401
+    _BUCKET_SQL,
+    _dedup,
+    _text,
+)
+
+
+_SW = ", ".join(f"'{w}'" for w in _text.QUALITY_STOPWORDS)
+
+
+@register(
+    "text_stats",
+    f"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(length(text) - length(translate(text, '.,!?;:', '')) AS BIGINT) AS n_punct
+FROM documents WHERE length(text) > 0""",
+)
+def q_text_stats(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        _text.n_tokens(t).alias("n_tokens"),
+        (F.length(t).cast("double") / _text.n_tokens(t)).alias("chars_per_token"),
+        _text.stopword_count(t, _text.QUALITY_STOPWORDS).alias("n_stopwords"),
+        (
+            _text.stopword_count(t, _text.QUALITY_STOPWORDS).cast("double")
+            / _text.n_tokens(t)
+        ).alias("stopword_ratio"),
+        _text.punct_count(t).alias("n_punct"),
+    )
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(chr(39)+w+chr(39) for w in words)})))"
+        for lang, words in _text.LANG_STOPWORDS
+    }
+    langs = [lang for lang, _ in _text.LANG_STOPWORDS]
+    clauses = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} >= {score[later]}" for later in langs[i + 1 :]
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    f"""SELECT doc_id, lang, {_lang_case_sql()} AS pred_lang
+FROM documents WHERE length(text) > 0""",
+)
+def q_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", "lang", _text.predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""SELECT doc_id,
+  CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1)) * CAST(pw AS BIGINT)) % {_text.MERSENNE_PRIME} AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id, text, unnest(range(1, least(length(text), {_text.FP_PREFIX}) + 1)) AS i
+  FROM documents WHERE length(text) > 0
+) chars
+JOIN (SELECT unnest(range(1, {_text.FP_PREFIX} + 1)) AS i, unnest({_text.FP_POWS}) AS pw) pows
+  USING (i)
+GROUP BY doc_id""",
+)
+def q_doc_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", _text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+register(
+    "exact_dedup_text",
+    """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text HAVING COUNT(*) > 1""",
+)(lambda spark, sf: _dedup.exact_dedup(load_table(spark, sf, "documents"), ["text"]))
+
+register(
+    "dedup_by_lang_source",
+    """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY lang, source HAVING COUNT(*) > 1""",
+)(
+    lambda spark, sf: _dedup.exact_dedup(
+        load_table(spark, sf, "documents"), ["lang", "source"]
+    )
+)
+
+# Exact all-pairs n-gram Jaccard on a deterministic 1-in-50 sample (the
+# brute-force ground truth; quadratic, so sampled — the LSH pipeline is
+# the full-corpus path).
+_NGRAM_T = 0.5
+
+@register(
+    "ngram_jaccard_sample",
+    f"""WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+ssh AS (
+  SELECT DISTINCT doc_id, rpad(substr(text, CAST(i AS INTEGER), {_K}), {_K}, ' ') AS shingle
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM sdocs WHERE length(text) > 0)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= {_NGRAM_T}""",
+)
+def q_ngram_jaccard_sample(spark, sf):
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 50 == 0)
+    return _dedup.ngram_jaccard_pairs(docs, k=_CFG.k, threshold=_NGRAM_T)
+
+
+@register(
+    "near_dup_groups",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src""",
+)
+def q_near_dup_groups(spark, sf):
+    """Connected components over the flagship similar-pairs edges; oracle
+    is a recursive-CTE transitive closure (components are tiny cliques)."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    return _dedup.near_dup_groups(pairs)
+
+
+@register(
+    "similar_groups",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src""",
+)
+def q_similar_groups(spark, sf):
+    """GROUP-LEVEL flagship (dedup.similar_groups): same answer as
+    near_dup_groups∘similar_pairs — the oracle is literally the same
+    recursive-CTE SQL — but computed by Borůvka rounds that verify one
+    representative candidate edge per component instead of all O(k²)
+    clique pairs, the output shape that survives quadratically-duplicated
+    corpora (SCALE.md §7's 160× wall)."""
+    return _dedup.similar_groups(load_table(spark, sf, "documents"), _CFG)
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing, streaming, MLlib path
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.multimodal import binary as _binary  # noqa: E402
+
+
+@register(
+    "multimodal_features",
+    """SELECT doc_id AS id,
+  CASE doc_id % 3 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+       ELSE 'image/x-portable-pixmap' END AS media_type,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_pixel,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(1000 + (doc_id % 50) * 8 AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 3 = 0 THEN CAST((1000 + (doc_id % 50) * 8) * 125 AS BIGINT) END AS duration_us,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 1000 AS DOUBLE) END AS rms
+FROM documents""",
+)
+def q_multimodal_features(spark, sf):
+    """REAL-container multimodal round trip, fully distributed: every
+    document synthesizes an actual WAV / BMP / binary-PPM container
+    (multimodal/binary.py make_*), and the features come from REAL
+    dependency-free decoders — stdlib ``wave`` + numpy for WAV
+    (sample rate, frame count, duration, RMS), struct + numpy for
+    BMP/PPM (width, height, mean pixel) — via Arrow-batched
+    mapInPandas.  Container parameters are doc_id arithmetic, so the
+    SQL twin predicts every decoded value without touching bytes: the
+    parity check proves the emit->parse round trip through real
+    container formats.  Compressed formats (JPEG/MP4) still raise
+    NotImplementedError (no PIL/ffmpeg in this container)."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_media(docs))
+
+
+# --------------------------------------------------------------------------
+# Token counting (BPE-ish regex classes) + per-doc top-k similarity search
+# --------------------------------------------------------------------------
+
+_TOK_WORD = "[A-Za-z]+"
+_TOK_NUM = "[0-9]+"
+_TOK_OTHER = r"[^A-Za-z0-9\s]"
+
+
+@register(
+    "token_counts",
+    f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_TOK_WORD}')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{_TOK_NUM}')) AS BIGINT) AS n_numbers,
+  CAST(len(regexp_extract_all(text, '{_TOK_OTHER}')) AS BIGINT) AS n_other,
+  CAST(len(regexp_extract_all(text, '{_TOK_WORD}|{_TOK_NUM}|{_TOK_OTHER}')) AS BIGINT) AS n_tokens
+FROM documents WHERE length(text) > 0""",
+)
+def q_token_counts(spark, sf):
+    """BPE-ish tokenization census: word / number / symbol token classes
+    via regexp (the pre-tokenizer split most BPE vocabularies assume)."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_TOK_WORD)).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(_TOK_NUM)).cast("long").alias("n_numbers"),
+        F.regexp_count(t, F.lit(_TOK_OTHER)).cast("long").alias("n_other"),
+        F.regexp_count(t, F.lit(f"{_TOK_WORD}|{_TOK_NUM}|{_TOK_OTHER}"))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+_QSW = ", ".join(f"'{w}'" for w in _text.QUALITY_STOPWORDS)
+_Q_SWR = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_QSW}))) AS DOUBLE) / len(string_split(text, ' '))"
+_Q_PR = "CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE) / length(text)"
+_Q_CPT = "CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))"
+
+
+@register(
+    "quality_scores",
+    f"""SELECT doc_id,
+  0.5 * least({_Q_SWR} * 4, 1.0)
+  + 0.3 * (1.0 - least({_Q_PR} * 5, 1.0))
+  + 0.2 * (CASE WHEN {_Q_CPT} >= 3 AND {_Q_CPT} <= 12 THEN 1.0 ELSE 0.0 END)
+  AS quality
+FROM documents WHERE length(text) > 0""",
+)
+def q_quality_scores(spark, sf):
+    """Composite document quality heuristic (stopword presence up,
+    punctuation spam down, degenerate token lengths down) — the filter a
+    training-data pipeline applies before expensive processing."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select("doc_id", _text.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "repetition_scores",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS repetition
+FROM bg GROUP BY doc_id""",
+)
+def q_repetition_scores(spark, sf):
+    """Within-document repetition (share of duplicated word bigrams) —
+    the standard degenerate-text signal (looped phrases, boilerplate
+    spam) a quality filter thresholds on.  Pure map-side array math: no
+    shuffle, no explode."""
+    toks = F.split(F.col("text"), " ")
+    bigrams = _text.word_ngrams(F.col("text"), 2)
+    n_bg = F.size(bigrams).cast("long")
+    n_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    return (
+        load_table(spark, sf, "documents")
+        .where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            n_bg.alias("n_bigrams"),
+            n_distinct.alias("n_distinct"),
+            ((n_bg - n_distinct).cast("double") / n_bg).alias("repetition"),
+        )
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination
+FROM g LEFT JOIN bench b ON b.gram = g.gram
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id""",
+)
+def q_benchmark_contamination(spark, sf):
+    """Benchmark-contamination check: share of each training doc's
+    distinct word 3-grams that appear anywhere in the held-out benchmark
+    set (here: docs with id % 97 == 0).  The benchmark gram set is tiny
+    by nature (eval suites, not corpora), so it broadcasts and the check
+    is one map-side join over the corpus grams."""
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        load_table(spark, sf, "documents")
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_text.word_ngrams(F.col("text"), 3))
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    n_hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            n_hit.alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+register(
+    "dedup_drop_ids",
+    """WITH keep AS (
+  SELECT lang, source, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY lang, source
+)
+SELECT doc_id AS drop_id, keep_id
+FROM documents JOIN keep USING (lang, source)
+WHERE doc_id != keep_id""",
+)(
+    lambda spark, sf: _dedup.duplicate_ids(
+        load_table(spark, sf, "documents"), ["lang", "source"]
+    )
+)
+
+
+@register(
+    "word_bigram_jaccard_sample",
+    """WITH sdocs AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE doc_id % 50 = 0 AND length(text) > 0),
+wsh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM sdocs)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM wsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM wsh a JOIN wsh b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_id_a
+JOIN sizes nb ON nb.doc_id = i.doc_id_b
+WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= 0.5""",
+)
+def q_word_bigram_jaccard_sample(spark, sf):
+    """Word-2-gram Jaccard on the 1-in-50 sample — the token-level
+    near-dup metric (char-3-gram is the reference's; word n-grams are
+    what web-scale dedup typically uses)."""
+    toks = F.split(F.col("text"), " ")
+    # one-token docs have no bigrams; without this guard Spark's
+    # sequence(1, 0) DESCENDS and element_at throws (DuckDB's range(1,1)
+    # is just empty) — exclude them up front on both paths
+    docs = (
+        load_table(spark, sf, "documents")
+        .where((F.col("doc_id") % 50 == 0) & (F.size(toks) >= 2))
+    )
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    wsh = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    sizes = wsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        wsh.alias("a")
+        .join(wsh.alias("b"), "bigram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return (
+        inter.join(na, "doc_id_a").join(nb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(jac >= 0.5)
+    )
+
+
+@register(
+    "documents_hash_sample",
+    f"""SELECT doc_id, lang, source
+FROM documents
+WHERE ({_BUCKET_SQL}) < 100000""",
+)
+def q_documents_hash_sample(spark, sf):
+    """Deterministic 10% Bernoulli sample keyed on doc_id: the same doc
+    is in or out on every run, engine, and partitioning (df.sample()
+    guarantees none of those)."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 100_000).select("doc_id", "lang", "source")
+
+
+_SPLITS = [("train", 98), ("valid", 1), ("test", 1)]
+_CUTS = []
+_acc = 0
+for _name, _w in _SPLITS[:-1]:
+    _acc += _w
+    _CUTS.append((_name, _acc * 1_000_000 // sum(w for _, w in _SPLITS)))
+# NULL key -> NULL split, mirroring sampling.split_assign exactly.
+_SPLIT_CASE = "CASE WHEN doc_id IS NULL THEN NULL " + " ".join(
+    f"WHEN ({_BUCKET_SQL}) < {cut} THEN '{name}'" for name, cut in _CUTS
+) + f" ELSE '{_SPLITS[-1][0]}' END"
+
+
+@register(
+    "train_valid_test_split",
+    f"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT lang, {_SPLIT_CASE} AS split FROM documents)
+GROUP BY split, lang""",
+)
+def q_train_valid_test_split(spark, sf):
+    """98/1/1 split assignment by content-hash bucket windows — total,
+    disjoint, reproducible; aggregated per (split, lang) so the oracle
+    checks every assignment."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        split_assign(docs, "doc_id", _SPLITS)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY ({_BUCKET_SQL}), doc_id) AS BIGINT) AS rn
+  FROM documents)
+WHERE rn <= 20""",
+)
+def q_stratified_sample(spark, sf):
+    """Exactly 20 docs per language, deterministically chosen by md5
+    bucket order — the reproducible per-stratum pick a training mix
+    needs (df.sample can neither hit exact counts nor survive
+    repartitioning).  The rank filter compiles to a per-partition group
+    top-k (WindowGroupLimit), not a full per-stratum sort."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_sample(docs, ["lang"], k=20).select("doc_id", "lang", "rn")
+
+
+_QW_Q = f"""0.5 * least({_Q_SWR} * 4, 1.0)
+  + 0.3 * (1.0 - least({_Q_PR} * 5, 1.0))
+  + 0.2 * (CASE WHEN {_Q_CPT} >= 3 AND {_Q_CPT} <= 12 THEN 1.0 ELSE 0.0 END)"""
+
+
+@register(
+    "quality_weighted_sample",
+    f"""SELECT doc_id, quality, tier FROM (
+  SELECT doc_id, q AS quality,
+         CASE WHEN q >= 0.55 THEN 'high' WHEN q >= 0.35 THEN 'mid' ELSE 'low' END AS tier,
+         ({_BUCKET_SQL}) AS b,
+         CASE WHEN q >= 0.55 THEN 1000000 WHEN q >= 0.35 THEN 500000 ELSE 100000 END AS cut
+  FROM (SELECT doc_id, text, {_QW_Q} AS q FROM documents WHERE length(text) > 0))
+WHERE b < cut""",
+)
+def q_quality_weighted_sample(spark, sf):
+    """Quality-weighted importance sampling — the corpus-mixing
+    primitive: keep all high-quality docs, half the mid tier, a tenth of
+    the low tier, each choice a deterministic per-key md5 bucket test so
+    the mix is reproducible across runs, engines, and partitionings.
+    Pure map-side: score, tier, bucket, filter — no shuffle."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        DEFAULT_BUCKETS,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    q = _text.quality_score(F.col("text"))
+    scored = docs.select("doc_id", q.alias("quality"))
+    tier = (
+        F.when(F.col("quality") >= 0.55, "high")
+        .when(F.col("quality") >= 0.35, "mid")
+        .otherwise("low")
+    )
+    cut = (
+        F.when(F.col("quality") >= 0.55, DEFAULT_BUCKETS)
+        .when(F.col("quality") >= 0.35, DEFAULT_BUCKETS // 2)
+        .otherwise(DEFAULT_BUCKETS // 10)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "quality",
+            tier.alias("tier"),
+            hash_bucket(F.col("doc_id")).alias("_b"),
+            cut.alias("_cut"),
+        )
+        .where(F.col("_b") < F.col("_cut"))
+        .select("doc_id", "quality", "tier")
+    )
+
+
+@register(
+    "near_dup_drop_best_quality",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src),
+qual AS (SELECT doc_id, {_QW_Q} AS quality FROM documents WHERE length(text) > 0),
+ranked AS (
+  SELECT g.doc_id, g.group_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, g.doc_id) AS rn
+  FROM grp g JOIN qual q ON q.doc_id = g.doc_id)
+SELECT r.doc_id AS drop_id, k.doc_id AS keep_id, r.group_id
+FROM ranked r JOIN ranked k ON k.group_id = r.group_id AND k.rn = 1
+WHERE r.rn > 1""",
+)
+def q_near_dup_drop_best_quality(spark, sf):
+    """Quality-aware near-dup drop list: per dedup group keep the
+    HIGHEST-quality copy (dedup.quality_drop_ids) instead of the lowest
+    id — min-id keeps whichever duplicate crawled first; a training
+    pipeline wants the best one.  The quality ordering is the exact
+    engine-portable score, so keep/drop decisions hash-match."""
+    docs = load_table(spark, sf, "documents")
+    pairs = similar_pairs(docs, _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    scored = docs.where(F.length("text") > 0).select(
+        "doc_id", _text.quality_score(F.col("text")).alias("quality")
+    )
+    return _dedup.quality_drop_ids(groups, scored)
+
+
+@register(
+    "redact_pii",
+    r"""SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             'Contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com via https://ex.example/d/'
+               || CAST(doc_id AS VARCHAR) || ' or +1 555 123 4567 re: ' || substring(text, 1, 40),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\-\. ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+FROM documents""",
+)
+def q_redact_pii(spark, sf):
+    """PII scrubbing (functions/redact.py): emails, URLs, phone runs ->
+    fixed tags, pure regexp_replace chain.  The corpus has no PII, so the
+    query plants a synthetic email/URL/phone per row and the oracle
+    verifies the exact redacted strings."""
+    from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    planted = F.concat(
+        F.lit("Contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or +1 555 123 4567 re: "), F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", redact_pii(planted).alias("clean"))
+
+
+# --------------------------------------------------------------------------
+# Corpus profiling / frequency analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "documents_profile",
+    """SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(text) AS BIGINT) AS n_text,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(MIN(length(text)) AS BIGINT) AS min_len,
+  CAST(MAX(length(text)) AS BIGINT) AS max_len,
+  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM documents""",
+)
+def q_documents_profile(spark, sf):
+    """One-pass column profile of the corpus (row/null/distinct/length
+    stats) — the data-quality gate a pipeline runs before training jobs.
+    Single aggregate, partial-combined map-side; distincts are exact here
+    (the approx twin for unbounded domains is `events_users_hll`)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_empty"),
+    )
+
+
+@register(
+    "distinctive_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT doc_id, token, tf, df, rn FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+                                 ORDER BY t.tf DESC, d.df ASC, t.token) AS BIGINT) AS rn
+  FROM tf t JOIN df d ON d.token = t.token)
+WHERE rn <= 3""",
+)
+def q_distinctive_terms(spark, sf):
+    """Top-3 characteristic tokens per document — TF-IDF's ranking
+    without its float log: order by term frequency desc, document
+    frequency asc, token (all integers, so the ranking is engine-exact
+    where ln() could differ in the last ulp between libm builds).  One
+    explode + two partial-aggregated counts + a WindowGroupLimit'd
+    per-doc top-k."""
+    toks = (
+        load_table(spark, sf, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "frequent_tokens",
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50""",
+)
+def q_frequent_tokens(spark, sf):
+    """Top-50 corpus tokens with a deterministic (count desc, token asc)
+    tie-break — vocabulary head analysis.  Map-side split+explode, one
+    partial-aggregated count, top-k via sort+limit (TakeOrdered at the
+    physical level — no global sort materialized)."""
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.where(F.length("text") > 0)
+        .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "near_dup_drop_ids",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src)
+SELECT doc_id AS drop_id, group_id AS keep_id FROM grp WHERE doc_id <> group_id""",
+)
+def q_near_dup_drop_ids(spark, sf):
+    """The operational near-dup artifact: ids to DROP with the kept
+    representative (each component's min id) — the drop-list a pipeline
+    anti-joins against the corpus, emitted linear in docs even when the
+    pair list is quadratic in clique size (see SCALE.md §7's 80x note).
+    Exact-dedup analog: `dedup_drop_ids`."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    return (
+        groups.where(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + vocabulary coverage (operators/packing.py) — the last
+# mile of a training-data pipeline: fixed-context chunk assignment and
+# OOV-rate quality scoring.
+# --------------------------------------------------------------------------
+
+_PACK_CTX = 512
+_PACK_SHARDS = 8
+_TOK_N_SQL = (
+    "length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> ''))"
+)
+
+
+@register(
+    "packed_sequences",
+    f"""WITH sized AS (
+  SELECT doc_id,
+         (({_BUCKET_SQL})) AS b,
+         CAST(({_BUCKET_SQL}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST({_TOK_N_SQL} AS BIGINT) AS n_tokens
+  FROM documents WHERE length(text) > 0
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sized WHERE n_tokens > 0
+)
+SELECT doc_id, shard, CAST(start_offset // {_PACK_CTX} AS BIGINT) AS chunk_id,
+       n_tokens, start_offset
+FROM placed""",
+)
+def q_packed_sequences(spark, sf):
+    """Distributed sequence packing (operators/packing.py): documents
+    assigned to 512-token training chunks in 8 content-hash shards
+    — shard and chunk are pure functions of doc_id + corpus membership,
+    so the layout is reproducible across runs, engines, and
+    partitionings.  One shuffle (shard hash), one per-shard running-sum
+    window; shards are independent, so parallelism scales with
+    n_shards.  The oracle recomputes every (shard, chunk, offset) cell."""
+    from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS)
+
+
+_VOCAB_TOP = 64
+
+
+@register(
+    "vocab_coverage",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents WHERE length(text) > 0
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks2 GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT {_VOCAB_TOP}
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_ratio
+FROM toks2 t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id""",
+)
+def q_vocab_coverage(spark, sf):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-64 token vocabulary — the classic cheap quality filter (a doc
+    mostly outside the head vocabulary is boilerplate, code, or noise).
+    Plan: one token explode feeding BOTH the vocabulary top-k (partial
+    agg + TakeOrdered) and the per-doc agg; the vocabulary joins back as
+    a broadcast hash join (64 rows), so the corpus shuffles once, on
+    doc_id.  oov_ratio is a ratio of identical integers — engine-exact."""
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_TOP)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_ratio"),
+        )
+    )
+
+
+@register(
+    "lang_rebalanced_sample",
+    f"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM c),
+cuts AS (
+  SELECT lang, LEAST(1000000, (t.total * 1000000) // (t.k * c.n)) AS cut
+  FROM c, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE ({_BUCKET_SQL}) < cut""",
+)
+def q_lang_rebalanced_sample(spark, sf):
+    """Corpus rebalancing toward a uniform language mix
+    (operators/sampling.py:rebalance_to_uniform): over-represented
+    languages are hash-downsampled to their uniform share with integer
+    retention cuts, so the kept set is engine-exact and reproducible.
+    One tiny count aggregate broadcast back + a map-side filter."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        rebalance_to_uniform,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return rebalance_to_uniform(docs, "lang").select("doc_id", "lang")
+
+
+@register(
+    "packed_sequences_greedy",
+    f"""WITH RECURSIVE sized AS (
+  SELECT doc_id,
+         CAST(({_BUCKET_SQL}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         CAST({_TOK_N_SQL} AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY ({_BUCKET_SQL}) % {_PACK_SHARDS}
+           ORDER BY ({_BUCKET_SQL}), doc_id) AS BIGINT) AS ord
+  FROM documents WHERE length(text) > 0 AND {_TOK_N_SQL} > 0
+),
+walk AS (
+  SELECT shard, ord, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS fill
+  FROM sized WHERE ord = 1
+  UNION ALL
+  SELECT s.shard, s.ord, s.doc_id, s.n_tokens,
+         CASE WHEN w.fill + s.n_tokens <= {_PACK_CTX}
+              THEN w.chunk_id ELSE w.chunk_id + 1 END,
+         CASE WHEN w.fill + s.n_tokens <= {_PACK_CTX}
+              THEN w.fill + s.n_tokens ELSE s.n_tokens END
+  FROM walk w JOIN sized s ON s.shard = w.shard AND s.ord = w.ord + 1
+)
+SELECT doc_id, shard, chunk_id, n_tokens FROM walk""",
+)
+def q_packed_sequences_greedy(spark, sf):
+    """Next-fit greedy packing (operators/packing.py:
+    pack_sequences_greedy): no chunk exceeds 512 tokens unless one
+    document alone does.  The loop-carried fill state is beyond any
+    window frame, so the Spark side is an Arrow-batched applyInPandas
+    walk per shard and the oracle replays the identical walk as a
+    recursive CTE — the two independent implementations must agree on
+    every (doc, shard, chunk) cell."""
+    from mapreduce_minhash_lsh_spark.operators.packing import (
+        pack_sequences_greedy,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences_greedy(docs, ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS)
+
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "document_chunks",
+    f"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+       substr(text, CAST((i - 1) * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_LEN}) AS chunk,
+       CAST(length(substr(text, CAST((i - 1) * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_LEN})) AS BIGINT) AS chunk_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, CAST(ceil(
+           greatest(length(text) - {_CHUNK_LEN}, 0) / {_CHUNK_STRIDE}.0) AS BIGINT) + 2)) AS i
+  FROM documents WHERE length(text) > 0
+)""",
+)
+def q_document_chunks(spark, sf):
+    """Overlapping fixed-size chunking — the pre-embedding splitter:
+    200-char windows every 150 chars, so consecutive chunks share
+    50 chars of context and the final window always reaches
+    the end of the document.  Pure map-side explode (sequence + substring
+    — no shuffle, no Python); chunk count per doc is
+    ceil(max(len-chunk,0)/stride)+1, identical in both engines."""
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.length("text") - F.lit(_CHUNK_LEN), F.lit(0))
+            / F.lit(float(_CHUNK_STRIDE))
+        ).cast("long")
+        + F.lit(1)
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+        "chunk_idx"
+    )
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_LEN,
+    )
+    return docs.select("doc_id", idx, "text").select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    f"""WITH {_PIPELINE_CTES},
+texts AS (SELECT doc_id, text FROM documents)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       CAST(length(ta.text) AS BIGINT) AS len_a,
+       CAST(length(tb.text) AS BIGINT) AS len_b
+FROM candf c
+JOIN texts ta ON ta.doc_id = c.doc_id_a
+JOIN texts tb ON tb.doc_id = c.doc_id_b""",
+)
+def q_edit_distance_pairs(spark, sf):
+    """Levenshtein distance over the flagship's LSH candidates — the
+    character-level verify measure (edit distance is O(len_a x len_b)
+    per pair, so it only ever runs on the banding-bounded candidate
+    list, never all pairs; same cost discipline as the Jaccard verify).
+    JVM levenshtein on the Spark side, DuckDB's on the oracle side —
+    integer-identical by definition of the metric."""
+    docs = load_table(spark, sf, "documents")
+    sh = explode_shingles(docs, _CFG.k).persist()
+    from mapreduce_minhash_lsh_spark.operators.minhash import (
+        minhash_signatures_array,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        _materialize,
+        signature_prefilter,
+    )
+
+    sig = _materialize(minhash_signatures_array(sh, _CFG), None)
+    cands = candidate_pairs(compact_band_keys(sig, _CFG), _CFG)
+    cands = _materialize(
+        signature_prefilter(cands, sig, _CFG, _CFG.threshold), None
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("_tb"))
+    return (
+        cands.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+    )
+
+
+@register(
+    "token_length_histogram",
+    f"""SELECT CAST(({_TOK_N_SQL}) // 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN({_TOK_N_SQL}) AS BIGINT) AS min_tokens,
+       CAST(MAX({_TOK_N_SQL}) AS BIGINT) AS max_tokens
+FROM documents WHERE length(text) > 0
+GROUP BY CAST(({_TOK_N_SQL}) // 8 AS BIGINT)""",
+)
+def q_token_length_histogram(spark, sf):
+    """Token-length distribution in 8-token buckets with per-bucket
+    min/max — the length-profile pass that sizes packing budgets and
+    length filters.  Map-side token count (same tokenization as
+    frequent_tokens / packing), one partial-aggregated groupBy."""
+    from mapreduce_minhash_lsh_spark.operators.packing import (
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    n = whitespace_token_count(F.col("text"))
+    return (
+        docs.select(n.alias("n_tokens"))
+        .groupBy(F.expr("n_tokens div 8").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "near_dup_group_sizes",
+    f"""WITH RECURSIVE {_PIPELINE_CTES},
+sim AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= {_CFG.threshold}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM sim
+  UNION SELECT doc_id_b, doc_id_a FROM sim
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+grp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src),
+gsizes AS (SELECT group_id, count(*) AS group_size FROM grp GROUP BY group_id)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM gsizes GROUP BY group_size""",
+)
+def q_near_dup_group_sizes(spark, sf):
+    """Dedup-run telemetry: the histogram of near-dup component sizes
+    (group_size -> how many groups) — the number an operator actually
+    watches per corpus snapshot: a fat tail here means boilerplate
+    cliques (time to lower max_bucket_size or tighten banding), a
+    mass at size 2 means ordinary near-dup pairs.  Emitted linear in
+    docs regardless of clique size — the aggregate form of the
+    dedup-by-group answer SCALE.md §7 gives for quadratic pair
+    volume."""
+    pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return sizes.groupBy("group_size").agg(
+        F.count("*").cast("long").alias("n_groups")
+    )

@@ -45,6 +45,16 @@ def get_spark(
         # (rare, order-dependent) race.  See sources/tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the executor and driver share one JVM, so a long
+        # full-GC pause (large heaps at the 160x probe) or heavy external
+        # CPU contention can delay executor heartbeats past the 120 s
+        # default — the HeartbeatReceiver then evicts the only executor
+        # and wedges the context (observed once at the 160x groups probe:
+        # "Removing executor driver with no recent heartbeats: 129525 ms").
+        # A generous network timeout costs nothing in local mode and, on a
+        # real cluster, only delays detection of a genuinely dead executor.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "20s")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
