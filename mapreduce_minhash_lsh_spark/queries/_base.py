@@ -168,21 +168,9 @@ _PRIORITY: list[str] = [
 ]
 
 
-def _ordered(mapping: dict) -> dict:
-    missing = [n for n in _PRIORITY if n not in _QUERIES]
-    if missing:
-        raise KeyError(f"_PRIORITY names not registered: {missing}")
-    out = {n: mapping[n] for n in _PRIORITY if n in mapping}
-    out.update({n: v for n, v in mapping.items() if n not in out})
-    return out
-
-
-def queries() -> dict[str, QueryFn]:
-    return _ordered(_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return _ordered(_ORACLES)
+# queries()/oracle_sql() live in the registry facade (registry.py), which
+# additionally freezes the pre-split registration order - import them from
+# there, not here.
 
 
 # --------------------------------------------------------------------------

@@ -14,7 +14,6 @@ from mapreduce_minhash_lsh_spark.queries._base import (  # noqa: F401
     _VOCAB_CTE,
     explode_shingles,
     load_table,
-    queries,
     register,
 )
 from mapreduce_minhash_lsh_spark.queries._shared import (  # noqa: F401
