@@ -12,26 +12,14 @@ from mapreduce_minhash_lsh_spark.queries._base import (  # noqa: F401
 
 
 
-# --------------------------------------------------------------------------
-# Relational plans (the general query-engine surface: scan/filter/project,
-# aggregation, broadcast star joins, windows, rollup, distinct)
-# --------------------------------------------------------------------------
-
+# Operator-module aliases used by several families (events plans by the
+# events AND llm modules; text/dedup by llm AND pipeline/ann variants).
 from mapreduce_minhash_lsh_spark.plans import events as _events  # noqa: E402
-
-
-# --------------------------------------------------------------------------
-# Text analysis (tokens, quality, language ID, fingerprints) + dedup family
-# --------------------------------------------------------------------------
-
 from mapreduce_minhash_lsh_spark.functions import text as _text  # noqa: E402
 from mapreduce_minhash_lsh_spark.operators import dedup as _dedup  # noqa: E402
 
-
-# --------------------------------------------------------------------------
-# Deterministic sampling / splits / PII redaction (operators/sampling.py,
-# functions/redact.py) — reproducible-per-key md5 bucketing, exact oracle.
-# --------------------------------------------------------------------------
-
+# Reproducible-per-key md5 bucketing (operators/sampling.py twin) — the
+# sampling/split family's oracle key, also reused by the llm profiling
+# and pipeline sample queries.
 _DOC_KEY_SQL = "CAST(doc_id AS VARCHAR) || ':42'"
 _BUCKET_SQL = f"({_md5_parse_sql(_DOC_KEY_SQL)}) % 1000000"
