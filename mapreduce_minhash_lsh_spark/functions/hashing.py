@@ -26,7 +26,7 @@ def md5_long(col: Column) -> Column:
     """Bigint in [0, 2^60) from the first 15 hex chars of md5 — THE
     engine-portable hash of this repo.  md5 is identical in every
     engine, so the DuckDB oracle reproduces the value bit-for-bit
-    (registry._md5_parse_sql parses the same 15 chars with literal
+    (queries/_base.py _md5_parse_sql parses the same 15 chars with literal
     powers of 16).  Every md5-derived id/bucket/band hash MUST route
     through this one expression: shingle ids, exact-Jaccard set ids,
     compact band keys, and sampling buckets all share it, so a change

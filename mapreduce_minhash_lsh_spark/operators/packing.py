@@ -124,7 +124,7 @@ def pack_sequences_greedy(
     not a serialization detail.  Shards stay independent, so the scale
     story is identical to pack_sequences (one shuffle, n_shards
     parallel walks).  The DuckDB oracle replays the same walk as a
-    recursive CTE (registry.py:packed_sequences_greedy).
+    recursive CTE (queries/llm.py:packed_sequences_greedy).
     """
     if ctx_len <= 0 or n_shards <= 0:
         raise ValueError("ctx_len and n_shards must be positive")

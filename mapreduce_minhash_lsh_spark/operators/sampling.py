@@ -33,7 +33,7 @@ def hash_bucket(key: Column, seed: int = 42, buckets: int = DEFAULT_BUCKETS) -> 
 
     The 60-bit hex prefix is parsed exactly like functions.hashing.md5_id,
     so DuckDB reproduces every bucket bit-for-bit (15 substr terms with
-    literal powers of 16 — see registry._MD5_PARSE).
+    literal powers of 16 — see queries/_base.py _MD5_PARSE).
     """
     tagged = F.concat(key.cast("string"), F.lit(f":{seed}"))
     return md5_long(tagged) % F.lit(buckets)
