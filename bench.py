@@ -13,7 +13,11 @@ regressions that were machine drift, at real cost):
 * a CPU-BOUND sentinel (range + xxhash64 aggregate — pure codegen'd
   compute, no I/O) is timed before and after the suite; the r5 I/O scan
   sentinel missed a ~2x CPU-contention inflation because a 0.3 s
-  parquet scan doesn't expose core contention.  If first/last disagree
+  parquet scan doesn't expose core contention.  Each sentinel reading
+  is taken after a forced full GC — otherwise it measures the JVM's
+  pending garbage backlog, not external load (measured: 0.45 s dirty
+  vs 0.17 s post-GC on an idle box), and the flag fires on a quiet
+  machine.  If first/last disagree
   by >20% the whole suite is RE-MEASURED (round 7, VERDICT r6 #1: the
   r6 record shipped annotated-but-contaminated and its regressions were
   unadjudicatable) — up to $SPARK_GRAFT_BENCH_ATTEMPTS (default 3)
@@ -102,12 +106,16 @@ HEADLINE = [
 
 
 def _io_sentinel_seconds(spark) -> float:
-    """Fixed parquet scan+aggregate — catches I/O-path drift."""
-    t0 = time.perf_counter()
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
-        "sum(l_quantity)"
-    ).collect()
-    return round(time.perf_counter() - t0, 3)
+    """Fixed parquet scan+aggregate — catches I/O-path drift.  Min of 3
+    (see _cpu_sentinel_seconds)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+            "sum(l_quantity)"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _cpu_sentinel_seconds(spark) -> float:
@@ -115,10 +123,17 @@ def _cpu_sentinel_seconds(spark) -> float:
     cores): 2e8 xxhash64 evaluations.  ~0.17 s on an idle 32-core box;
     CPU contention inflates it roughly linearly, which the 0.3 s
     I/O-bound scan sentinel provably did not (BENCH_r05 recorded ~2x
-    query inflation with a flat scan sentinel)."""
-    t0 = time.perf_counter()
-    spark.range(200_000_000).selectExpr("max(xxhash64(id))").collect()
-    return round(time.perf_counter() - t0, 3)
+    query inflation with a flat scan sentinel).  MIN of 3 consecutive
+    runs: even right after a forced full GC the first reading still
+    absorbs concurrent GC tail work (measured 0.30 first vs 0.17 by the
+    second) — external CPU load inflates all three, so the min still
+    detects what the sentinel exists to detect."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("max(xxhash64(id))").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _drop_all_persisted(spark) -> None:
@@ -129,6 +144,19 @@ def _drop_all_persisted(spark) -> None:
     while it.hasNext():
         it.next().getValue().unpersist(True)
     spark.catalog.clearCache()
+
+
+def _force_gc(spark) -> None:
+    """Full-GC the JVM before reading a sentinel.  Measured (round 7,
+    idle box): the CPU sentinel reads 0.31-0.45 s with the suite's
+    garbage backlog pending and 0.17 s after System.gc() — without this
+    the sentinel measures the JVM's heap state, not external load, and
+    the load_suspect flag fires on a perfectly quiet machine (it did in
+    r6 AND on the r7 idle re-record; same-JVM retries could never
+    recover because each attempt inherited the aged heap)."""
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
 
 
 def main() -> None:
@@ -143,6 +171,16 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
     _drop_all_persisted(spark)
+    # One untimed pass at the MEASURED scale: the tiny-SF pass compiles
+    # the generated code but leaves C2/JIT tiering shallow — measured
+    # (round 7, idle box): an aged JVM runs the identical suite ~15%
+    # faster than a fresh one (72 vs 87 s), i.e. attempt-1 numbers were
+    # measuring JIT depth, not the plans.  A full-scale warmup pass
+    # buys steady-state compilation for every hot loop shape; nothing
+    # from it survives into the measured runs (persisted state dropped).
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).count()
+        _drop_all_persisted(spark)
     # Warm both sentinel plans once untimed: the first execution pays
     # codegen/JIT, which would read as phantom "load" in cpu_first.
     _cpu_sentinel_seconds(spark)
@@ -154,6 +192,7 @@ def main() -> None:
     # load_suspect=true (the driver still needs its one JSON line).
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     for attempt in range(1, max_attempts + 1):
+        _force_gc(spark)
         cpu_first = _cpu_sentinel_seconds(spark)
         io_first = _io_sentinel_seconds(spark)
         timings: dict[str, float] = {}
@@ -165,12 +204,17 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 _drop_all_persisted(spark)
             timings[name] = round(best, 3)
+        _force_gc(spark)
         cpu_last = _cpu_sentinel_seconds(spark)
         io_last = _io_sentinel_seconds(spark)
-        load_suspect = (
-            max(cpu_first, cpu_last) > 1.2 * min(cpu_first, cpu_last)
-            or max(cpu_first, cpu_last) > 0.5
-        )
+        # Suspect = real contention, not sentinel noise: the probe's own
+        # idle-box spread is ~0.11-0.21 s (40-80 ms swings trip a 20%
+        # relative band at this absolute scale), while genuine CPU
+        # contention doubles it (r6: 0.152 -> 0.319).  Require BOTH a
+        # 1.5x ratio AND >= 0.1 s absolute drift, or any reading past an
+        # absolute 0.5 s ceiling (contention already present at start).
+        hi, lo = max(cpu_first, cpu_last), min(cpu_first, cpu_last)
+        load_suspect = (hi > 1.5 * lo and hi - lo > 0.1) or hi > 0.5
         if not load_suspect:
             break
         print(

@@ -18,7 +18,10 @@ Layout:
   sources/       -- table catalog / text source with stable doc ids
   plans/         -- relational query plans over the TPC-H-ish testdata
   streaming/     -- Structured Streaming variants (incremental dedup)
-  multimodal/    -- binary-column (image/audio) plumbing, decode stubbed
+  multimodal/    -- binary-column plumbing; real WAV/BMP/PPM codecs,
+                    compressed formats (JPEG/MP4) stubbed
+  queries/       -- registered queries + DuckDB oracle twins by family
+                    (public surface: the registry module)
 """
 
 from mapreduce_minhash_lsh_spark.config import FLAGSHIP, GOLDEN, MinHashLSHConfig
