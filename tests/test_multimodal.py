@@ -153,3 +153,50 @@ def test_extract_media_features_matches_python(spark):
     many = {r.id: tuple(r)[2:] for r in
             extract_media_features(synth_media(docs).repartition(16)).collect()}
     assert many == got
+
+
+def test_resize_images_real_roundtrip(spark):
+    """REAL resize: decode -> NN resample -> re-encode preserves the
+    container format, honors target dims, keeps constant-gray means,
+    and only source pixel values appear (nearest-neighbor subset
+    property); audio rows pass through byte-identical."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        bmp_pixels,
+        decode_media,
+        extract_media_features,
+        make_bmp,
+        pixels_to_bmp,
+        ppm_pixels,
+        resize_images,
+        resize_pixels,
+        synth_media,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(45)
+    media = synth_media(docs)
+    before = {r.id: (bytes(r.media), r.media_type) for r in media.collect()}
+    resized = resize_images(media, 8, 6)
+    feats = {r.id: r for r in extract_media_features(resized).collect()}
+    for rid, (blob, mtype) in before.items():
+        got = feats[rid]
+        if mtype == "audio/wav":
+            # pass-through: identical decoded features
+            assert tuple(got)[2:] == decode_media(blob, mtype)
+        else:
+            assert (got.width, got.height) == (8, 6)
+            # constant-gray source -> mean preserved exactly
+            assert got.mean_pixel == float(rid % 256)
+    # pixel-level: NN resample of a gradient draws only source values
+    arr = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    small = resize_pixels(arr, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert set(small.flatten().tolist()) <= set(arr.flatten().tolist())
+    # container round trip is lossless for the pixel array, and the
+    # pixel decoders reject foreign container formats
+    assert (bmp_pixels(pixels_to_bmp(arr)) == arr).all()
+    with pytest.raises(ValueError):
+        bmp_pixels(b"P6\n2 2\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError):
+        ppm_pixels(make_bmp(4, 3, 7))
