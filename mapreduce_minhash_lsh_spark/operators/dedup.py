@@ -69,11 +69,12 @@ def ngram_jaccard_pairs(
 
 
 # Incident-edge nominations per component per Borůvka round in
-# similar_groups.  1 = classic Borůvka; 4 drains the false-candidate
-# residual 4x faster and gives a component whose min edge is false more
-# chances at a true one per round, at the same hash-aggregate plan cost
-# (the extra groupBy key is a hash salt, not a sort).  Exactness is
-# schedule-independent, so this only shifts wall-clock.
+# similar_groups.  1 = classic Borůvka (one edge per component); 4
+# drains the false-candidate residual 4x faster and gives a component
+# whose first-choice edge is false more chances at a true one per
+# round.  Nomination picks each class's min-xxhash edge (a long min =
+# plain HashAggregate; a struct min would sort the residual).
+# Exactness is schedule-independent, so this only shifts wall-clock.
 _NOMINATIONS = 4
 
 
@@ -223,9 +224,10 @@ def similar_groups(
     Cost: a k-clique verifies O(k) edges (members nominate toward the
     min members) instead of k(k-1)/2; false candidate edges each cost
     one verification at most.  Each component nominates up to
-    ``_NOMINATIONS`` incident edges per round (the min edge within each
-    of that many hash-salted edge classes — same hash-aggregate plan
-    shape as a single min, no window sort): more of the false residual
+    ``_NOMINATIONS`` incident edges per round (the min-xxhash edge
+    within each of that many hash-salted edge classes — a plain long
+    HashAggregate with map-side combine, where ``min(struct)`` would
+    plan a SortAggregate over the residual): more of the false residual
     drains per round and a component whose min edge is false still gets
     other chances at a true one, so the merge phase needs fewer rounds.
     When nomination stops being productive — the round verifies fewer
@@ -328,25 +330,33 @@ def similar_groups(
             reps = edges
             n_reps = n_live
         else:
-            # Borůvka nomination: each component's min incident edge
-            # within each of _NOMINATIONS hash-salted edge classes — up
-            # to _NOMINATIONS edges per component from the same
-            # hash-aggregate plan shape as a single min (map-side
-            # partial agg, no window sort over the residual).
-            salt = F.pmod(
-                F.xxhash64("doc_id_a", "doc_id_b"), F.lit(_NOMINATIONS)
+            # Borůvka nomination: each component's min-HASH incident
+            # edge within each of _NOMINATIONS hash-salted edge classes.
+            # The nomination key is the edge's xxhash64 — a LONG, so the
+            # per-(component, class) min is a plain HashAggregate with
+            # map-side partial combine; ``min(struct(a, b))`` is not
+            # hash-aggregable and planned as a SortAggregate, i.e. TWO
+            # sorts of the (2×residual)-row union per round (measured in
+            # the plan; the r6 single-min form paid the same sorts).
+            # The nominated edges are recovered with a semi-join of the
+            # residual against the (component-count-sized) hash list —
+            # AQE broadcasts it when small.  A hash collision inside one
+            # class only nominates an extra edge: exactness is
+            # nomination-schedule-independent.  Determinism holds (the
+            # min hash is a pure function of the edge list).
+            h = F.xxhash64("doc_id_a", "doc_id_b")
+            nom = (
+                live.select(F.col("_la").alias("_c"), h.alias("_h"))
+                .unionByName(live.select(F.col("_lb").alias("_c"), h.alias("_h")))
+                .groupBy("_c", F.pmod(F.col("_h"), F.lit(_NOMINATIONS)).alias("_s"))
+                .agg(F.min("_h").alias("_h"))
+                .select("_h")
+                .distinct()
             )
             obs_reps = Observation()
             reps = _materialize(
-                live.select(F.col("_la").alias("_c"), "doc_id_a", "doc_id_b")
-                .unionByName(
-                    live.select(F.col("_lb").alias("_c"), "doc_id_a", "doc_id_b")
-                )
-                .groupBy("_c", salt.alias("_s"))
-                .agg(F.min(F.struct("doc_id_a", "doc_id_b")).alias("_e"))
-                .select(F.col("_e.doc_id_a").alias("doc_id_a"),
-                        F.col("_e.doc_id_b").alias("doc_id_b"))
-                .distinct()
+                live.select("doc_id_a", "doc_id_b")
+                .join(nom, h == F.col("_h"), "left_semi")
                 .observe(obs_reps, F.count(F.lit(1)).alias("n")),
                 checkpoint_dir,
             )
