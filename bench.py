@@ -30,9 +30,16 @@ regressions that were machine drift, at real cost):
   memory so later queries in the loop measure the leak, not the plan
   (observed ~2x inflation over a long session in round 6).
 
-Each query is materialized with a count() action (no driver-side collect
-of result data).  The session is warmed with a trivial action first so
-JVM startup isn't billed to the first query.
+Each query is materialized with a noop-format write (round 8, VERDICT r7
+#1): ``df.write.format("noop")`` forces EVERY output column through the
+physical plan while discarding rows executor-side, so nothing is
+collected to the driver.  The previous ``.count()`` action let Catalyst
+prune computed columns — judge-verified that text_stats collapsed to a
+filtered count-star, q1_pricing_summary lost its sum/avg expressions and
+simhash lost the fingerprint — so BENCH_r01..r07 under-measure the
+map-side feature family; BENCH_r08 is the new comparison base (step
+change quantified in SCALE.md).  The session is warmed with a trivial
+action first so JVM startup isn't billed to the first query.
 """
 
 from __future__ import annotations
@@ -105,6 +112,15 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Force full execution of EVERY output column without moving rows to
+    the driver: the noop data source evaluates each row executor-side and
+    discards it.  A count() action is NOT equivalent — Catalyst prunes
+    columns no downstream operator consumes, deleting the very
+    expressions the benchmark exists to time (VERDICT r7 #1)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _io_sentinel_seconds(spark) -> float:
     """Fixed parquet scan+aggregate — catches I/O-path drift.  Min of 3
     (see _cpu_sentinel_seconds)."""
@@ -169,7 +185,7 @@ def main() -> None:
     # runs: different input path, and all persisted state is dropped.
     qs = registry.queries()
     for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        _materialize(qs[name](spark, "/root/testdata/sf0.001"))
     _drop_all_persisted(spark)
     # One untimed pass at the MEASURED scale: the tiny-SF pass compiles
     # the generated code but leaves C2/JIT tiering shallow — measured
@@ -179,7 +195,7 @@ def main() -> None:
     # buys steady-state compilation for every hot loop shape; nothing
     # from it survives into the measured runs (persisted state dropped).
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).count()
+        _materialize(qs[name](spark, SF_DIR))
         _drop_all_persisted(spark)
     # Warm both sentinel plans once untimed: the first execution pays
     # codegen/JIT, which would read as phantom "load" in cpu_first.
@@ -200,7 +216,7 @@ def main() -> None:
             best = float("inf")
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
-                qs[name](spark, SF_DIR).count()
+                _materialize(qs[name](spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
                 _drop_all_persisted(spark)
             timings[name] = round(best, 3)
