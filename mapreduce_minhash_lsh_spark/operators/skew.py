@@ -30,11 +30,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join robust to hot keys in ``big``: salt the big side,
-    replicate the small side across all salts, join on (key, salt)."""
+    replicate the small side across all salts, join on (key, salt).
+
+    The salt is ``pmod(xxhash64(<all big columns>), n_salts)`` — a pure
+    function of row CONTENT, so the result is bit-reproducible across
+    partitionings and retries (the repo-wide determinism contract;
+    VERDICT r7 flagged the previous ``F.rand(seed=0)`` salt as
+    partition-order dependent).  Rows of a hot key still spread across
+    salts because they differ in their other columns; only fully
+    identical duplicate rows share a salt, and those co-group under any
+    content hash.
+    """
     if how != "inner":
         raise ValueError("salted_join supports inner joins only")
     salted_big = big.withColumn(
-        "_salt", (F.rand(seed=0) * n_salts).cast("int")
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_small = small.select("*", salts)

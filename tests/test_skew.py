@@ -41,6 +41,22 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_partition_invariant(spark):
+    """The salt is a content hash (pmod(xxhash64(*cols), n)) — the full
+    row-level result must be bit-identical under different input
+    partitionings (VERDICT r7: the old rand(seed=0) salt was
+    partition-order dependent, violating the determinism contract)."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    out_a = salted_join(li.repartition(3), orders, "l_orderkey", n_salts=4)
+    out_b = salted_join(li.repartition(13), orders, "l_orderkey", n_salts=4)
+    rows_a = sorted(map(tuple, out_a.collect()))
+    rows_b = sorted(map(tuple, out_b.collect()))
+    assert rows_a == rows_b
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Co-bucketed tables must join with zero shuffles — the plan contains
     no Exchange operator (this is the property that matters at 100 TB)."""
