@@ -10,16 +10,19 @@ make rows wide, so the scan should target ~64-128 MB input splits
 
 Codec support is two-tier:
 
-* REAL codecs, no external libs (round 7): WAV via stdlib ``wave`` +
+* REAL codecs, no external libs (rounds 7-8): WAV via stdlib ``wave`` +
   numpy (sample rate, frame count, duration, RMS), BMP (24-bit
   uncompressed) and binary PPM (P6) via ``struct`` + numpy (width,
-  height, mean pixel).  ``make_wav``/``make_bmp``/``make_ppm`` emit
-  real container bytes; ``decode_wav``/``decode_bmp``/``decode_ppm``
-  parse them back.  ``synth_media`` + ``extract_media_features`` run
-  the full round trip distributed (Arrow-batched mapInPandas), and the
-  registry's ``multimodal_features`` oracle checks the decoded values.
-* Compressed formats (JPEG/MP4/...) need PIL/ffmpeg, which are NOT in
-  this container: ``decode_image``/``decode_audio`` raise
+  height, mean pixel), and — round 8 — PNG via stdlib ``zlib`` + numpy
+  (chunk walk, IDAT inflate, all five scanline filters unfiltered;
+  8-bit gray / RGB / RGBA).  ``make_wav``/``make_bmp``/``make_ppm``/
+  ``make_png`` emit real container bytes; ``decode_wav``/``decode_bmp``
+  /``decode_ppm``/``decode_png`` parse them back.  ``synth_media`` +
+  ``extract_media_features`` run the full round trip distributed
+  (Arrow-batched mapInPandas), and the registry's ``multimodal_features``
+  / ``multimodal_png`` oracles check the decoded values.
+* Compressed formats beyond PNG (JPEG/MP4/...) need PIL/ffmpeg, which
+  are NOT in this container: ``decode_image``/``decode_audio`` raise
   NotImplementedError, and ``fake_decode`` — a deterministic stand-in
   deriving "features" from raw bytes — keeps that plumbing testable.
 """
@@ -29,6 +32,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,13 +53,14 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """COMPRESSED image decode (JPEG/PNG/...) — requires PIL/opencv, not
-    present in this container.  STUB: uncompressed containers have real
-    decoders below (decode_bmp/decode_ppm); the Spark-side plumbing is
+    """Residual compressed-image decode (JPEG/GIF/TIFF/...) — requires
+    PIL/opencv, not present in this container.  STUB, round 8: its scope
+    shrank to JPEG-and-beyond — PNG now has a real dependency-free
+    decoder (decode_png), alongside BMP/PPM; the Spark-side plumbing is
     identical either way."""
     raise NotImplementedError(
-        "compressed-image codecs unavailable in this environment; "
-        "BMP/PPM have real decoders (decode_bmp/decode_ppm)"
+        "JPEG/GIF/TIFF codecs unavailable in this environment; "
+        "PNG/BMP/PPM have real decoders (decode_png/decode_bmp/decode_ppm)"
     )
 
 
@@ -219,6 +224,149 @@ def pixels_to_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
 
 
+# --------------------------------------------------------------------------
+# PNG — stdlib zlib + numpy (round 8, VERDICT r7 #4).  The format is
+# zlib-compressed scanlines, each prefixed by one of five filter bytes
+# (RFC 2083): encode with filter 0 (None), decode ALL five so foreign
+# 8-bit gray/RGB/RGBA PNGs parse too.  No Adam7 interlace, no 16-bit —
+# those raise, same contract as the BMP/PPM decoders' scope errors.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def pixels_to_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> real PNG container: IHDR (8-bit
+    truecolor), one zlib IDAT of filter-0 scanlines, IEND — every chunk
+    CRC'd, so external PNG tools accept the output."""
+    height, width, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanlines = np.zeros((height, 1 + width * 3), dtype=np.uint8)
+    scanlines[:, 1:] = arr.reshape(height, width * 3)
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png(width: int, height: int, gray: int) -> bytes:
+    """Real PNG (8-bit truecolor) filled with one gray value — same
+    synthesis semantics as make_bmp/make_ppm."""
+    return pixels_to_png(
+        np.full((height, width, 3), gray, dtype=np.uint8)
+    )
+
+
+def _png_unfilter(
+    data: np.ndarray, filters: np.ndarray, stride: int, bpp: int
+) -> np.ndarray:
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth).
+    Filters 0/2 are vectorized; 1/3/4 carry an in-row left-neighbor
+    dependency so they walk bytes — fine here because this module's own
+    encoder emits filter 0 (the vector path), and foreign-PNG decode is
+    a correctness surface, not the 100 TB hot path."""
+    height = data.shape[0]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(filters[y])
+        raw = data[y].astype(np.int32)
+        if f == 0:
+            row = raw
+        elif f == 2:
+            row = (raw + prev) & 0xFF
+        elif f in (1, 3, 4):
+            row = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                row[x] = (raw[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = row.astype(np.uint8)
+        prev = row
+    return recon
+
+
+def png_pixels(blob: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 pixel array from a real PNG container:
+    walk the chunk stream, inflate the concatenated IDATs, unfilter.
+    8-bit gray (broadcast to 3 channels), RGB, or RGBA (alpha dropped);
+    16-bit, palette and Adam7-interlaced files raise."""
+    if not blob.startswith(_PNG_SIG):
+        raise ValueError("not a PNG container (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = channels = -1
+    idat = bytearray()
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported, got depth={depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG color type {color} (palette?)"
+                )
+            if interlace != 0:
+                raise ValueError("Adam7-interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("PNG missing IHDR chunk")
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + stride):
+        raise ValueError(
+            f"PNG payload size mismatch: {raw.size} != {height * (1 + stride)}"
+        )
+    rows = raw.reshape(height, 1 + stride)
+    recon = _png_unfilter(rows[:, 1:], rows[:, 0], stride, channels)
+    px = recon.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+def decode_png(blob: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_pixel) from a real PNG container — the same
+    feature triple decode_bmp/decode_ppm return."""
+    px = png_pixels(blob)
+    mean = float(px.mean()) if px.size else 0.0
+    return px.shape[1], px.shape[0], mean
+
+
 def resize_pixels(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width).  Deterministic,
     numpy-only — the pixel transform a PIL-backed decoder would swap in
@@ -355,6 +503,28 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL PNG container
+    bytes, built distributed (Arrow-batched mapInPandas).  Dimensions and
+    gray value follow the same doc_id arithmetic as the BMP/PPM class in
+    :func:`_synth_blob` (width 4 + id%13, height 3 + id%7, gray id%256),
+    so a SQL oracle predicts every decoded feature without touching
+    bytes — kept as its own synth path so the round-7
+    ``multimodal_features``/``multimodal_resize`` oracles stay
+    byte-stable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = make_png(4 + did % 13, 3 + did % 7, did % 256)
+                rows.append((did, blob, "image/png"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def decode_media(blob: bytes, media_type: str) -> tuple:
     """One decoded feature row (width, height, mean_pixel, sample_rate,
     n_samples, duration_us, rms) — inapplicable fields are None.
@@ -369,6 +539,9 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         return (w, h, mean, None, None, None, None)
     if media_type == "image/x-portable-pixmap":
         w, h, mean = decode_ppm(blob)
+        return (w, h, mean, None, None, None, None)
+    if media_type == "image/png":
+        w, h, mean = decode_png(blob)
         return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
@@ -417,6 +590,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return pixels_to_bmp(resize_pixels(bmp_pixels(blob), width, height))
         if mtype == "image/x-portable-pixmap":
             return pixels_to_ppm(resize_pixels(ppm_pixels(blob), width, height))
+        if mtype == "image/png":
+            return pixels_to_png(resize_pixels(png_pixels(blob), width, height))
         if mtype.startswith("image/"):
             return decode_image(blob)  # pragma: no cover - raises
         return blob
@@ -435,12 +610,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Compressed-image (JPEG/PNG) resize still needs PIL/opencv — kept
-    as the explicit stub; uncompressed containers have the REAL
+    """JPEG/GIF/TIFF resize still needs PIL/opencv — kept as the explicit
+    stub; PNG (round 8) and the uncompressed containers have the REAL
     :func:`resize_images` above."""
     raise NotImplementedError(
-        "compressed-image resize requires codecs unavailable in this "
-        "environment; BMP/PPM resize is real (resize_images)"
+        "JPEG/GIF/TIFF resize requires codecs unavailable in this "
+        "environment; PNG/BMP/PPM resize is real (resize_images)"
     )
 
 
