@@ -109,6 +109,12 @@ HEADLINE = [
     # boilerplate-clique corpus (skew-policy regression guard).
     "similar_groups",
     "skew_similar_pairs",
+    # Round-8 additions (the r8 record is the new comparison base after
+    # the sink fix, so this is the cheapest moment to widen coverage):
+    # the multimodal codec chains — real WAV/BMP/PPM and PNG containers
+    # through Arrow-batched mapInPandas — were never benched before.
+    "multimodal_features",
+    "multimodal_png",
 ]
 
 
