@@ -21,10 +21,16 @@ Codec support is two-tier:
   ``extract_media_features`` run the full round trip distributed
   (Arrow-batched mapInPandas), and the registry's ``multimodal_features``
   / ``multimodal_png`` oracles check the decoded values.
-* Compressed formats beyond PNG (JPEG/MP4/...) need PIL/ffmpeg, which
-  are NOT in this container: ``decode_image``/``decode_audio`` raise
-  NotImplementedError, and ``fake_decode`` — a deterministic stand-in
-  deriving "features" from raw bytes — keeps that plumbing testable.
+* Baseline JPEG (round 8): huffman + 8x8 DCT in numpy — real encode AND
+  decode, including 4:2:0 subsampling and restart markers; see
+  ``multimodal/jpeg.py`` for the exact scope.  Constant-gray synth
+  JPEGs use all-ones quant tables, making the lossy format EXACT for
+  the oracle-checked round trip.
+* Residual compressed formats (GIF/TIFF/WebP images, MP4/MP3 audio-
+  video) need PIL/ffmpeg, which are NOT in this container:
+  ``decode_image``/``decode_audio`` raise NotImplementedError, and
+  ``fake_decode`` — a deterministic stand-in deriving "features" from
+  raw bytes — keeps that plumbing testable.
 """
 
 from __future__ import annotations
@@ -53,14 +59,16 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Residual compressed-image decode (JPEG/GIF/TIFF/...) — requires
+    """Residual compressed-image decode (GIF/TIFF/WebP/...) — requires
     PIL/opencv, not present in this container.  STUB, round 8: its scope
-    shrank to JPEG-and-beyond — PNG now has a real dependency-free
-    decoder (decode_png), alongside BMP/PPM; the Spark-side plumbing is
-    identical either way."""
+    shrank twice this round — PNG (zlib+numpy) and baseline JPEG
+    (huffman+DCT in numpy, multimodal/jpeg.py) both have real
+    dependency-free decoders now, alongside BMP/PPM; the Spark-side
+    plumbing is identical either way."""
     raise NotImplementedError(
-        "JPEG/GIF/TIFF codecs unavailable in this environment; "
-        "PNG/BMP/PPM have real decoders (decode_png/decode_bmp/decode_ppm)"
+        "GIF/TIFF/WebP codecs unavailable in this environment; "
+        "JPEG/PNG/BMP/PPM have real decoders "
+        "(decode_jpeg/decode_png/decode_bmp/decode_ppm)"
     )
 
 
@@ -503,6 +511,26 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL baseline-JFIF
+    container bytes (multimodal/jpeg.py), built distributed.  Same
+    doc_id-arithmetic dimensions/gray as the other image synth paths;
+    the all-ones quant default makes the constant image EXACT through
+    the lossy pipeline, so the SQL oracle stays value-exact."""
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import make_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = make_jpeg(4 + did % 13, 3 + did % 7, did % 256)
+                rows.append((did, blob, "image/jpeg"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_png_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL PNG container
     bytes, built distributed (Arrow-batched mapInPandas).  Dimensions and
@@ -542,6 +570,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         return (w, h, mean, None, None, None, None)
     if media_type == "image/png":
         w, h, mean = decode_png(blob)
+        return (w, h, mean, None, None, None, None)
+    if media_type == "image/jpeg":
+        from mapreduce_minhash_lsh_spark.multimodal.jpeg import decode_jpeg
+
+        w, h, mean = decode_jpeg(blob)
         return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
@@ -592,6 +625,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return pixels_to_ppm(resize_pixels(ppm_pixels(blob), width, height))
         if mtype == "image/png":
             return pixels_to_png(resize_pixels(png_pixels(blob), width, height))
+        if mtype == "image/jpeg":
+            from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+                encode_baseline,
+                jpeg_pixels,
+            )
+
+            return encode_baseline(
+                resize_pixels(jpeg_pixels(blob), width, height)
+            )
         if mtype.startswith("image/"):
             return decode_image(blob)  # pragma: no cover - raises
         return blob
@@ -610,12 +652,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """JPEG/GIF/TIFF resize still needs PIL/opencv — kept as the explicit
-    stub; PNG (round 8) and the uncompressed containers have the REAL
-    :func:`resize_images` above."""
+    """GIF/TIFF/WebP resize still needs PIL/opencv — kept as the explicit
+    stub; JPEG, PNG (both round 8) and the uncompressed containers have
+    the REAL :func:`resize_images` above."""
     raise NotImplementedError(
-        "JPEG/GIF/TIFF resize requires codecs unavailable in this "
-        "environment; PNG/BMP/PPM resize is real (resize_images)"
+        "GIF/TIFF/WebP resize requires codecs unavailable in this "
+        "environment; JPEG/PNG/BMP/PPM resize is real (resize_images)"
     )
 
 

@@ -1202,3 +1202,34 @@ def q_multimodal_png(spark, sf):
     docs = load_table(spark, sf, "documents")
     media = _binary.resize_images(_binary.synth_png_media(docs), 10, 5)
     return _binary.extract_media_features(media)
+
+
+@register(
+    "multimodal_jpeg",
+    """SELECT doc_id AS id,
+  'image/jpeg' AS media_type,
+  CAST(9 AS INTEGER) AS width,
+  CAST(6 AS INTEGER) AS height,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_jpeg(spark, sf):
+    """REAL baseline-JPEG round trip end to end (round 8: the JPEG stub
+    closed with a huffman + 8x8-DCT codec in pure numpy —
+    multimodal/jpeg.py): synthesize an actual JFIF container per
+    document (SOI/DQT/SOF0/DHT/SOS segments, entropy-coded MCUs, byte
+    stuffing), decode -> NN-resample to 9x6 -> re-encode as JPEG, then
+    decode features from the RESIZED bytes.  All-ones quant tables make
+    the constant-gray image EXACT through the lossy format (DC-only
+    blocks with integral coefficients), so the doc_id-arithmetic oracle
+    predicts every decoded value: a hash match proves TWO full JPEG
+    decodes plus the huffman/dequant/IDCT path.  Lossy behavior, 4:2:0
+    subsampling, restart markers and foreign-table decode are pinned by
+    tests/test_multimodal.py."""
+    docs = load_table(spark, sf, "documents")
+    media = _binary.resize_images(_binary.synth_jpeg_media(docs), 9, 6)
+    return _binary.extract_media_features(media)

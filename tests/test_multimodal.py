@@ -44,10 +44,10 @@ def test_partitioning_invariance(spark):
 
 
 def test_real_decoders_are_explicit_stubs(spark):
-    # round 8: decode_image's scope shrank to JPEG-and-beyond (PNG is
-    # real now) — the stub still refuses what it can't decode
+    # round 8: decode_image's scope shrank to GIF/TIFF/WebP (PNG and
+    # baseline JPEG are real now) — the stub still refuses the rest
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0...")
+        decode_image(b"GIF89a...")
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         resize_stub(docs_as_blobs(docs), 64, 64)
@@ -128,8 +128,10 @@ def test_codec_rejections():
         decode_bmp(b"XX" + b"\x00" * 64)
     with pytest.raises(ValueError, match="PPM"):
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    # round 8: image/jpeg is REAL now (multimodal/jpeg.py); the stub
+    # scope is GIF/TIFF/WebP + compressed audio/video
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+        decode_media(b"GIF89a\x00\x00", "image/gif")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
     with pytest.raises(ValueError, match="media_type"):
@@ -385,3 +387,155 @@ def test_synth_png_media_distributed_roundtrip(spark):
     for row in one:
         _, mtype, w, h, mean = row[:5]
         assert (mtype, w, h) == ("image/png", 10, 5)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round 8): huffman + DCT in numpy — multimodal/jpeg.py
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_roundtrip_exact():
+    """All-ones quant makes constant images exact through the lossy
+    format: their blocks are DC-only with integral coefficients."""
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        decode_jpeg,
+        jpeg_pixels,
+        make_jpeg,
+    )
+
+    # non-multiple-of-8 dims exercise edge padding + crop
+    assert decode_jpeg(make_jpeg(13, 7, 200)) == (13, 7, 200.0)
+    assert decode_jpeg(make_jpeg(8, 8, 0)) == (8, 8, 0.0)
+    assert decode_jpeg(make_jpeg(9, 10, 255)) == (9, 10, 255.0)
+    px = jpeg_pixels(make_jpeg(13, 7, 77))
+    assert px.shape == (7, 13, 3) and (px == 77).all()
+
+
+def test_jpeg_structure_is_valid_jfif():
+    import struct
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import make_jpeg
+
+    blob = make_jpeg(8, 8, 100)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    # walk the header segments up to SOS
+    pos, markers = 2, []
+    while True:
+        assert blob[pos] == 0xFF
+        m = blob[pos + 1]
+        markers.append(m)
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        pos += 2 + ln
+        if m == 0xDA:
+            break
+    assert markers[0] == 0xE0          # JFIF APP0
+    assert markers.count(0xDB) == 2    # two quant tables
+    assert 0xC0 in markers             # SOF0 baseline
+    assert markers.count(0xC4) == 4    # 4 huffman tables
+    assert markers[-1] == 0xDA         # SOS last
+
+
+def test_jpeg_near_lossless_and_lossy_modes():
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        STD_QUANT_LUMA,
+        encode_baseline,
+        jpeg_pixels,
+    )
+
+    arr = np.zeros((16, 24, 3), np.uint8)
+    arr[..., 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    arr[..., 1] = np.linspace(0, 255, 16, dtype=np.uint8)[:, None]
+    arr[..., 2] = 128
+    # q=1: near-lossless (DCT float rounding only)
+    out = jpeg_pixels(encode_baseline(arr))
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 3
+    # real quant tables: lossy but faithful on smooth content
+    smooth = np.zeros((32, 32, 3), np.uint8)
+    smooth[...] = np.linspace(40, 200, 32, dtype=np.uint8)[None, :, None]
+    out2 = jpeg_pixels(
+        encode_baseline(smooth, STD_QUANT_LUMA, STD_QUANT_LUMA)
+    )
+    mse = np.mean((out2.astype(float) - smooth.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 35.0
+
+
+def test_jpeg_decoder_handles_subsampling_and_restarts():
+    """Encodes our own synth path never emits: 4:2:0 chroma, restart
+    intervals, and both combined — foreign-decoder coverage without
+    external fixtures (same stance as the hand-filtered PNG rows)."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        STD_QUANT_LUMA,
+        encode_baseline,
+        jpeg_pixels,
+    )
+
+    const = np.full((10, 11, 3), 77, np.uint8)
+    assert (jpeg_pixels(encode_baseline(const, subsample=True)) == 77).all()
+
+    arr = np.zeros((16, 24, 3), np.uint8)
+    arr[..., 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    arr[..., 1] = np.linspace(0, 255, 16, dtype=np.uint8)[:, None]
+    arr[..., 2] = 128
+    out = jpeg_pixels(encode_baseline(arr, restart_interval=2))
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 3
+    smooth = np.zeros((32, 32, 3), np.uint8)
+    smooth[...] = np.linspace(40, 200, 32, dtype=np.uint8)[None, :, None]
+    out2 = jpeg_pixels(encode_baseline(
+        smooth, STD_QUANT_LUMA, STD_QUANT_LUMA,
+        subsample=True, restart_interval=1,
+    ))
+    mse = np.mean((out2.astype(float) - smooth.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 30.0
+
+
+def test_jpeg_rejections():
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        decode_baseline,
+        encode_baseline,
+        make_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_baseline(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_baseline(np.zeros((4, 4), np.uint8))
+    # progressive (SOF2) is out of scope: splice the marker
+    blob = bytearray(make_jpeg(8, 8, 10))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_baseline(bytes(blob))
+
+
+def test_synth_jpeg_media_distributed_roundtrip(spark):
+    """The multimodal_jpeg chain: real JFIF synth -> resize -> decode,
+    distributed == driver-side, partition-invariant."""
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        extract_media_features,
+        resize_images,
+        synth_jpeg_media,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import decode_jpeg
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    media = synth_jpeg_media(docs)
+    for r in media.collect():
+        w, h, mean = decode_jpeg(bytes(r.media))
+        assert (w, h) == (4 + r.id % 13, 3 + r.id % 7)
+        assert mean == float(r.id % 256)
+        assert r.media_type == "image/jpeg"
+    feats = extract_media_features(resize_images(media, 9, 6))
+    one = sorted(map(tuple, feats.collect()))
+    many = sorted(map(tuple, extract_media_features(
+        resize_images(synth_jpeg_media(docs).repartition(16), 9, 6)
+    ).collect()))
+    assert one == many
+    for row in one:
+        _, mtype, w, h, mean = row[:5]
+        assert (mtype, w, h) == ("image/jpeg", 9, 6)
