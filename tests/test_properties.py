@@ -143,3 +143,77 @@ def test_signature_prefilter_survives_prime_above_int_range(spark):
     }
     # cut = ceil((0.8 - 0.21) * 4) = 3 agreements
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (round 8): arbitrary pixel arrays through the real
+# dependency-free containers — pure numpy, no Spark session needed.
+# ---------------------------------------------------------------------------
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(0, 2**32 - 1))
+def test_png_bmp_ppm_roundtrip_lossless_property(dims, seed):
+    """PNG/BMP/PPM are lossless containers: encode->decode must be the
+    identity on ANY uint8 RGB array (dims not multiples of anything)."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        bmp_pixels,
+        pixels_to_bmp,
+        pixels_to_png,
+        pixels_to_ppm,
+        png_pixels,
+        ppm_pixels,
+    )
+
+    w, h = dims
+    arr = np.random.RandomState(seed % 2**31).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    assert (png_pixels(pixels_to_png(arr)) == arr).all()
+    assert (bmp_pixels(pixels_to_bmp(arr)) == arr).all()
+    assert (ppm_pixels(pixels_to_ppm(arr)) == arr).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(_dims, st.integers(0, 255), st.booleans())
+def test_jpeg_constant_exact_property(dims, gray, subsample):
+    """All-ones-quant JPEG is EXACT on constant images for any dims and
+    gray level, with or without 4:2:0 subsampling — the property the
+    multimodal_jpeg oracle relies on."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        encode_baseline,
+        jpeg_pixels,
+    )
+
+    w, h = dims
+    arr = np.full((h, w, 3), gray, dtype=np.uint8)
+    out = jpeg_pixels(encode_baseline(arr, subsample=subsample))
+    assert out.shape == arr.shape
+    assert (out == arr).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(_dims, st.integers(0, 2**31 - 1), st.integers(0, 3))
+def test_jpeg_q1_bounded_error_property(dims, seed, restart):
+    """q=1 baseline JPEG on ARBITRARY content: decode is within a few
+    LSBs of the source (DCT float rounding + one chroma round trip),
+    for any dims and any restart interval."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        encode_baseline,
+        jpeg_pixels,
+    )
+
+    w, h = dims
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = jpeg_pixels(encode_baseline(arr, restart_interval=restart))
+    assert out.shape == arr.shape
+    # chroma rounding through YCbCr costs up to ~2 LSB; DCT rounding ~1
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
