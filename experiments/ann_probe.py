@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""ANN / embedding-dedup scaling probe (round 8): measured numbers for
+SCALE.md §3, mirroring what §7 records for the text-dedup path.
+
+Corpus: the sf0.1 embeddings table (2 000 x 64-d) replicated R-fold with
+offset vec_ids (exact duplicates — the worst case for pair volume, like
+the text probe's near-dup replicas).  Measures, per R:
+
+  * cosine_pairs(threshold=0.95)  — the embedding near-dup operator:
+    triangle block self-join + BLAS prefilter + exact confirm.  Expected
+    pair count is predictable: base_pairs(>=0.95) x R^2 + n_base x C(R,2)
+    (every replica clique contributes all its pairs), which the probe
+    asserts — a correctness check at scales the oracle never sees.
+  * cosine_topk(k=10)             — brute-force ANN for 100 queries:
+    broadcast queries, one corpus pass.
+  * ivf_topk(k=10, probes=4)      — the IVF scale path, with recall@10
+    measured against the brute-force answer on the same corpus.
+
+    python3 experiments/ann_probe.py [R ...]      (default: 16 64)
+
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.ann import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from mapreduce_minhash_lsh_spark.session import get_spark
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+
+def _drop_all_persisted(spark) -> None:
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark.catalog.clearCache()
+
+
+def _replicated(spark, replicas: int):
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    tmp = tempfile.mkdtemp(prefix="ann_corpus_") + "/emb"
+    big.repartition(32).write.mode("overwrite").parquet(tmp)
+    return base, spark.read.parquet(tmp), tmp
+
+
+def main() -> None:
+    rs = [int(a) for a in sys.argv[1:]] or [16, 64]
+    spark = get_spark(app_name="ann-probe")
+    spark.range(1).count()
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = base.count()
+    base_pairs = cosine_pairs(base, 0.95).count()  # also warms the codegen
+    queries = base.orderBy("vec_id").limit(100)
+    cosine_topk(base, queries, k=10).count()
+    ivf_topk(base, queries, k=10, n_lists=16, n_probe=4).count()
+    _drop_all_persisted(spark)
+
+    out = {"mode": "ann_scaling", "dim": 64, "n_base": n_base,
+           "base_pairs_ge_095": base_pairs, "runs": {}}
+    for r in rs:
+        _, big, tmp = _replicated(spark, r)
+        n = big.count()
+        n_blocks = 8 if n <= 64_000 else 16
+        t0 = time.perf_counter()
+        n_pairs = cosine_pairs(big, 0.95, n_blocks=n_blocks).count()
+        t_pairs = round(time.perf_counter() - t0, 1)
+        expected = base_pairs * r * r + n_base * r * (r - 1) // 2
+        _drop_all_persisted(spark)
+
+        t0 = time.perf_counter()
+        exact = cosine_topk(big, queries, k=10)
+        exact_set = {
+            (row.query_id, row.neighbor_id) for row in exact.collect()
+        }
+        t_topk = round(time.perf_counter() - t0, 1)
+        _drop_all_persisted(spark)
+
+        t0 = time.perf_counter()
+        ivf = ivf_topk(big, queries, k=10, n_lists=16, n_probe=4)
+        ivf_set = {(row.query_id, row.neighbor_id) for row in ivf.collect()}
+        t_ivf = round(time.perf_counter() - t0, 1)
+        _drop_all_persisted(spark)
+        # recall@10 caveat: with exact duplicates, ties at cosine=1.0 are
+        # broken arbitrarily by both rankers — compare by neighbor
+        # EQUIVALENCE class (vec_id mod 1M recovers the base id).
+        exact_cls = {(q, nid % 1_000_000) for q, nid in exact_set}
+        ivf_cls = {(q, nid % 1_000_000) for q, nid in ivf_set}
+        recall = round(len(exact_cls & ivf_cls) / len(exact_cls), 3)
+
+        out["runs"][f"{r}x"] = {
+            "vectors": n,
+            "n_blocks": n_blocks,
+            "pairs_ge_095": n_pairs,
+            "pairs_expected": expected,
+            "pairs_match_expected": n_pairs == expected,
+            "cosine_pairs_sec": t_pairs,
+            "topk100_exact_sec": t_topk,
+            "topk100_ivf_sec": t_ivf,
+            "ivf_recall_at10_class": recall,
+        }
+        shutil.rmtree(str(Path(tmp).parent), ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -322,15 +322,25 @@ def _centroids(
         quant = F.transform(
             F.col("vec"), lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
         )
+        # Materialize the assignment BEFORE the posexplode (round 8):
+        # projected into the same select as the generator, the k x dim
+        # assignment expression was re-evaluated once PER EXPLODED ROW —
+        # dim x the work, interpreted — and each Lloyd round took ~47 s
+        # on a 2 000-row sample; with the barrier it is ~2 s
+        # (experiments/results_r8.json ivf_lloyd_fix).  The checkpoint
+        # is k-bounded (<= IVF_TRAIN_CAP rows of (int, dim longs)) and
+        # dropped as soon as the round's sums are collected.
+        assigned = sample.select(
+            F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
+            quant.alias("q"),
+        ).localCheckpoint(eager=True)
         rows = (
-            sample.select(
-                F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
-                F.posexplode(quant).alias("i", "q"),
-            )
+            assigned.select("cid", F.posexplode("q").alias("i", "q"))
             .groupBy("cid", "i")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        assigned.unpersist()
         sums: dict[int, dict[int, tuple[int, int]]] = {}
         for r in rows:
             sums.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
