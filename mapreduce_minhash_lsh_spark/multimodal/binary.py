@@ -26,8 +26,11 @@ Codec support is two-tier:
   ``multimodal/jpeg.py`` for the exact scope.  Constant-gray synth
   JPEGs use all-ones quant tables, making the lossy format EXACT for
   the oracle-checked round trip.
-* Residual compressed formats (GIF/TIFF/WebP images, MP4/MP3 audio-
-  video) need PIL/ffmpeg, which are NOT in this container:
+* GIF (round 8): LZW in numpy+Python — real encode (87a, <=256-color
+  palette) and decode (87a/89a, interlace, local color tables,
+  extension skip); see ``multimodal/gif.py``.
+* Residual compressed formats (TIFF/WebP images, MP4/MP3 audio-video)
+  need PIL/ffmpeg, which are NOT in this container:
   ``decode_image``/``decode_audio`` raise NotImplementedError, and
   ``fake_decode`` — a deterministic stand-in deriving "features" from
   raw bytes — keeps that plumbing testable.
@@ -59,16 +62,17 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Residual compressed-image decode (GIF/TIFF/WebP/...) — requires
+    """Residual compressed-image decode (TIFF/WebP/...) — requires
     PIL/opencv, not present in this container.  STUB, round 8: its scope
-    shrank twice this round — PNG (zlib+numpy) and baseline JPEG
-    (huffman+DCT in numpy, multimodal/jpeg.py) both have real
-    dependency-free decoders now, alongside BMP/PPM; the Spark-side
-    plumbing is identical either way."""
+    shrank three times this round — PNG (zlib+numpy), baseline JPEG
+    (huffman+DCT in numpy, multimodal/jpeg.py) and GIF (LZW in numpy,
+    multimodal/gif.py) all have real dependency-free decoders now,
+    alongside BMP/PPM; the Spark-side plumbing is identical either
+    way."""
     raise NotImplementedError(
-        "GIF/TIFF/WebP codecs unavailable in this environment; "
-        "JPEG/PNG/BMP/PPM have real decoders "
-        "(decode_jpeg/decode_png/decode_bmp/decode_ppm)"
+        "TIFF/WebP codecs unavailable in this environment; "
+        "JPEG/PNG/GIF/BMP/PPM have real decoders "
+        "(decode_jpeg/decode_png/decode_gif/decode_bmp/decode_ppm)"
     )
 
 
@@ -511,6 +515,25 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL GIF87a container
+    bytes (multimodal/gif.py), built distributed.  Same doc_id-arithmetic
+    dimensions/gray as the other image synth paths; GIF is lossless on
+    indexed content, so the round trip is exact."""
+    from mapreduce_minhash_lsh_spark.multimodal.gif import make_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = make_gif(4 + did % 13, 3 + did % 7, did % 256)
+                rows.append((did, blob, "image/gif"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL baseline-JFIF
     container bytes (multimodal/jpeg.py), built distributed.  Same
@@ -576,6 +599,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
 
         w, h, mean = decode_jpeg(blob)
         return (w, h, mean, None, None, None, None)
+    if media_type == "image/gif":
+        from mapreduce_minhash_lsh_spark.multimodal.gif import decode_gif
+
+        w, h, mean = decode_gif(blob)
+        return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
     if media_type.startswith(("audio/", "video/")):
@@ -634,6 +662,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return encode_baseline(
                 resize_pixels(jpeg_pixels(blob), width, height)
             )
+        if mtype == "image/gif":
+            from mapreduce_minhash_lsh_spark.multimodal.gif import (
+                encode_gif87a,
+                gif_pixels,
+            )
+
+            # NN resample draws only source pixels, so the resized
+            # image's palette is a subset of the original's (<= 256)
+            return encode_gif87a(
+                resize_pixels(gif_pixels(blob), width, height)
+            )
         if mtype.startswith("image/"):
             return decode_image(blob)  # pragma: no cover - raises
         return blob
@@ -652,12 +691,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """GIF/TIFF/WebP resize still needs PIL/opencv — kept as the explicit
-    stub; JPEG, PNG (both round 8) and the uncompressed containers have
-    the REAL :func:`resize_images` above."""
+    """TIFF/WebP resize still needs PIL/opencv — kept as the explicit
+    stub; JPEG, PNG, GIF (all round 8) and the uncompressed containers
+    have the REAL :func:`resize_images` above."""
     raise NotImplementedError(
-        "GIF/TIFF/WebP resize requires codecs unavailable in this "
-        "environment; JPEG/PNG/BMP/PPM resize is real (resize_images)"
+        "TIFF/WebP resize requires codecs unavailable in this "
+        "environment; JPEG/PNG/GIF/BMP/PPM resize is real (resize_images)"
     )
 
 

@@ -1233,3 +1233,31 @@ def q_multimodal_jpeg(spark, sf):
     docs = load_table(spark, sf, "documents")
     media = _binary.resize_images(_binary.synth_jpeg_media(docs), 9, 6)
     return _binary.extract_media_features(media)
+
+
+@register(
+    "multimodal_gif",
+    """SELECT doc_id AS id,
+  'image/gif' AS media_type,
+  CAST(7 AS INTEGER) AS width,
+  CAST(4 AS INTEGER) AS height,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_gif(spark, sf):
+    """REAL GIF round trip end to end (round 8: the GIF stub closed with
+    an LZW codec in numpy+Python — multimodal/gif.py): synthesize an
+    actual GIF87a container per document (global color table,
+    variable-width LZW with dictionary resets, sub-block framing),
+    decode -> NN-resample to 7x4 -> re-encode as GIF, then decode
+    features from the RESIZED bytes.  GIF is lossless on indexed
+    content, so the doc_id-arithmetic oracle predicts every decoded
+    value exactly.  Interlace, 89a extensions, multi-palette images and
+    the 256-color limit are pinned by tests/test_multimodal.py."""
+    docs = load_table(spark, sf, "documents")
+    media = _binary.resize_images(_binary.synth_gif_media(docs), 7, 4)
+    return _binary.extract_media_features(media)

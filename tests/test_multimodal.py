@@ -44,10 +44,10 @@ def test_partitioning_invariance(spark):
 
 
 def test_real_decoders_are_explicit_stubs(spark):
-    # round 8: decode_image's scope shrank to GIF/TIFF/WebP (PNG and
-    # baseline JPEG are real now) — the stub still refuses the rest
+    # round 8: decode_image's scope shrank to TIFF/WebP (PNG, baseline
+    # JPEG and GIF are real now) — the stub still refuses the rest
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a...")
+        decode_image(b"II*\x00...")  # TIFF magic
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         resize_stub(docs_as_blobs(docs), 64, 64)
@@ -128,10 +128,10 @@ def test_codec_rejections():
         decode_bmp(b"XX" + b"\x00" * 64)
     with pytest.raises(ValueError, match="PPM"):
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
-    # round 8: image/jpeg is REAL now (multimodal/jpeg.py); the stub
-    # scope is GIF/TIFF/WebP + compressed audio/video
+    # round 8: image/jpeg and image/gif are REAL now (multimodal/jpeg.py,
+    # multimodal/gif.py); the stub scope is TIFF/WebP + compressed a/v
     with pytest.raises(NotImplementedError):
-        decode_media(b"GIF89a\x00\x00", "image/gif")
+        decode_media(b"II*\x00" + b"\x00" * 16, "image/tiff")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
     with pytest.raises(ValueError, match="media_type"):
@@ -539,3 +539,108 @@ def test_synth_jpeg_media_distributed_roundtrip(spark):
     for row in one:
         _, mtype, w, h, mean = row[:5]
         assert (mtype, w, h) == ("image/jpeg", 9, 6)
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 8): LZW codec — multimodal/gif.py
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless on indexed content: constant fills and any
+    <=256-color image round-trip exactly, including a palette-heavy
+    image large enough to cross LZW code-width boundaries and force
+    dictionary resets."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif87a,
+        gif_pixels,
+        make_gif,
+    )
+
+    assert decode_gif(make_gif(13, 7, 200)) == (13, 7, 200.0)
+    assert decode_gif(make_gif(1, 1, 0)) == (1, 1, 0.0)
+    rng = np.random.RandomState(1)
+    pal16 = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    arr = pal16[rng.randint(0, 16, (20, 30))]
+    assert (gif_pixels(encode_gif87a(arr)) == arr).all()
+    pal256 = np.array(
+        [[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8
+    )
+    big = pal256[rng.randint(0, 256, (100, 120))]
+    assert (gif_pixels(encode_gif87a(big)) == big).all()
+
+
+def test_gif_decoder_interlace_extensions_and_89a():
+    """Decoder-only surfaces our plain encoder never exercises by
+    default: interlaced row order, GIF89a signature, and extension
+    blocks (graphic control) between the header and the image."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif87a,
+        gif_pixels,
+        make_gif,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = np.array(
+        [[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8
+    )
+    arr = pal[rng.randint(0, 256, (37, 11))]
+    assert (gif_pixels(encode_gif87a(arr, interlace=True)) == arr).all()
+
+    blob = bytearray(make_gif(5, 4, 9))
+    blob[:6] = b"GIF89a"
+    idx = bytes(blob).index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    assert decode_gif(bytes(blob[:idx]) + gce + bytes(blob[idx:])) == (5, 4, 9.0)
+
+
+def test_gif_rejections():
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.gif import (
+        encode_gif87a,
+        gif_pixels,
+    )
+
+    with pytest.raises(ValueError, match="GIF"):
+        gif_pixels(b"BM" + b"\x00" * 16)
+    colors = np.array(
+        [(i // 256, i % 256, 0) for i in range(300)], dtype=np.uint8
+    )
+    arr = colors[np.arange(300) % 300].reshape(20, 15, 3)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif87a(arr)
+
+
+def test_synth_gif_media_distributed_roundtrip(spark):
+    """The multimodal_gif chain: real GIF synth -> resize -> decode,
+    distributed == driver-side, partition-invariant."""
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        extract_media_features,
+        resize_images,
+        synth_gif_media,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.gif import decode_gif
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    media = synth_gif_media(docs)
+    for r in media.collect():
+        w, h, mean = decode_gif(bytes(r.media))
+        assert (w, h) == (4 + r.id % 13, 3 + r.id % 7)
+        assert mean == float(r.id % 256)
+        assert r.media_type == "image/gif"
+    feats = extract_media_features(resize_images(media, 7, 4))
+    one = sorted(map(tuple, feats.collect()))
+    many = sorted(map(tuple, extract_media_features(
+        resize_images(synth_gif_media(docs).repartition(16), 7, 4)
+    ).collect()))
+    assert one == many
+    for row in one:
+        _, mtype, w, h, mean = row[:5]
+        assert (mtype, w, h) == ("image/gif", 7, 4)
