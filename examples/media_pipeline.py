@@ -3,13 +3,14 @@
 
 The multimodal half of the training-data story: media arrive as opaque
 ``binary`` columns with typed metadata, and every transform is an
-Arrow-batched ``mapInPandas`` over real container bytes — the five
+Arrow-batched ``mapInPandas`` over real container bytes — the six
 dependency-free codecs this repo ships (WAV via stdlib ``wave``; BMP and
 binary PPM via struct+numpy; PNG via zlib + scanline unfiltering;
-baseline JPEG via huffman + 8x8 DCT in numpy; GIF via LZW):
+baseline JPEG via huffman + 8x8 DCT in numpy; GIF via LZW; uncompressed
+TIFF via IFD walk):
 
   1. synthesize a mixed-format media relation (WAV/BMP/PPM) plus PNG,
-     JPEG and GIF relations, one real container per document,
+     JPEG, GIF and TIFF relations, one real container per document,
   2. normalize every image to a fixed thumbnail size — decode →
      NN-resample → re-encode INTO ITS OWN FORMAT (audio passes through),
   3. extract typed features from the resized bytes (width/height/mean
@@ -42,6 +43,7 @@ from mapreduce_minhash_lsh_spark.multimodal.binary import (
     synth_jpeg_media,
     synth_media,
     synth_png_media,
+    synth_tiff_media,
 )
 from mapreduce_minhash_lsh_spark.session import get_spark
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
@@ -62,6 +64,9 @@ def run(spark, sf_dir: str):
         )
         .unionByName(
             synth_gif_media(docs).withColumn("id", F.col("id") + 30_000_000)
+        )
+        .unionByName(
+            synth_tiff_media(docs).withColumn("id", F.col("id") + 40_000_000)
         )
     )
 

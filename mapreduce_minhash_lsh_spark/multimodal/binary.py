@@ -29,8 +29,11 @@ Codec support is two-tier:
 * GIF (round 8): LZW in numpy+Python — real encode (87a, <=256-color
   palette) and decode (87a/89a, interlace, local color tables,
   extension skip); see ``multimodal/gif.py``.
-* Residual compressed formats (TIFF/WebP images, MP4/MP3 audio-video)
-  need PIL/ffmpeg, which are NOT in this container:
+* Uncompressed TIFF (round 8): IFD walk in struct+numpy, both byte
+  orders, gray/RGB, any strip layout; see ``multimodal/tiff.py``.
+* Residual compressed formats (WebP/HEIC/compressed-TIFF images,
+  MP4/MP3 audio-video) need PIL/ffmpeg, which are NOT in this
+  container:
   ``decode_image``/``decode_audio`` raise NotImplementedError, and
   ``fake_decode`` — a deterministic stand-in deriving "features" from
   raw bytes — keeps that plumbing testable.
@@ -62,17 +65,19 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Residual compressed-image decode (TIFF/WebP/...) — requires
-    PIL/opencv, not present in this container.  STUB, round 8: its scope
-    shrank three times this round — PNG (zlib+numpy), baseline JPEG
-    (huffman+DCT in numpy, multimodal/jpeg.py) and GIF (LZW in numpy,
-    multimodal/gif.py) all have real dependency-free decoders now,
-    alongside BMP/PPM; the Spark-side plumbing is identical either
-    way."""
+    """Residual compressed-image decode (WebP, compressed/tiled TIFF
+    variants, HEIC, ...) — requires PIL/opencv, not present in this
+    container.  STUB, round 8: its scope shrank four times this round —
+    PNG (zlib+numpy), baseline JPEG (huffman+DCT in numpy,
+    multimodal/jpeg.py), GIF (LZW, multimodal/gif.py) and uncompressed
+    TIFF (IFD walk, multimodal/tiff.py) all have real dependency-free
+    decoders now, alongside BMP/PPM; the Spark-side plumbing is
+    identical either way."""
     raise NotImplementedError(
-        "TIFF/WebP codecs unavailable in this environment; "
-        "JPEG/PNG/GIF/BMP/PPM have real decoders "
-        "(decode_jpeg/decode_png/decode_gif/decode_bmp/decode_ppm)"
+        "WebP/HEIC/compressed-TIFF codecs unavailable in this "
+        "environment; JPEG/PNG/GIF/TIFF/BMP/PPM have real decoders "
+        "(decode_jpeg/decode_png/decode_gif/decode_tiff/decode_bmp/"
+        "decode_ppm)"
     )
 
 
@@ -515,6 +520,25 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_tiff_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL uncompressed-TIFF
+    container bytes (multimodal/tiff.py), built distributed.  Same
+    doc_id-arithmetic dimensions/gray as the other image synth paths;
+    TIFF is lossless, so the round trip is exact."""
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import make_tiff
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = make_tiff(4 + did % 13, 3 + did % 7, did % 256)
+                rows.append((did, blob, "image/tiff"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_gif_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL GIF87a container
     bytes (multimodal/gif.py), built distributed.  Same doc_id-arithmetic
@@ -604,6 +628,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
 
         w, h, mean = decode_gif(blob)
         return (w, h, mean, None, None, None, None)
+    if media_type == "image/tiff":
+        from mapreduce_minhash_lsh_spark.multimodal.tiff import decode_tiff
+
+        w, h, mean = decode_tiff(blob)
+        return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
     if media_type.startswith(("audio/", "video/")):
@@ -673,6 +702,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return encode_gif87a(
                 resize_pixels(gif_pixels(blob), width, height)
             )
+        if mtype == "image/tiff":
+            from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+                encode_tiff,
+                tiff_pixels,
+            )
+
+            return encode_tiff(
+                resize_pixels(tiff_pixels(blob), width, height)
+            )
         if mtype.startswith("image/"):
             return decode_image(blob)  # pragma: no cover - raises
         return blob
@@ -691,12 +729,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """TIFF/WebP resize still needs PIL/opencv — kept as the explicit
-    stub; JPEG, PNG, GIF (all round 8) and the uncompressed containers
-    have the REAL :func:`resize_images` above."""
+    """WebP/HEIC/compressed-TIFF resize still needs PIL/opencv — kept as
+    the explicit stub; JPEG, PNG, GIF, uncompressed TIFF (all round 8)
+    and the uncompressed containers have the REAL :func:`resize_images`
+    above."""
     raise NotImplementedError(
-        "TIFF/WebP resize requires codecs unavailable in this "
-        "environment; JPEG/PNG/GIF/BMP/PPM resize is real (resize_images)"
+        "WebP/HEIC/compressed-TIFF resize requires codecs unavailable in "
+        "this environment; JPEG/PNG/GIF/TIFF/BMP/PPM resize is real "
+        "(resize_images)"
     )
 
 

@@ -1261,3 +1261,31 @@ def q_multimodal_gif(spark, sf):
     docs = load_table(spark, sf, "documents")
     media = _binary.resize_images(_binary.synth_gif_media(docs), 7, 4)
     return _binary.extract_media_features(media)
+
+
+@register(
+    "multimodal_tiff",
+    """SELECT doc_id AS id,
+  'image/tiff' AS media_type,
+  CAST(6 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_tiff(spark, sf):
+    """REAL TIFF round trip end to end (round 8: the last simply-
+    implementable image stub closed — multimodal/tiff.py walks the IFD
+    tag table with stdlib struct): synthesize an actual uncompressed
+    TIFF per document (II header, 9-tag IFD, single strip), decode ->
+    NN-resample to 6x8 -> re-encode as TIFF, then decode features from
+    the RESIZED bytes.  Lossless, so the doc_id-arithmetic oracle
+    predicts every decoded value exactly.  Big-endian (MM), grayscale,
+    multi-strip and compression rejections are pinned by
+    tests/test_multimodal.py."""
+    docs = load_table(spark, sf, "documents")
+    media = _binary.resize_images(_binary.synth_tiff_media(docs), 6, 8)
+    return _binary.extract_media_features(media)

@@ -44,10 +44,10 @@ def test_partitioning_invariance(spark):
 
 
 def test_real_decoders_are_explicit_stubs(spark):
-    # round 8: decode_image's scope shrank to TIFF/WebP (PNG, baseline
-    # JPEG and GIF are real now) — the stub still refuses the rest
+    # round 8: decode_image's scope shrank to WebP/HEIC/compressed-TIFF
+    # (PNG, baseline JPEG, GIF and uncompressed TIFF are real now)
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00...")  # TIFF magic
+        decode_image(b"RIFF....WEBP")  # WebP magic
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         resize_stub(docs_as_blobs(docs), 64, 64)
@@ -128,10 +128,10 @@ def test_codec_rejections():
         decode_bmp(b"XX" + b"\x00" * 64)
     with pytest.raises(ValueError, match="PPM"):
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
-    # round 8: image/jpeg and image/gif are REAL now (multimodal/jpeg.py,
-    # multimodal/gif.py); the stub scope is TIFF/WebP + compressed a/v
+    # round 8: jpeg/gif/tiff are REAL now (multimodal/{jpeg,gif,tiff}.py);
+    # the stub scope is WebP/HEIC/compressed-TIFF + compressed a/v
     with pytest.raises(NotImplementedError):
-        decode_media(b"II*\x00" + b"\x00" * 16, "image/tiff")
+        decode_media(b"RIFF....WEBP", "image/webp")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
     with pytest.raises(ValueError, match="media_type"):
@@ -644,3 +644,117 @@ def test_synth_gif_media_distributed_roundtrip(spark):
     for row in one:
         _, mtype, w, h, mean = row[:5]
         assert (mtype, w, h) == ("image/gif", 7, 4)
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed TIFF (round 8): IFD walk — multimodal/tiff.py
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_exact():
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+        decode_tiff,
+        encode_tiff,
+        make_tiff,
+        tiff_pixels,
+    )
+
+    assert decode_tiff(make_tiff(13, 7, 200)) == (13, 7, 200.0)
+    assert decode_tiff(make_tiff(1, 1, 0)) == (1, 1, 0.0)
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert (tiff_pixels(encode_tiff(arr)) == arr).all()
+
+
+def test_tiff_decoder_foreign_layouts():
+    """Decoder-only surfaces our minimal encoder never emits: big-endian
+    (MM) byte order, grayscale photometric, and a multi-strip layout
+    with out-of-line offset/count arrays."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import tiff_pixels
+
+    rng = np.random.RandomState(3)
+    h, w = 6, 5
+    gray = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    strips = [gray[:3].tobytes(), gray[3:].tobytes()]
+    off0 = 8
+    off1 = off0 + len(strips[0])
+    ifd = off1 + len(strips[1])
+    pad = b""
+    if ifd % 2:
+        pad = b"\x00"
+        ifd += 1
+
+    def ltag(tid, count, val):
+        return struct.pack(">HHII", tid, 4, count, val)
+
+    def stag(tid, val):  # inline SHORT values are left-justified
+        return struct.pack(">HHIHH", tid, 3, 1, val, 0)
+
+    n_tags = 9
+    so_off = ifd + 2 + n_tags * 12 + 4
+    sc_off = so_off + 8
+    tags = b"".join([
+        ltag(256, 1, w), ltag(257, 1, h), stag(258, 8), stag(259, 1),
+        stag(262, 1), ltag(273, 2, so_off), stag(277, 1), ltag(278, 1, 3),
+        ltag(279, 2, sc_off),
+    ])
+    blob = (
+        struct.pack(">2sHI", b"MM", 42, ifd) + strips[0] + strips[1] + pad
+        + struct.pack(">H", n_tags) + tags + struct.pack(">I", 0)
+        + struct.pack(">II", off0, off1) + struct.pack(">II", 15, 15)
+    )
+    px = tiff_pixels(blob)
+    assert px.shape == (6, 5, 3)
+    assert (px[:, :, 0] == gray).all() and (px[:, :, 2] == gray).all()
+
+
+def test_tiff_rejections():
+    import struct
+
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+        make_tiff,
+        tiff_pixels,
+    )
+
+    with pytest.raises(ValueError, match="TIFF"):
+        tiff_pixels(b"GIF89a" + b"\x00" * 16)
+    # compressed TIFF is out of scope: flip the Compression tag
+    blob = bytearray(make_tiff(4, 3, 5))
+    i = bytes(blob).find(struct.pack("<HH", 259, 3))
+    blob[i + 8 : i + 10] = struct.pack("<H", 5)  # 5 = LZW
+    with pytest.raises(ValueError, match="Compression"):
+        tiff_pixels(bytes(blob))
+
+
+def test_synth_tiff_media_distributed_roundtrip(spark):
+    """The multimodal_tiff chain: real TIFF synth -> resize -> decode,
+    distributed == driver-side, partition-invariant."""
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        extract_media_features,
+        resize_images,
+        synth_tiff_media,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import decode_tiff
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    media = synth_tiff_media(docs)
+    for r in media.collect():
+        w, h, mean = decode_tiff(bytes(r.media))
+        assert (w, h) == (4 + r.id % 13, 3 + r.id % 7)
+        assert mean == float(r.id % 256)
+        assert r.media_type == "image/tiff"
+    feats = extract_media_features(resize_images(media, 6, 8))
+    one = sorted(map(tuple, feats.collect()))
+    many = sorted(map(tuple, extract_media_features(
+        resize_images(synth_tiff_media(docs).repartition(16), 6, 8)
+    ).collect()))
+    assert one == many
+    for row in one:
+        _, mtype, w, h, mean = row[:5]
+        assert (mtype, w, h) == ("image/tiff", 6, 8)
