@@ -758,3 +758,50 @@ def test_synth_tiff_media_distributed_roundtrip(spark):
     for row in one:
         _, mtype, w, h, mean = row[:5]
         assert (mtype, w, h) == ("image/tiff", 6, 8)
+
+
+def test_cross_codec_pixel_agreement():
+    """One pixel array through EVERY container: the five lossless
+    codecs (PNG/BMP/PPM/TIFF/GIF) must decode bit-identically, and q=1
+    JPEG within its DCT-rounding envelope — cross-validating five
+    independent decoder implementations against each other, not just
+    each against its own encoder."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.binary import (
+        bmp_pixels,
+        pixels_to_bmp,
+        pixels_to_png,
+        pixels_to_ppm,
+        png_pixels,
+        ppm_pixels,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.gif import (
+        encode_gif87a,
+        gif_pixels,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.jpeg import (
+        encode_baseline,
+        jpeg_pixels,
+    )
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+        encode_tiff,
+        tiff_pixels,
+    )
+
+    rng = np.random.RandomState(8)
+    pal = rng.randint(0, 256, (64, 3), dtype=np.uint8)  # <=256 colors for GIF
+    arr = pal[rng.randint(0, 64, (21, 13))]
+    decoded = {
+        "png": png_pixels(pixels_to_png(arr)),
+        "bmp": bmp_pixels(pixels_to_bmp(arr)),
+        "ppm": ppm_pixels(pixels_to_ppm(arr)),
+        "tiff": tiff_pixels(encode_tiff(arr)),
+        "gif": gif_pixels(encode_gif87a(arr)),
+    }
+    for name, px in decoded.items():
+        assert px.shape == arr.shape, name
+        assert (px == arr).all(), f"{name} disagrees with source"
+    jpg = jpeg_pixels(encode_baseline(arr))
+    assert jpg.shape == arr.shape
+    assert np.abs(jpg.astype(int) - arr.astype(int)).max() <= 4
