@@ -80,6 +80,32 @@ def register(name: str, sql: str | None = None):
 # embeddings_profile / the extra TPC-H shapes — is covered only by the
 # in-repo parity sweep, not the driver board.  Never rename or drop an
 # entry: aliases only.
+#
+# ROTATION SCHEDULE (VERDICT r8 #1: drain the never-driver-checked
+# backlog at ~10 swaps/round; every retiree is already driver-green in a
+# prior round, stays registered, and stays sweep-green):
+#   r9 (done below): +multimodal_{png,jpeg,gif,tiff}, +containment_pairs,
+#      +q9_profit_by_nation_year, +q21_sole_blame_suppliers,
+#      +near_dup_drop_best_quality, +document_chunks,
+#      +events_retention_cohorts; backlog 52 -> 42.
+#   r10: the never-checked TPC-H block (q4, q7, q8, q12, q13, q14, q15,
+#      q17, q19, q22), retiring r9-green TPC-H + window redundants;
+#      backlog -> 32.
+#   r11: analytics/events block (events_session_window, events_sliding_
+#      windows, events_trailing_hour_stats, events_debounce, concurrent_
+#      sessions, user_lifetime_profile, user_first_last_event, events_
+#      hourly_anomalies, customer_rfm_segments, customer_balance_ranks);
+#      backlog -> 22.
+#   r12: sampling/scoring block (stratified_sample, quality_weighted_
+#      sample, lang_rebalanced_sample, repetition_scores, benchmark_
+#      contamination, distinctive_terms, token_length_histogram,
+#      embeddings_profile, quantity_quantiles_approx, vocab_coverage);
+#      backlog -> 12.
+#   r13: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
+#      packed_sequences_greedy, purchases_with_next_view, quantity_price_
+#      correlation, edit_distance_pairs, quantity_grouping_sets,
+#      cheapest_supplier_per_part, partkeys_both_years, oph_signatures,
+#      embedding_dedup_drop_ids, near_dup_group_sizes); backlog -> 0.
 _PRIORITY: list[str] = [
     # Flagship MinHash+LSH chain (SURVEY §2 S/P/A/J/F components)
     # (round 8 rotation, VERDICT r7 #3: minhash_signatures moved past the
@@ -96,20 +122,25 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
-    "q10_returned_revenue",
-    "q18_large_orders",
+    # Round-9 rotation (VERDICT r8 #1): q10_returned_revenue and
+    # q18_large_orders retired (TPC-H family septuply covered); their
+    # slots go to the never-checked benched headliners below.
+    "q9_profit_by_nation_year",
+    "q21_sole_blame_suppliers",
     "orders_above_customer_avg",
     # Window / analytic
     # (round 8 rotation: events_moving_avg retired — the window-function
     # family stays quadruply covered by the four rows below + sessionize.)
     "window_top_orders_per_customer",
     "events_sessionize",
-    "events_funnel",
+    # (round 9: events_funnel and events_json_extract retired — the
+    # events family keeps sessionize + retention cohorts + streaming;
+    # both retirees stay registered and sweep-green)
+    "events_retention_cohorts",
     "rollup_quantity",
     # Events / streaming / semi-structured (round 8: streaming_hourly_users
     # retired — the HLL/streaming-agg family keeps streaming_events_hourly;
     # the retiree stays registered and sweep-green)
-    "events_json_extract",
     "streaming_events_hourly",
     # Stream-stream interval join
     "streaming_view_clicks",
@@ -122,17 +153,19 @@ _PRIORITY: list[str] = [
     # driver-board coverage via streaming_hourly_users and stays
     # oracle-checked past the window)
     "similar_groups",
-    # Text analysis
+    # Text analysis (round 9: quality_scores and frequent_tokens retired
+    # — three text reps remain; document_chunks promoted: the LLM
+    # training-data chunking operator, never driver-checked before)
     "text_stats",
     "lang_id",
     "doc_fingerprint",
-    "quality_scores",
-    "frequent_tokens",
-    # Dedup family
+    "document_chunks",
+    # Dedup family (round 9: dedup_drop_ids and near_dup_drop_ids retired
+    # — exact dedup keeps dedup_by_lang_source, near-dup-drop keeps the
+    # promoted quality-aware variant near_dup_drop_best_quality)
     "dedup_by_lang_source",
-    "dedup_drop_ids",
     "near_dup_groups",
-    "near_dup_drop_ids",
+    "near_dup_drop_best_quality",
     "cross_corpus_near_dups",
     # Sequence packing (ngram_jaccard_sample is a sample-bounded
     # measurement tool; it stays oracle-checked past the window)
@@ -163,22 +196,32 @@ _PRIORITY: list[str] = [
     # Round-8 promotion (VERDICT r7 #3): the benched word-bigram flagship
     # variant, never driver-checked before this round.
     "word_similar_pairs",
-    # ANN / embeddings
+    # ANN / embeddings (round 9: embeddings_rp_project retired — the ANN
+    # family keeps ann_topk + embedding_near_dup; the promoted slot goes
+    # to the benched-never-checked containment headliner)
     "ann_topk",
     "embedding_near_dup",
-    "embeddings_rp_project",
-    # Sampling / splits / PII / profiling
+    "containment_pairs",
+    # Sampling / splits / PII / profiling (round 9: documents_profile
+    # retired — profiling redundantly covered; slot to a codec row)
     "documents_hash_sample",
     "train_valid_test_split",
     "redact_pii",
-    "documents_profile",
     # As-of / range joins
     "purchases_with_last_view",
     "parts_price_bands",
     # Multimodal plumbing (round 8: + the full decode→NN-resample→
-    # re-encode chain, VERDICT r7 #3)
+    # re-encode chain, VERDICT r7 #3).  Round 9 promotion (VERDICT r8
+    # #1): the four real-codec rows — PNG (zlib + scanline filters),
+    # baseline JPEG (huffman + DCT), GIF (LZW), TIFF (IFD walk, and as
+    # of r9 LZW/PackBits strips) — each decodes real bytes and
+    # hash-checks pixels against the DuckDB-stored expected values.
     "multimodal_features",
     "multimodal_resize",
+    "multimodal_png",
+    "multimodal_jpeg",
+    "multimodal_gif",
+    "multimodal_tiff",
 ]
 
 
