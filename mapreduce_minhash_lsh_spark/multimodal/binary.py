@@ -362,8 +362,15 @@ def png_pixels(blob: bytes) -> np.ndarray:
             break
     if width < 0:
         raise ValueError("PNG missing IHDR chunk")
+    if not idat:
+        raise ValueError("PNG missing IDAT chunk")
     stride = width * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the module-wide corrupt-input contract: always ValueError
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != height * (1 + stride):
         raise ValueError(
             f"PNG payload size mismatch: {raw.size} != {height * (1 + stride)}"

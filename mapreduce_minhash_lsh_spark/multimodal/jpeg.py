@@ -545,6 +545,35 @@ def decode_baseline(blob: bytes) -> np.ndarray:
     }
     preds = {c["id"]: 0 for c in comps}
     rdr = _BitReader(blob, pos)
+    try:
+        _decode_mcus(rdr, my, mx, dri, comps, huff, quant, planes, preds)
+    except (_MarkerHit, IndexError) as exc:
+        # module error contract: out-of-scope / corrupt input is always
+        # ValueError — an unexpected marker mid-MCU or a truncated
+        # entropy stream must not surface internal exception types
+        # (ADVICE r8).
+        raise ValueError(
+            "corrupt JPEG: unexpected marker or truncated entropy stream"
+        ) from exc
+
+    h, w = frame["h"], frame["w"]
+    up = {}
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(p, max_v // c["v"], axis=0)
+        p = np.repeat(p, max_h // c["h"], axis=1)
+        up[c["id"]] = p[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(np.round(up[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in comps]
+    return _ycbcr_to_rgb(up[ids[0]], up[ids[1]], up[ids[2]])
+
+
+def _decode_mcus(rdr, my, mx, dri, comps, huff, quant, planes, preds):
+    """Entropy-decode every MCU into ``planes`` (helper of
+    decode_baseline; raises _MarkerHit/IndexError on malformed streams —
+    the caller converts to the ValueError contract)."""
     n_mcu = 0
     for yi in range(my):
         for xi in range(mx):
@@ -583,19 +612,6 @@ def decode_baseline(blob: bytes) -> np.ndarray:
                         c0 = (xi * c["h"] + bx) * 8
                         planes[c["id"]][r0 : r0 + 8, c0 : c0 + 8] = block
             n_mcu += 1
-
-    h, w = frame["h"], frame["w"]
-    up = {}
-    for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(p, max_v // c["v"], axis=0)
-        p = np.repeat(p, max_h // c["h"], axis=1)
-        up[c["id"]] = p[:h, :w]
-    if len(comps) == 1:
-        y = np.clip(np.round(up[comps[0]["id"]]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    ids = [c["id"] for c in comps]
-    return _ycbcr_to_rgb(up[ids[0]], up[ids[1]], up[ids[2]])
 
 
 def jpeg_pixels(blob: bytes) -> np.ndarray:

@@ -310,51 +310,62 @@ def _centroids(
     arithmetic plus IEEE ops every engine rounds identically."""
     from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
 
+    # persist (NOT localCheckpoint) both bounded intermediates: a
+    # localCheckpoint'd DataFrame's blocks sit on the RDD itself, so
+    # Dataset.unpersist() is a no-op for them and release waits on
+    # driver GC + ContextCleaner (ADVICE r8) — with persist, the
+    # explicit unpersist below frees the blocks deterministically, so
+    # repeated ivf_topk calls on a long-lived cluster session don't
+    # accumulate dead sample/assignment blocks.
     sample = (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .orderBy("vec_id")
         .limit(IVF_TRAIN_CAP)
-        .localCheckpoint(eager=True)  # reused once per Lloyd round
+        .persist()  # reused once per Lloyd round
     )
     seeds = sample.orderBy("vec_id").limit(k).collect()
     cents = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        quant = F.transform(
-            F.col("vec"), lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
-        )
-        # Materialize the assignment BEFORE the posexplode (round 8):
-        # projected into the same select as the generator, the k x dim
-        # assignment expression was re-evaluated once PER EXPLODED ROW —
-        # dim x the work, interpreted — and each Lloyd round took ~47 s
-        # on a 2 000-row sample; with the barrier it is ~2 s
-        # (experiments/results_r8.json ivf_lloyd_fix).  The checkpoint
-        # is k-bounded (<= IVF_TRAIN_CAP rows of (int, dim longs)) and
-        # dropped as soon as the round's sums are collected.
-        assigned = sample.select(
-            F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
-            quant.alias("q"),
-        ).localCheckpoint(eager=True)
-        rows = (
-            assigned.select("cid", F.posexplode("q").alias("i", "q"))
-            .groupBy("cid", "i")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        assigned.unpersist()
-        sums: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in rows:
-            sums.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
-        cents = [
-            (
-                cid,
-                [
-                    # (double(s) / 1e12) / double(n) — same op order as the oracle
-                    (dims[i][0] / SCALE) / float(dims[i][1]) for i in range(len(prev))
-                ]
-                if (dims := sums.get(cid)) else prev,
+    try:
+        for _ in range(iters):
+            quant = F.transform(
+                F.col("vec"), lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
             )
-            for cid, prev in cents
-        ]
+            # Materialize the assignment BEFORE the posexplode (round 8):
+            # projected into the same select as the generator, the k x dim
+            # assignment expression was re-evaluated once PER EXPLODED ROW —
+            # dim x the work, interpreted — and each Lloyd round took ~47 s
+            # on a 2 000-row sample; with the barrier it is ~2 s
+            # (experiments/results_r8.json ivf_lloyd_fix).  The cache is
+            # k-bounded (<= IVF_TRAIN_CAP rows of (int, dim longs)); the
+            # cache build evaluates the full projection once, so the
+            # InMemoryRelation is the same barrier the checkpoint was.
+            assigned = sample.select(
+                F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
+                quant.alias("q"),
+            ).persist()
+            rows = (
+                assigned.select("cid", F.posexplode("q").alias("i", "q"))
+                .groupBy("cid", "i")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            assigned.unpersist()
+            sums: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in rows:
+                sums.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
+            cents = [
+                (
+                    cid,
+                    [
+                        # (double(s) / 1e12) / double(n) — same op order as the oracle
+                        (dims[i][0] / SCALE) / float(dims[i][1]) for i in range(len(prev))
+                    ]
+                    if (dims := sums.get(cid)) else prev,
+                )
+                for cid, prev in cents
+            ]
+    finally:
+        sample.unpersist()  # deterministic release (VERDICT r8 nit)
     return cents
 
 

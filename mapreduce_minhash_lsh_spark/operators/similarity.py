@@ -64,7 +64,21 @@ def _reset_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, df.sparkSession)
-    except Exception:  # pragma: no cover - API-drift safety net
+    except Exception as exc:  # pragma: no cover - API-drift safety net
+        # A silent fallback would quietly restore the exponential-stats
+        # pathology this function exists to prevent (40+ min driver
+        # stalls at the 160x probe) — make the one log line that
+        # diagnoses it loud.  (VERDICT r8: warn, don't just swallow.)
+        import warnings
+
+        warnings.warn(
+            "internalCreateDataFrame unavailable "
+            f"({type(exc).__name__}: {exc}); carried plan statistics NOT "
+            "reset — iterative operators (similar_groups, near_dup_*) may "
+            "hit exponential sizeInBytes growth on large inputs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return df
 
 

@@ -20,6 +20,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _xxhashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType at analysis time (maps have no canonical
+    element order); arrays/structs are hashable iff their elements are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def salted_join(
@@ -32,19 +45,26 @@ def salted_join(
     """Equi-join robust to hot keys in ``big``: salt the big side,
     replicate the small side across all salts, join on (key, salt).
 
-    The salt is ``pmod(xxhash64(<all big columns>), n_salts)`` — a pure
-    function of row CONTENT, so the result is bit-reproducible across
-    partitionings and retries (the repo-wide determinism contract;
-    VERDICT r7 flagged the previous ``F.rand(seed=0)`` salt as
+    The salt is ``pmod(xxhash64(<hashable big columns>), n_salts)`` — a
+    pure function of row CONTENT, so the result is bit-reproducible
+    across partitionings and retries (the repo-wide determinism
+    contract; VERDICT r7 flagged the previous ``F.rand(seed=0)`` salt as
     partition-order dependent).  Rows of a hot key still spread across
     salts because they differ in their other columns; only fully
     identical duplicate rows share a salt, and those co-group under any
-    content hash.
+    content hash — accepted trade-off: pathological EXACT-duplicate
+    skew is not mitigated (dedup first; operators/dedup.py).  Map-typed
+    columns are excluded from the salt (xxhash64 rejects MapType at
+    analysis time); a ``big`` whose only non-key columns are maps salts
+    on the key alone and degrades to an unsalted plan for hot keys.
     """
     if how != "inner":
         raise ValueError("salted_join supports inner joins only")
+    hash_cols = [
+        f.name for f in big.schema.fields if _xxhashable(f.dataType)
+    ] or [on]
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts)).cast("int")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_small = small.select("*", salts)
@@ -63,15 +83,18 @@ def write_bucketed(
     """Persist as a bucketed (and optionally sorted) table: one shuffle
     now, zero shuffles for every future equi-join/aggregation on
     ``bucket_col`` between tables sharing the layout."""
-    import shutil
-    from urllib.parse import urlparse
-
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # A stale location from a previous session blocks saveAsTable even
-    # after the catalog entry is gone — clear it (local warehouse only).
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    # after the catalog entry is gone — clear it through the Hadoop
+    # FileSystem API so the guard also guards on hdfs://​/s3:// warehouses
+    # (a local shutil.rmtree is a silent no-op off-box; VERDICT r8,
+    # same pattern as bandstore._spec_exists).
+    jvm = spark.sparkContext._jvm
+    loc = f"{spark.conf.get('spark.sql.warehouse.dir')}/{table.lower()}"
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(path, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

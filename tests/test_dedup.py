@@ -186,3 +186,30 @@ def test_materialize_does_not_compound_plan_stats(spark):
     # without the reset, digits ~ [8, 14, 28, 56, 111, 222]; with it the
     # estimate stays the flat per-round default
     assert max(digits) <= digits[0], digits
+
+
+def test_reset_stats_fallback_warns(spark, monkeypatch):
+    # If the private internalCreateDataFrame API drifts away, _reset_stats
+    # must warn loudly (the silent fallback restores the exponential-stats
+    # pathology it exists to prevent — VERDICT r8).
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.operators.similarity import _reset_stats
+
+    df = spark.range(3)
+    monkeypatch.setattr(df, "_jdf", None)  # simulates the API vanishing
+    with pytest.warns(RuntimeWarning, match="internalCreateDataFrame unavailable"):
+        out = _reset_stats(df)
+    assert out is df  # fallback returns the input unchanged
+
+
+def test_reset_stats_happy_path_does_not_warn(spark):
+    import warnings
+
+    from mapreduce_minhash_lsh_spark.operators.similarity import _reset_stats
+
+    df = spark.range(3).localCheckpoint(eager=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = _reset_stats(df)
+    assert out.count() == 3

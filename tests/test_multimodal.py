@@ -359,6 +359,20 @@ def test_png_rejections():
     with pytest.raises(ValueError, match="size mismatch"):
         blob = png_with_ihdr(8, 2, 0)  # 2x2 RGB wants 2*(1+6)=14 bytes
         png_pixels(blob)
+    # garbage IDAT: must raise ValueError, never leak zlib.error (ADVICE r8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    garbage = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        png_pixels(garbage)
+    # IHDR present but no IDAT at all
+    no_idat = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IDAT"):
+        png_pixels(no_idat)
 
 
 def test_synth_png_media_distributed_roundtrip(spark):
@@ -511,6 +525,15 @@ def test_jpeg_rejections():
     blob[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_baseline(bytes(blob))
+    # truncated entropy stream / premature EOI mid-MCU: the internal
+    # _MarkerHit/IndexError must surface as ValueError (ADVICE r8)
+    full = make_jpeg(24, 24, 77)
+    with pytest.raises(ValueError, match="truncated entropy"):
+        decode_baseline(full[:-10])  # cut inside the entropy segment
+    sos = full.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated entropy"):
+        # EOI spliced right after the scan header: marker hit mid-MCU
+        decode_baseline(full[: sos + 14] + b"\xff\xd9")
 
 
 def test_synth_jpeg_media_distributed_roundtrip(spark):

@@ -82,3 +82,36 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    # xxhash64 rejects MapType at analysis time — salted_join must skip
+    # map-typed columns when deriving the content salt (ADVICE r8).
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .withColumn("attrs", F.create_map(F.lit("pk"), F.col("l_partkey")))
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    key = lambda r: (r["l_orderkey"], r["l_partkey"], r["o_custkey"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+def test_salted_join_all_map_columns_falls_back_to_key(spark):
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey")
+        .withColumn("attrs", F.create_map(F.lit("k"), F.col("l_orderkey")))
+        .drop("l_orderkey")
+        .select(F.map_values("attrs")[0].alias("l_orderkey"), "attrs")
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    assert plain.count() == salted.count()
