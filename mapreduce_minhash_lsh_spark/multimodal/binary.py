@@ -29,11 +29,12 @@ Codec support is two-tier:
 * GIF (round 8): LZW in numpy+Python — real encode (87a, <=256-color
   palette) and decode (87a/89a, interlace, local color tables,
   extension skip); see ``multimodal/gif.py``.
-* Uncompressed TIFF (round 8): IFD walk in struct+numpy, both byte
-  orders, gray/RGB, any strip layout; see ``multimodal/tiff.py``.
-* Residual compressed formats (WebP/HEIC/compressed-TIFF images,
-  MP4/MP3 audio-video) need PIL/ffmpeg, which are NOT in this
-  container:
+* TIFF (rounds 8-9): IFD walk in struct+numpy, both byte orders,
+  gray/RGB, any strip layout; round 9 adds LZW (MSB-first,
+  early-change), PackBits and Deflate strip compression plus the
+  horizontal predictor; see ``multimodal/tiff.py``.
+* Residual compressed formats (WebP/HEIC images, MP4/MP3 audio-video)
+  need PIL/ffmpeg, which are NOT in this container:
   ``decode_image``/``decode_audio`` raise NotImplementedError, and
   ``fake_decode`` — a deterministic stand-in deriving "features" from
   raw bytes — keeps that plumbing testable.
@@ -65,19 +66,20 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Residual compressed-image decode (WebP, compressed/tiled TIFF
-    variants, HEIC, ...) — requires PIL/opencv, not present in this
-    container.  STUB, round 8: its scope shrank four times this round —
-    PNG (zlib+numpy), baseline JPEG (huffman+DCT in numpy,
-    multimodal/jpeg.py), GIF (LZW, multimodal/gif.py) and uncompressed
-    TIFF (IFD walk, multimodal/tiff.py) all have real dependency-free
-    decoders now, alongside BMP/PPM; the Spark-side plumbing is
-    identical either way."""
+    """Residual compressed-image decode (WebP, HEIC, JPEG-in-TIFF /
+    tiled TIFF) — requires PIL/opencv, not present in this container.
+    STUB; its scope shrank again in round 9: LZW / PackBits / Deflate
+    TIFF strips (with the horizontal predictor) now decode for real in
+    multimodal/tiff.py, joining PNG (zlib+numpy), baseline JPEG
+    (huffman+DCT in numpy, multimodal/jpeg.py), GIF (LZW,
+    multimodal/gif.py) and BMP/PPM.  What remains genuinely needs
+    external entropy/transform codecs (VP8, HEVC); the Spark-side
+    plumbing is identical either way."""
     raise NotImplementedError(
-        "WebP/HEIC/compressed-TIFF codecs unavailable in this "
-        "environment; JPEG/PNG/GIF/TIFF/BMP/PPM have real decoders "
-        "(decode_jpeg/decode_png/decode_gif/decode_tiff/decode_bmp/"
-        "decode_ppm)"
+        "WebP/HEIC codecs unavailable in this environment; "
+        "JPEG/PNG/GIF/TIFF (incl. LZW/PackBits/Deflate)/BMP/PPM have "
+        "real decoders (decode_jpeg/decode_png/decode_gif/decode_tiff/"
+        "decode_bmp/decode_ppm)"
     )
 
 
@@ -527,11 +529,21 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+# (compression, predictor) classes synth_tiff_media cycles through by
+# doc_id — every compressed-TIFF scheme the round-9 decoder supports:
+# none, LZW, LZW+horizontal predictor, PackBits, Deflate+predictor.
+# All lossless, so the doc_id-arithmetic oracle is unchanged.
+TIFF_SYNTH_CLASSES = ((1, 1), (5, 1), (5, 2), (32773, 1), (8, 2))
+
+
 def synth_tiff_media(docs: DataFrame) -> DataFrame:
-    """documents -> (id, media, media_type) with REAL uncompressed-TIFF
-    container bytes (multimodal/tiff.py), built distributed.  Same
-    doc_id-arithmetic dimensions/gray as the other image synth paths;
-    TIFF is lossless, so the round trip is exact."""
+    """documents -> (id, media, media_type) with REAL TIFF container
+    bytes (multimodal/tiff.py), built distributed.  Same doc_id-
+    arithmetic dimensions/gray as the other image synth paths; the
+    compression scheme cycles through TIFF_SYNTH_CLASSES by doc_id
+    (round 9: LZW / PackBits / Deflate / predictor variants, all
+    lossless), so the driver-checked ``multimodal_tiff`` round trip
+    exercises every compressed-strip decode path."""
     from mapreduce_minhash_lsh_spark.multimodal.tiff import make_tiff
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -539,7 +551,11 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                blob = make_tiff(4 + did % 13, 3 + did % 7, did % 256)
+                comp, pred = TIFF_SYNTH_CLASSES[did % len(TIFF_SYNTH_CLASSES)]
+                blob = make_tiff(
+                    4 + did % 13, 3 + did % 7, did % 256,
+                    compression=comp, predictor=pred,
+                )
                 rows.append((did, blob, "image/tiff"))
             yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
 
@@ -736,13 +752,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """WebP/HEIC/compressed-TIFF resize still needs PIL/opencv — kept as
-    the explicit stub; JPEG, PNG, GIF, uncompressed TIFF (all round 8)
-    and the uncompressed containers have the REAL :func:`resize_images`
-    above."""
+    """WebP/HEIC resize still needs PIL/opencv — kept as the explicit
+    stub; JPEG, PNG, GIF, TIFF (round 9: including LZW/PackBits/Deflate
+    strips) and the uncompressed containers have the REAL
+    :func:`resize_images` above."""
     raise NotImplementedError(
-        "WebP/HEIC/compressed-TIFF resize requires codecs unavailable in "
-        "this environment; JPEG/PNG/GIF/TIFF/BMP/PPM resize is real "
+        "WebP/HEIC resize requires codecs unavailable in this "
+        "environment; JPEG/PNG/GIF/TIFF/BMP/PPM resize is real "
         "(resize_images)"
     )
 

@@ -1277,15 +1277,17 @@ def q_multimodal_gif(spark, sf):
 FROM documents""",
 )
 def q_multimodal_tiff(spark, sf):
-    """REAL TIFF round trip end to end (round 8: the last simply-
-    implementable image stub closed — multimodal/tiff.py walks the IFD
-    tag table with stdlib struct): synthesize an actual uncompressed
-    TIFF per document (II header, 9-tag IFD, single strip), decode ->
-    NN-resample to 6x8 -> re-encode as TIFF, then decode features from
-    the RESIZED bytes.  Lossless, so the doc_id-arithmetic oracle
-    predicts every decoded value exactly.  Big-endian (MM), grayscale,
-    multi-strip and compression rejections are pinned by
-    tests/test_multimodal.py."""
+    """REAL TIFF round trip end to end (round 8: IFD walk in stdlib
+    struct; round 9: compressed strips): synthesize an actual TIFF per
+    document — the compression class cycles by doc_id through none /
+    LZW / LZW+predictor / PackBits / Deflate+predictor
+    (binary.TIFF_SYNTH_CLASSES), all decoded by the dependency-free
+    reader in multimodal/tiff.py — decode -> NN-resample to 6x8 ->
+    re-encode as TIFF, then decode features from the RESIZED bytes.
+    Every scheme is lossless, so the doc_id-arithmetic oracle predicts
+    every decoded value exactly.  Big-endian (MM), grayscale,
+    multi-strip, foreign-compressed and JPEG-in-TIFF rejection
+    surfaces are pinned by tests/test_multimodal.py."""
     docs = load_table(spark, sf, "documents")
     media = _binary.resize_images(_binary.synth_tiff_media(docs), 6, 8)
     return _binary.extract_media_features(media)

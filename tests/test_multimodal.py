@@ -747,12 +747,132 @@ def test_tiff_rejections():
 
     with pytest.raises(ValueError, match="TIFF"):
         tiff_pixels(b"GIF89a" + b"\x00" * 16)
-    # compressed TIFF is out of scope: flip the Compression tag
+    # JPEG-in-TIFF stays out of scope: flip the Compression tag to 7
+    # (round 9: 5/8/32773/32946 now decode for real)
     blob = bytearray(make_tiff(4, 3, 5))
     i = bytes(blob).find(struct.pack("<HH", 259, 3))
-    blob[i + 8 : i + 10] = struct.pack("<H", 5)  # 5 = LZW
+    blob[i + 8 : i + 10] = struct.pack("<H", 7)  # 7 = JPEG-in-TIFF
     with pytest.raises(ValueError, match="Compression"):
         tiff_pixels(bytes(blob))
+
+
+def test_tiff_compressed_roundtrips_exact():
+    """Round 9: LZW (TIFF flavor: MSB-first, early width change),
+    PackBits, Deflate, each with and without the horizontal predictor —
+    all lossless, exact round trips on noise AND gradients."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+        decode_tiff,
+        encode_tiff,
+        make_tiff,
+        tiff_pixels,
+    )
+
+    rng = np.random.RandomState(9)
+    noise = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    grad = np.tile(np.arange(120, dtype=np.uint8)[None, :, None], (40, 1, 3))
+    for comp in (5, 8, 32773):
+        for pred in (1, 2):
+            for arr in (noise, grad):
+                blob = encode_tiff(arr, compression=comp, predictor=pred)
+                assert (tiff_pixels(blob) == arr).all(), (comp, pred)
+        assert decode_tiff(make_tiff(13, 7, 200, compression=comp)) == (13, 7, 200.0)
+    # predictor actually helps (sanity that it's applied pre-compression)
+    assert len(encode_tiff(grad, 5, 2)) < len(encode_tiff(grad, 5, 1))
+    # big noise image: forces LZW width growth through 10/11/12 bits and
+    # dictionary resets at 4094 entries
+    big = rng.randint(0, 256, (120, 160, 3), dtype=np.uint8)
+    assert (tiff_pixels(encode_tiff(big, compression=5)) == big).all()
+
+
+def test_tiff_compressed_foreign_layouts():
+    """Decoder-only compressed surfaces our encoder never emits: the
+    legacy Deflate tag 32946, multi-strip LZW with RowsPerStrip (strips
+    compress independently), and truncated compressed strips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.multimodal.tiff import (
+        _lzw_encode_tiff,
+        _predict_rows,
+        tiff_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 6, 5
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def build(strips, comp, rows_per_strip, predictor=1, e="<"):
+        order, magic = ("II", 42) if e == "<" else ("MM", 42)
+        off = 8
+        offs, cnts, payload = [], [], b""
+        for s in strips:
+            offs.append(off + len(payload))
+            cnts.append(len(s))
+            payload += s
+        ifd = off + len(payload)
+        if ifd % 2:
+            payload += b"\x00"
+            ifd += 1
+        extra = [
+            (256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, comp),
+            (262, 3, 1, 2), (277, 3, 1, 3), (278, 4, 1, rows_per_strip),
+            (284, 3, 1, 1),
+        ]
+        if predictor == 2:
+            extra.append((317, 3, 1, 2))
+        n_tags = len(extra) + 3  # + BPS + offsets + counts
+        arrays_off = ifd + 2 + n_tags * 12 + 4
+        bps_off = arrays_off
+        so_off = bps_off + 6
+        sc_off = so_off + 4 * len(offs)
+        # count-1 LONG values are inline per spec; arrays go out-of-line
+        so_val = offs[0] if len(offs) == 1 else so_off
+        sc_val = cnts[0] if len(cnts) == 1 else sc_off
+        tags = extra + [(258, 3, 3, bps_off), (273, 4, len(offs), so_val),
+                        (279, 4, len(cnts), sc_val)]
+        tags.sort()
+        body = b"".join(
+            struct.pack(f"{e}HHI", tid, tt, cnt)
+            # inline SHORTs are left-justified; anything out-of-line
+            # (size*count > 4, e.g. the 3-SHORT BPS) stores an I offset
+            + (struct.pack(f"{e}HH", val, 0) if tt == 3 and cnt == 1
+               else struct.pack(f"{e}I", val))
+            for tid, tt, cnt, val in tags
+        )
+        return (
+            struct.pack(f"{e}2sHI", order.encode(), magic, ifd) + payload
+            + struct.pack(f"{e}H", n_tags) + body + struct.pack(f"{e}I", 0)
+            + struct.pack(f"{e}HHH", 8, 8, 8)
+            + b"".join(struct.pack(f"{e}I", o) for o in offs)
+            + b"".join(struct.pack(f"{e}I", c) for c in cnts)
+        )
+
+    # legacy deflate tag (32946), single strip
+    blob = build([zlib.compress(arr.tobytes())], 32946, h)
+    assert (tiff_pixels(blob) == arr).all()
+    # multi-strip LZW, 2 rows per strip, big-endian container
+    strips = [
+        _lzw_encode_tiff(arr[r : r + 2].tobytes()) for r in range(0, h, 2)
+    ]
+    assert (tiff_pixels(build(strips, 5, 2, e=">")) == arr).all()
+    # multi-strip LZW + predictor (predictor applies per row, so
+    # per-strip compression composes)
+    diffed = _predict_rows(arr)
+    strips = [
+        _lzw_encode_tiff(diffed[r : r + 2].tobytes()) for r in range(0, h, 2)
+    ]
+    assert (tiff_pixels(build(strips, 5, 2, predictor=2)) == arr).all()
+    # truncated LZW strip -> ValueError, not IndexError
+    good = _lzw_encode_tiff(arr.tobytes())
+    with pytest.raises(ValueError, match="truncated|short"):
+        tiff_pixels(build([good[: len(good) // 2]], 5, h))
+    # corrupt deflate strip -> ValueError, not zlib.error
+    with pytest.raises(ValueError, match="deflate|short"):
+        tiff_pixels(build([b"\xde\xad\xbe\xef"], 8, h))
 
 
 def test_synth_tiff_media_distributed_roundtrip(spark):
