@@ -39,6 +39,19 @@ EST_SLACK = 0.21
 # _materialize against re-pointing the session-global checkpoint dir.
 _CKPT_DIR_SET: dict[str, str] = {}
 
+# Pair-volume valve default (VERDICT r8 #2): the verify payload join
+# carries (sig, sh_set) for BOTH endpoints of every candidate pair, so
+# its shuffle footprint is pairs x payload — the first thing to exhaust
+# local spill disk when near-dup cliques make true pairs quadratic.
+# Measured on this box (SCALE.md §7): 35.4M candidates (80x) complete
+# in ~70 GB of spill headroom; ~80M (160x) die.  12M pairs/chunk keeps
+# each sequential verify chunk's in-flight payload ~3x under the 80x
+# point, so the symmetric flagship degrades to bounded chunks instead
+# of dying.  On a real cluster spill is spread across executors, so the
+# budget can be raised (or set to None to disable the valve and its
+# candidate-count materialization entirely).
+PAIR_VERIFY_BUDGET = 12_000_000
+
 
 def _reset_stats(df: DataFrame) -> DataFrame:
     """Rebuild a (checkpointed) DataFrame as a fresh LogicalRDD WITHOUT
@@ -382,6 +395,71 @@ def fused_overlap_counts(
     return _materialize(counts, checkpoint_dir)
 
 
+def budgeted_overlap_counts(
+    pairs: DataFrame,
+    rel: DataFrame,
+    cfg: MinHashLSHConfig,
+    threshold: float,
+    checkpoint_dir: str | None = None,
+    rel_b: DataFrame | None = None,
+    pair_budget: int | None = PAIR_VERIFY_BUDGET,
+) -> DataFrame:
+    """:func:`fused_overlap_counts` behind the pair-volume valve
+    (VERDICT r8 #2): materialize the candidate list (2 longs/row — the
+    cheapest relation of the pipeline), count it, and when the count
+    exceeds ``pair_budget`` run the verify join in sequential hash
+    chunks of at most ``pair_budget`` pairs instead of one join whose
+    pairs x (sig, sh_set) payload shuffle can exhaust local spill disk.
+
+    Chunking is a deterministic ``pmod(xxhash64(a, b), n_chunks)``
+    partition of the candidate list, each chunk verified and
+    materialized independently (5 scalars/pair — candidate-list-sized),
+    then unioned: the output rows are IDENTICAL to the unchunked join
+    (verification is per-pair arithmetic with no cross-pair state), and
+    peak in-flight shuffle is bounded by one chunk.  ``pair_budget=None``
+    disables the valve AND the candidate materialization/count,
+    restoring the exact round-8 single-join plan.
+    """
+    if pair_budget is None:
+        return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
+    pairs = _materialize(
+        pairs.select("doc_id_a", "doc_id_b"), checkpoint_dir
+    )
+    n_cand = pairs.count()
+    if n_cand <= pair_budget:
+        return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
+    import logging
+    import math
+
+    n_chunks = math.ceil(n_cand / pair_budget)
+    logging.getLogger(__name__).warning(
+        "pair-volume valve: %d candidate pairs exceed the %d-pair verify "
+        "budget; running %d sequential verify chunks (identical output, "
+        "bounded spill). For group-level output at this clique density "
+        "consider near_dup_groups/similar_groups instead.",
+        n_cand, pair_budget, n_chunks,
+    )
+    chunk_of = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_chunks))
+    outs = []
+    for i in range(n_chunks):
+        outs.append(
+            fused_overlap_counts(
+                pairs.where(chunk_of == i), rel, cfg, threshold,
+                checkpoint_dir, rel_b,
+            )
+        )
+        # fused_overlap_counts materialized the chunk, so its verify
+        # join's shuffle files are dead — but Spark only deletes them
+        # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
+        # the JVM so sequential chunks don't stack N chunks of spill,
+        # which would defeat the valve.
+        pairs.sparkSession.sparkContext._jvm.System.gc()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def similar_pairs(
     docs: DataFrame,
     cfg: MinHashLSHConfig,
@@ -390,6 +468,7 @@ def similar_pairs(
     checkpoint_dir: str | None = None,
     oversize: str = "drop",
     auto_split_threshold: int | None = None,
+    pair_budget: int | None = PAIR_VERIFY_BUDGET,
 ) -> DataFrame:
     """documents(doc_id, text) -> (doc_id_a, doc_id_b, jaccard >= threshold).
 
@@ -406,7 +485,7 @@ def similar_pairs(
     """
     return similar_pairs_from_shingles(
         explode_shingles(docs, cfg.k), cfg, threshold, max_bucket_size,
-        checkpoint_dir, oversize, auto_split_threshold,
+        checkpoint_dir, oversize, auto_split_threshold, pair_budget,
     )
 
 
@@ -418,6 +497,7 @@ def similar_pairs_from_shingles(
     checkpoint_dir: str | None = None,
     oversize: str = "drop",
     auto_split_threshold: int | None = None,
+    pair_budget: int | None = PAIR_VERIFY_BUDGET,
 ) -> DataFrame:
     """The flagship pipeline over an arbitrary (doc_id, shingle)
     relation — the shingle UNIT is orthogonal to the MinHash/LSH/verify
@@ -443,7 +523,9 @@ def similar_pairs_from_shingles(
         if auto_split_threshold is not None:
             kw["auto_split_threshold"] = auto_split_threshold
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize, **kw)
-    counts = fused_overlap_counts(cands, rel, cfg, threshold, checkpoint_dir)
+    counts = budgeted_overlap_counts(
+        cands, rel, cfg, threshold, checkpoint_dir, pair_budget=pair_budget
+    )
     return (
         counts.where(F.col("nc") > 0)
         .select(
@@ -519,6 +601,7 @@ def cross_corpus_pairs(
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
     check_disjoint: bool = False,
+    pair_budget: int | None = PAIR_VERIFY_BUDGET,
 ) -> DataFrame:
     """Asymmetric near-dup: (new_id, seen_id, jaccard >= threshold) for
     every NEW document that near-duplicates a SEEN document — the "dedup
@@ -592,8 +675,9 @@ def cross_corpus_pairs(
             .select("doc_id_a", "doc_id_b")
             .distinct()
         )
-    counts = fused_overlap_counts(
-        cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen
+    counts = budgeted_overlap_counts(
+        cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen,
+        pair_budget=pair_budget,
     )
     return (
         counts.where(F.col("nc") > 0)
@@ -628,6 +712,7 @@ def containment_pairs(
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
     oversize: str = "drop",
+    pair_budget: int | None = PAIR_VERIFY_BUDGET,
 ) -> DataFrame:
     """Max-containment pairs among the flagship's LSH candidates:
     ``nc / min(na, nb) >= threshold`` — the asymmetric quote/subset
@@ -648,7 +733,9 @@ def containment_pairs(
         cands = banded_pairs(rel, cfg)
     else:
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
-    counts = fused_overlap_counts(cands, rel, cfg, cfg.threshold, checkpoint_dir)
+    counts = budgeted_overlap_counts(
+        cands, rel, cfg, cfg.threshold, checkpoint_dir, pair_budget=pair_budget
+    )
     return (
         counts.where(F.col("nc") >= 0)
         .select(

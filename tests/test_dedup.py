@@ -213,3 +213,46 @@ def test_reset_stats_happy_path_does_not_warn(spark):
         warnings.simplefilter("error", RuntimeWarning)
         out = _reset_stats(df)
     assert out.count() == 3
+
+
+def test_pair_volume_valve_chunked_equals_unchunked(spark):
+    """VERDICT r8 #2: when candidates exceed pair_budget the verify join
+    runs in sequential hash chunks — the output must be IDENTICAL to the
+    single-join plan (and to the valve-disabled round-8 plan)."""
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+    from mapreduce_minhash_lsh_spark.sources.docgen import register_docgen
+
+    register_docgen(spark)
+    docs = (spark.read.format("docgen").option("rows", 240).option("parts", 4)
+            .option("seed", 13).option("dup_every", 4).load())
+    cfg = MinHashLSHConfig(num_hashes=64, num_bands=8, threshold=0.7)
+
+    def rows(pair_budget):
+        out = similar_pairs(docs, cfg, pair_budget=pair_budget)
+        return sorted(
+            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in out.collect()
+        )
+
+    baseline = rows(None)          # round-8 plan, valve fully off
+    assert len(baseline) > 10      # enough pairs to chunk meaningfully
+    assert rows(10**9) == baseline  # valve on, budget not exceeded
+    assert rows(7) == baseline      # forced chunking (many chunks)
+    assert rows(len(baseline)) == baseline
+
+
+def test_pair_volume_valve_warns_when_firing(spark, caplog):
+    import logging
+
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+    from mapreduce_minhash_lsh_spark.sources.docgen import register_docgen
+
+    register_docgen(spark)
+    docs = (spark.read.format("docgen").option("rows", 80).option("parts", 2)
+            .option("seed", 3).option("dup_every", 4).load())
+    cfg = MinHashLSHConfig(num_hashes=64, num_bands=8, threshold=0.7)
+    with caplog.at_level(logging.WARNING,
+                         logger="mapreduce_minhash_lsh_spark.operators.similarity"):
+        similar_pairs(docs, cfg, pair_budget=5).count()
+    assert any("pair-volume valve" in r.message for r in caplog.records)
