@@ -67,7 +67,93 @@ def _replicated(spark, replicas: int):
     return base, spark.read.parquet(tmp), tmp
 
 
+def crossover_probe(replicas: int) -> None:
+    """VERDICT r8 #3: the IVF crossover measurement at >= 1M vectors.
+
+    At 16x/64x IVF lost to brute force — its claim rests on the
+    'millions of vectors' regime.  This probe replicates the sf0.1
+    embeddings to REPLICAS x 2000 vectors (512 -> 1.024M), sizes
+    n_lists ~ sqrt(n), builds the index ONCE (ivf_index + a
+    partitionBy(list_id) parquet write — the production amortization
+    unit), then measures per-100-query-batch walls for exact
+    brute force vs ivf_query against the prebuilt index, plus
+    class-level recall@10 and the batch count at which index build
+    amortizes.  Also measures a 5-query batch with prune=True (the
+    partition-pruning path)."""
+    import math
+
+    from mapreduce_minhash_lsh_spark.operators.ann import ivf_index, ivf_query
+
+    spark = get_spark(app_name="ann-crossover")
+    spark.range(1).count()
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = base.orderBy("vec_id").limit(100)
+    # warm codegen on base scale
+    cosine_topk(base, queries, k=10).count()
+    ivf_topk(base, queries, k=10, n_lists=16, n_probe=4).count()
+    _drop_all_persisted(spark)
+
+    _, big, tmp = _replicated(spark, replicas)
+    n = big.count()
+    n_lists = 2 ** round(math.log2(math.sqrt(n)))  # ~sqrt(n), power of 2
+    out = {"mode": "ann_crossover", "dim": 64, "vectors": n,
+           "n_lists": n_lists, "queries_per_batch": 100}
+
+    t0 = time.perf_counter()
+    exact = cosine_topk(big, queries, k=10)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    out["exact_batch_sec"] = round(time.perf_counter() - t0, 1)
+    _drop_all_persisted(spark)
+
+    t0 = time.perf_counter()
+    cents, corpus = ivf_index(big, n_lists=n_lists)
+    idx_path = tmp + "_index"
+    corpus.repartition(64, "list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(idx_path)
+    out["index_build_sec"] = round(time.perf_counter() - t0, 1)
+    index = spark.read.parquet(idx_path)
+    exact_cls = {(q, nid % 1_000_000) for q, nid in exact_set}
+
+    for n_probe in (8, 32):
+        t0 = time.perf_counter()
+        ivf = ivf_query(cents, index, queries, k=10, n_probe=n_probe)
+        ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        t_ivf = round(time.perf_counter() - t0, 1)
+        ivf_cls = {(q, nid % 1_000_000) for q, nid in ivf_set}
+        recall = round(len(exact_cls & ivf_cls) / len(exact_cls), 3)
+        speedup = round(out["exact_batch_sec"] / max(t_ivf, 0.1), 1)
+        amortize = (
+            math.ceil(out["index_build_sec"] / (out["exact_batch_sec"] - t_ivf))
+            if out["exact_batch_sec"] > t_ivf else None
+        )
+        out[f"ivf_probe{n_probe}"] = {
+            "batch_sec": t_ivf, "recall_at10_class": recall,
+            "speedup_vs_exact": speedup,
+            "batches_to_amortize_build": amortize,
+        }
+        _drop_all_persisted(spark)
+
+    # small-batch pruning path: 5 queries read only their probed lists
+    q5 = base.orderBy("vec_id").limit(5)
+    t0 = time.perf_counter()
+    n5 = ivf_query(cents, index, q5, k=10, n_probe=8, prune=True).count()
+    out["ivf_5q_prune_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    cosine_topk(big, q5, k=10).count()
+    out["exact_5q_sec"] = round(time.perf_counter() - t0, 1)
+    out["ivf_5q_rows"] = n5
+
+    print(json.dumps(out))
+    shutil.rmtree(str(Path(tmp).parent), ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--crossover" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        crossover_probe(int(args[0]) if args else 512)
+        return
     rs = [int(a) for a in sys.argv[1:]] or [16, 64]
     spark = get_spark(app_name="ann-probe")
     spark.range(1).count()

@@ -183,7 +183,121 @@ def groups_probe(replicas: int, reliable_ckpt: bool = False) -> None:
     spark.stop()
 
 
+def _pairs_checksum(out):
+    """Order-free fingerprint of a (doc_id_a, doc_id_b, jaccard) result:
+    count + commutative sum of per-row xxhash64.  Both valve paths
+    compute jaccard with the identical arithmetic, so the doubles are
+    bit-equal and hashing them directly is exact."""
+    h = F.xxhash64("doc_id_a", "doc_id_b", "jaccard")
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id_a, doc_id_b, jaccard))").alias("hx"),
+        F.sum(F.pmod(h, F.lit(2**31))).alias("hs"),  # no long overflow
+    ).collect()[0]
+    return row.n, int(row.hx or 0), int(row.hs or 0)
+
+
+def valve_ab_probe(replicas: int) -> None:
+    """Bit-identity of the pair-volume valve (VERDICT r8 #2): at a scale
+    where BOTH paths run, the chunked verify (budget forced below the
+    candidate count) must produce exactly the rows of the round-8
+    single-join plan (pair_budget=None)."""
+    from mapreduce_minhash_lsh_spark.operators.lsh import banded_pairs as bp
+
+    spark = get_spark(app_name="valve-ab-probe")
+    spark.range(1).count()
+    base, big = _replicated(spark, replicas)
+    n_docs = big.count()
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+    similar_pairs(base, cfg, pair_budget=None).count()  # warm codegen
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+    n_cands = bp(signature_set_relation(explode_shingles(big, cfg.k), cfg), cfg).count()
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+
+    t0 = time.perf_counter()
+    sig_off = _pairs_checksum(similar_pairs(big, cfg, pair_budget=None))
+    t_off = round(time.perf_counter() - t0, 1)
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+
+    budget = max(1, n_cands // 4)  # force >=4 chunks
+    t0 = time.perf_counter()
+    sig_on = _pairs_checksum(similar_pairs(big, cfg, pair_budget=budget))
+    t_on = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "mode": "valve_ab", "replicas": replicas, "docs": n_docs,
+        "candidates": n_cands, "forced_budget": budget,
+        "single_join": {"pairs": sig_off[0], "checksum": list(sig_off[1:]), "wall_sec": t_off},
+        "chunked": {"pairs": sig_on[0], "checksum": list(sig_on[1:]), "wall_sec": t_on},
+        "identical": sig_off == sig_on,
+    }))
+    spark.stop()
+
+
+def valve_probe(replicas: int) -> None:
+    """The symmetric pair-list flagship at the scale where it previously
+    DIED in verify-join spill (160x, SCALE.md §7), now behind the
+    default 12M-pair valve: the run must complete, the valve must fire,
+    and the probe records wall / candidates / chunks / verified pairs."""
+    import logging
+
+    from mapreduce_minhash_lsh_spark.operators import similarity as S
+
+    spark = get_spark(app_name="valve-probe")
+    spark.range(1).count()
+    base, big = _replicated(spark, replicas)
+    n_docs = big.count()
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+    similar_pairs(base, cfg).count()  # warm codegen at base scale
+    _drop_all_persisted(spark)
+    big = _replicated(spark, replicas)[1]
+
+    fired = {"n_cand": 0, "n_chunks": 0}
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            if "pair-volume valve" in record.getMessage():
+                fired["n_cand"], fired["n_chunks"] = record.args[0], record.args[2]
+
+    h = _Capture()
+    logging.getLogger(S.__name__).addHandler(h)
+    try:
+        t0 = time.perf_counter()
+        n_pairs = similar_pairs(big, cfg).count()
+        wall = round(time.perf_counter() - t0, 1)
+    finally:
+        logging.getLogger(S.__name__).removeHandler(h)
+    print(json.dumps({
+        "mode": "valve_160x", "replicas": replicas, "docs": n_docs,
+        "pair_budget": S.PAIR_VERIFY_BUDGET,
+        "valve_fired": fired["n_chunks"] > 0,
+        "candidates": fired["n_cand"], "verify_chunks": fired["n_chunks"],
+        "verified_pairs": n_pairs, "wall_sec": wall,
+        "prior_status_without_valve": (
+            "died: one verify payload join exhausted ~70 GB single-box "
+            "shuffle spill at this scale (SCALE.md §7)"
+        ),
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--valve-ab" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        valve_ab_probe(int(args[0]) if args else 10)
+        return
+    if "--valve" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        valve_probe(int(args[0]) if args else 160)
+        return
     if "--capped" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("-")]
         capped_probe(int(args[0]) if args else 10)

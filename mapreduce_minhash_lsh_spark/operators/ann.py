@@ -287,10 +287,81 @@ def _assign_expr(cents: list[tuple[int, list[float]]], vec: F.Column, top: int) 
     return F.transform(F.slice(F.array_sort(scored), 1, top), lambda s: s["cid"])
 
 
+# Above this many centroids the expression-based exact assignment
+# (O(n_lists x dim) of interpreted higher-order-function arithmetic PER
+# ROW) stops being viable — at n_lists ~ sqrt(1M) = 1024 it is ~100x the
+# work of the n_lists=16 oracle configuration.  The fast path below does
+# the same argmax as ONE numpy matmul per Arrow batch; 'auto' switches
+# to it past this threshold.
+ASSIGN_FAST_THRESHOLD = 32
+
+
+def _assign_fast_udf(cents: list[tuple[int, list[float]]], top: int):
+    """Arrow-batched centroid assignment: rank by cosine == rank by dot
+    against unit-normalized centroids (query norm is a positive scale),
+    computed as a (batch x dim) @ (dim x k) float64 matmul — the
+    FAISS-style scale path for large ``n_lists``.  Tie-break matches
+    :func:`_assign_expr` (cosine desc, cid asc) via a stable argsort
+    over cid-ascending centroid columns; exact-decimal vs float64
+    rounding can still order true near-ties differently, which only
+    perturbs which list a borderline vector lands in (recall-neutral),
+    so 'fast' is for the large-n_lists regime where the oracle-exact
+    expression path is off the table anyway."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    order0 = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cids = np.array([cents[i][0] for i in order0], dtype=np.int64)
+    mat = np.array([cents[i][1] for i in order0], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    matn = (mat / np.where(nrm > 0, nrm, 1.0)).T  # dim x k
+
+    def assign(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        sims = np.stack(vs.to_numpy()).astype(np.float64) @ matn
+        # stable sort on -cos over cid-ascending columns == (cos desc,
+        # cid asc); full per-row argsort is k log k — noise next to the
+        # matmul for any top we use.
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        return pd.Series([cids[r].tolist() for r in idx])
+
+    # pd is function-local, so string type hints would not resolve;
+    # attach real annotation objects instead.
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<long>")
+
+
+def _assign_col(
+    cents: list[tuple[int, list[float]]], vec: F.Column, top: int, assign: str
+) -> F.Column:
+    """Nearest-``top`` centroid ids for ``vec`` under the chosen
+    strategy: 'exact' (oracle-bit-reproducible expression arithmetic),
+    'fast' (Arrow-batch matmul), or 'auto' (fast iff
+    len(cents) > ASSIGN_FAST_THRESHOLD)."""
+    if assign == "auto":
+        assign = "fast" if len(cents) > ASSIGN_FAST_THRESHOLD else "exact"
+    if assign == "exact":
+        return _assign_expr(cents, vec, top)
+    if assign == "fast":
+        return _assign_fast_udf(cents, top)(vec)
+    raise ValueError(f"assign must be 'exact', 'fast' or 'auto', got {assign!r}")
+
+
 def _centroids(
-    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str,
+    assign: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic, engine-portable coarse quantizer.
+
+    ``assign`` picks the Lloyd-round assignment strategy (see
+    :func:`_assign_col`): at k beyond ASSIGN_FAST_THRESHOLD the exact
+    expression is a k x dim literal tree (65k nodes at k=1024) whose
+    analysis alone dwarfs the arithmetic, so 'auto' moves training to
+    the same Arrow matmul the corpus assignment uses; the quantized
+    int64 UPDATE step below is strategy-independent, so the rounds stay
+    partition-order deterministic either way.
 
     Seed centroids = the k lowest-id vectors; then ``iters`` Lloyd rounds
     over a bounded deterministic sample (lowest IVF_TRAIN_CAP ids), with
@@ -340,7 +411,7 @@ def _centroids(
             # cache build evaluates the full projection once, so the
             # InMemoryRelation is the same barrier the checkpoint was.
             assigned = sample.select(
-                F.element_at(_assign_expr(cents, F.col("vec"), 1), 1).alias("cid"),
+                F.element_at(_assign_col(cents, F.col("vec"), 1, assign), 1).alias("cid"),
                 quant.alias("q"),
             ).persist()
             rows = (
@@ -369,37 +440,66 @@ def _centroids(
     return cents
 
 
-def ivf_topk(
+def ivf_index(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 2,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into n_lists inverted
-    lists (nearest centroid by cosine), probe the n_probe nearest lists
-    per query, exact-rank within the probed union.
+    assign: str = "auto",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Build the IVF inverted-list index once: train the coarse
+    quantizer on a bounded driver-side sample, then assign every corpus
+    vector to its nearest centroid fully distributed (one map-side
+    argmax against broadcast centroids — no shuffle).
 
-    The quantizer is trained on a driver-side sample here (fits easily —
-    it's k x dim floats); at 100 TB you train on a sample the same way
-    and the corpus ASSIGNMENT step below stays fully distributed: one
-    map-side argmin against broadcast centroids, then the probe join is
-    an equi-join on list id.  Recall vs brute force measured in tests.
-    """
-    cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col)
+    Returns ``(centroids, corpus)`` with corpus =
+    (neighbor_id, c_vec, list_id).  The split from :func:`ivf_query`
+    is the production shape: at 100 TB the assigned corpus is written
+    to parquet PARTITIONED BY list_id once per ingest, and every later
+    query batch reads only its probed lists (partition pruning) —
+    re-deriving the index per batch, as a fused call does, re-pays the
+    assignment scan every time."""
+    cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(_assign_expr(cents, F.col(vec_col), 1), 1).alias("list_id"),
+        F.element_at(_assign_col(cents, F.col(vec_col), 1, assign), 1).alias("list_id"),
     )
+    return cents, corpus
+
+
+def ivf_query(
+    cents: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+    prune: bool = False,
+) -> DataFrame:
+    """Query a prebuilt IVF index (see :func:`ivf_index`): probe the
+    n_probe nearest lists per query, exact-rank within the probed
+    union.  The probe side is |Q| x n_probe rows — broadcast — so the
+    corpus is never shuffled.
+
+    ``prune=True`` collects the probed list ids (bounded by
+    |Q| x n_probe ints) and filters the corpus to them BEFORE the join:
+    against a corpus written ``partitionBy('list_id')`` this is literal
+    partition pruning — the scan reads only the probed lists' files.
+    The win is for small query batches; a large diverse batch probes
+    nearly every list, so the default skips the extra probe-side
+    action."""
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_assign_expr(cents, F.col(vec_col), n_probe)).alias("list_id"),
+        F.explode(_assign_col(cents, F.col(vec_col), n_probe, assign)).alias("list_id"),
     )
+    if prune:
+        lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+        corpus = corpus.where(F.col("list_id").isin(lists))
     pairs = corpus.join(F.broadcast(probes), "list_id").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -412,3 +512,29 @@ def ivf_topk(
         ).alias("cosine"),
     )
     return _rank_topk(scored, k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """IVF-style ANN in one call: :func:`ivf_index` then
+    :func:`ivf_query`.  The fused form re-derives the corpus assignment
+    every call — fine for one-shot queries; for repeated query batches
+    build the index once and persist it (the split API's point).
+
+    ``assign='auto'`` keeps the oracle-bit-exact expression arithmetic
+    up to ASSIGN_FAST_THRESHOLD centroids (every registered oracle
+    configuration) and switches to the Arrow-batch matmul beyond it,
+    where the expression path's per-row O(n_lists x dim) interpreted
+    cost is the difference between viable and not (SCALE.md §3).
+    Recall vs brute force measured in tests."""
+    cents, corpus = ivf_index(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    return ivf_query(cents, corpus, queries, k, n_probe, id_col, vec_col, assign)

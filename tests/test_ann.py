@@ -111,3 +111,71 @@ def test_ivf_train_cap_bounds_driver_materialization(spark, monkeypatch):
     assert len(capped) == 4
     assert capped == prefix  # cap == training on the lowest-id prefix
     assert capped != full    # and the cap actually bit
+
+
+def test_ivf_fast_assign_matches_exact(spark):
+    """The Arrow-batch matmul assignment (the large-n_lists scale path)
+    must agree with the oracle-exact expression assignment: same
+    nearest-list choice per vector and the same final top-k on data
+    without engineered cosine ties."""
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        _assign_col,
+        _centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    cents = _centroids(emb, k=8, iters=2, id_col="vec_id", vec_col="embedding")
+    a = emb.select(
+        F.element_at(_assign_col(cents, F.col("embedding"), 1, "exact"), 1).alias("e"),
+        F.element_at(_assign_col(cents, F.col("embedding"), 1, "fast"), 1).alias("f"),
+    )
+    agg = a.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("e") == F.col("f")).cast("int")).alias("same"),
+    ).collect()[0]
+    assert agg.same == agg.n
+
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    ex = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3, assign="exact")
+    fa = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3, assign="fast")
+    assert sorted(map(tuple, ex.collect())) == sorted(map(tuple, fa.collect()))
+
+
+def test_ivf_auto_threshold_and_bad_strategy(spark):
+    """'auto' stays on the oracle-exact expression path at every
+    registered configuration (n_lists <= ASSIGN_FAST_THRESHOLD) and a
+    bogus strategy fails loudly."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.operators import ann
+
+    assert ann.ASSIGN_FAST_THRESHOLD >= 16  # registered oracles use 16
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    with pytest.raises(ValueError, match="assign"):
+        ann._assign_col(cents, F.array(F.lit(1.0), F.lit(0.0)), 1, "bogus")
+
+
+def test_ivf_index_query_split_equals_fused(spark):
+    """ivf_index + ivf_query (the persist-the-index production shape)
+    must return exactly what the fused ivf_topk returns, including when
+    the assigned corpus round-trips through parquet."""
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        ivf_index,
+        ivf_query,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    fused = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+    cents, corpus = ivf_index(emb, n_lists=8)
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_") + "/corpus"
+    corpus.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    reread = spark.read.parquet(tmp)
+    split = ivf_query(cents, reread, queries, k=5, n_probe=3)
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, (r for r in split.select(*fused.columns).collect()))
+    )
