@@ -422,42 +422,55 @@ def budgeted_overlap_counts(
     """
     if pair_budget is None:
         return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
-    pairs = _materialize(
-        pairs.select("doc_id_a", "doc_id_b"), checkpoint_dir
-    )
-    n_cand = pairs.count()
-    if n_cand <= pair_budget:
-        return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
-    import logging
-    import math
-
-    n_chunks = math.ceil(n_cand / pair_budget)
-    logging.getLogger(__name__).warning(
-        "pair-volume valve: %d candidate pairs exceed the %d-pair verify "
-        "budget; running %d sequential verify chunks (identical output, "
-        "bounded spill). For group-level output at this clique density "
-        "consider near_dup_groups/similar_groups instead.",
-        n_cand, pair_budget, n_chunks,
-    )
-    chunk_of = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_chunks))
-    outs = []
-    for i in range(n_chunks):
-        outs.append(
-            fused_overlap_counts(
-                pairs.where(chunk_of == i), rel, cfg, threshold,
-                checkpoint_dir, rel_b,
+    # persist (NOT _materialize/localCheckpoint): checkpoint blocks can
+    # only be freed by driver GC + ContextCleaner, so every flagship
+    # call would strand a candidate-list-sized block set on a long
+    # session; the cache is an equivalent action barrier here (count()
+    # below populates it before any chunk filter reads it) and
+    # unpersists deterministically once the eagerly-materialized
+    # outputs no longer need it.
+    pairs = pairs.select("doc_id_a", "doc_id_b").persist()
+    try:
+        n_cand = pairs.count()
+        if n_cand <= pair_budget:
+            return fused_overlap_counts(
+                pairs, rel, cfg, threshold, checkpoint_dir, rel_b
             )
+        import logging
+        import math
+
+        n_chunks = math.ceil(n_cand / pair_budget)
+        logging.getLogger(__name__).warning(
+            "pair-volume valve: %d candidate pairs exceed the %d-pair verify "
+            "budget; running %d sequential verify chunks (identical output, "
+            "bounded spill). For group-level output at this clique density "
+            "consider near_dup_groups/similar_groups instead.",
+            n_cand, pair_budget, n_chunks,
         )
-        # fused_overlap_counts materialized the chunk, so its verify
-        # join's shuffle files are dead — but Spark only deletes them
-        # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
-        # the JVM so sequential chunks don't stack N chunks of spill,
-        # which would defeat the valve.
-        pairs.sparkSession.sparkContext._jvm.System.gc()
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        chunk_of = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_chunks))
+        outs = []
+        for i in range(n_chunks):
+            outs.append(
+                fused_overlap_counts(
+                    pairs.where(chunk_of == i), rel, cfg, threshold,
+                    checkpoint_dir, rel_b,
+                )
+            )
+            # fused_overlap_counts materialized the chunk, so its verify
+            # join's shuffle files are dead — but Spark only deletes them
+            # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
+            # the JVM so sequential chunks don't stack N chunks of spill,
+            # which would defeat the valve.
+            pairs.sparkSession.sparkContext._jvm.System.gc()
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+    finally:
+        # every return path above has already eagerly materialized its
+        # result (fused_overlap_counts ends in _materialize), so the
+        # candidate cache is dead weight by now.
+        pairs.unpersist()
 
 
 def similar_pairs(
