@@ -447,6 +447,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "auto",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Build the IVF inverted-list index once: train the coarse
     quantizer on a bounded driver-side sample, then assign every corpus
@@ -459,8 +460,16 @@ def ivf_index(
     to parquet PARTITIONED BY list_id once per ingest, and every later
     query batch reads only its probed lists (partition pruning) —
     re-deriving the index per batch, as a fused call does, re-pays the
-    assignment scan every time."""
-    cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    assignment scan every time.
+
+    Pass ``cents`` (a previous build's centroids) to SKIP training and
+    assign ``emb`` with the existing quantizer — the incremental-ingest
+    path: a new crawl's vectors get list ids consistent with the stored
+    index, so its partitionBy(list_id) parquet APPENDS into the same
+    lists and every prior list assignment stays valid (retraining would
+    silently re-map them)."""
+    if cents is None:
+        cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -179,3 +179,22 @@ def test_ivf_index_query_split_equals_fused(spark):
     assert sorted(map(tuple, fused.collect())) == sorted(
         map(tuple, (r for r in split.select(*fused.columns).collect()))
     )
+
+
+def test_ivf_index_incremental_ingest(spark):
+    """Passing a previous build's centroids skips retraining and
+    assigns a new batch consistently with the stored index: the union
+    of (old index) + (new batch indexed with old cents) must equal
+    indexing the union corpus with those same cents."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivf_index
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    cents, old_idx = ivf_index(old, n_lists=8)
+    cents2, new_idx = ivf_index(new, cents=cents)
+    assert cents2 == cents  # no retraining happened
+    _, full_idx = ivf_index(emb, cents=cents)
+    merged = {(r.neighbor_id, r.list_id) for r in old_idx.unionByName(new_idx).collect()}
+    full = {(r.neighbor_id, r.list_id) for r in full_idx.collect()}
+    assert merged == full
