@@ -173,8 +173,10 @@ def q_ann_lsh_topk(spark, sf):
     return _ann.lsh_topk(emb, emb.where(F.col("vec_id") % 50 == 0), k=5)
 
 
-def _ivf_oracle_sql(n_lists: int, n_probe: int, k: int, iters: int) -> str:
+def _ivf_oracle_sql(n_lists: int, n_probe: int, k: int | None, iters: int) -> str:
     """DuckDB twin of operators.ann.ivf_topk — the quantizer included.
+    With ``k=None``, stops at the corpus assignment (vec -> nearest
+    list) — the twin of ``streaming_ivf_index``'s output.
 
     ann._centroids is engine-portable by construction (seed = lowest-id
     vectors; Lloyd assignment via the scaled-int cosine; update = int64
@@ -216,7 +218,7 @@ c{r} AS (
   FROM c{r - 1} p LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = p.i
 )""")
     round_sql = ",\n".join(rounds)
-    return f"""WITH samp AS (
+    ctes = f"""samp AS (
   SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ann.IVF_TRAIN_CAP}
 ),
 all_e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -231,7 +233,12 @@ c0 AS (
 {round_sql},
 arank AS (
   SELECT vec_id, cid, rn FROM {rank_cte(f'c{iters}')}
-),
+)"""
+    if k is None:  # assignment-only twin (streaming_ivf_index)
+        return f"""WITH {ctes}
+SELECT vec_id AS neighbor_id, CAST(cid AS BIGINT) AS list_id
+FROM arank WHERE rn = 1"""
+    return f"""WITH {ctes},
 corpus_assign AS (SELECT vec_id AS neighbor_id, cid AS list_id FROM arank WHERE rn = 1),
 probe_assign AS (SELECT vec_id AS query_id, cid AS list_id FROM arank
                  WHERE rn <= {n_probe} AND vec_id % 50 = 0),
@@ -351,6 +358,21 @@ def q_ann_ivf_recall_floor(spark, sf):
     return spark.createDataFrame(
         [(n_q, hits >= 0.2 * 5 * n_q)], "n_queries long, recall_ge_20pct boolean"
     )
+
+
+@register("streaming_ivf_index", _ivf_oracle_sql(n_lists=16, n_probe=0, k=None, iters=2))
+def q_streaming_ivf_index(spark, sf):
+    """IVF index built INCREMENTALLY over 4 embedding micro-batches,
+    each assigned with a quantizer pinned at stream start (the round-9
+    ``ivf_index(cents=...)`` ingest path), written idempotently to a
+    batch_id/list_id-partitioned store.  BATCH EQUIVALENCE is the
+    contract — streamed assignment == one-shot assignment under the
+    same centroids — so the oracle is the unrolled-Lloyd assignment CTE
+    (``_ivf_oracle_sql(k=None)``), which bit-reproduces the quantizer
+    AND the nearest-list choice for every vector."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_ivf_index
+
+    return streaming_ivf_index(spark, sf, n_lists=16, lloyd_iters=2)
 
 
 @register(

@@ -486,3 +486,86 @@ def incremental_similar_pairs(
             shutil.rmtree(split_dir, ignore_errors=True)
             shutil.rmtree(state_dir, ignore_errors=True)
     return result
+
+
+def streaming_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 16,
+    lloyd_iters: int = 2,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """IVF inverted-list index built INCREMENTALLY: stream the
+    embeddings table in micro-batches and assign each batch with a
+    quantizer pinned for the stream's life (``operators.ann.ivf_index``
+    with stored ``cents`` — the round-9 incremental-ingest path), so
+    every batch's list ids land consistent with the accumulated index.
+
+    The quantizer is trained once up front on the corpus's bounded
+    deterministic sample — the moral equivalent of "yesterday's index"
+    whose centroids a production ingest reuses; retraining per batch
+    would silently re-map previously assigned lists (the exact failure
+    the ``cents`` parameter exists to prevent).  Each micro-batch is
+    written to its own ``batch_id=`` partition with dynamic partition
+    overwrite (idempotent on replay, same contract as
+    ``incremental_similar_pairs``), sub-partitioned by ``list_id`` so a
+    query's probed lists prune to files.
+
+    Returns (neighbor_id, list_id) for the whole corpus — byte-equal to
+    a one-shot batch ``ivf_index`` under the same centroids, which is
+    exactly what the DuckDB oracle (the unrolled-Lloyd assignment CTE)
+    reproduces."""
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.operators.ann import _centroids, ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb, n_lists, lloyd_iters, "vec_id", "embedding")
+
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="ivf_stream_")
+    split_dir = os.path.join(state_dir, "emb_split")
+    idx_path = os.path.join(state_dir, "index")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _, corpus = ivf_index(batch_df, cents=cents)
+        (
+            corpus.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(idx_path)
+        )
+
+    try:
+        if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+            # one file per trigger => real multi-batch arrival over the
+            # static corpus (see incremental_similar_pairs for why)
+            emb.repartition(4).write.mode("overwrite").parquet(split_dir)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        result = (
+            spark.read.parquet(idx_path)
+            # list_id comes back from DIRECTORY NAMES (partition-column
+            # inference -> int); pin the written long type for the
+            # schema-exact oracle compare.
+            .select("neighbor_id", F.col("list_id").cast("long").alias("list_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result

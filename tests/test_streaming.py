@@ -296,3 +296,23 @@ def test_streaming_dedup_state_is_bounded(spark, tmp_path):
     assert progress, "progress_out not populated"
     # all 10 early keys evicted; only the two fresh ones can remain
     assert 0 < _state_rows(progress[-1]) <= 2
+
+
+def test_streaming_ivf_index_equals_batch(spark):
+    """The streamed, centroid-pinned IVF assignment over 4 micro-batches
+    must equal the one-shot batch ivf_index under the same centroids —
+    and replaying (a fresh run over the same corpus) is idempotent."""
+    from mapreduce_minhash_lsh_spark.operators.ann import _centroids, ivf_index
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table as lt
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_ivf_index
+
+    emb = lt(spark, SF_SMALL, "embeddings")
+    cents = _centroids(emb, 8, 2, "vec_id", "embedding")
+    _, batch_idx = ivf_index(emb, cents=cents)
+    want = {(r.neighbor_id, r.list_id) for r in batch_idx.collect()}
+    got = {
+        (r.neighbor_id, r.list_id)
+        for r in streaming_ivf_index(spark, SF_SMALL, n_lists=8).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()  # every vector assigned exactly once
