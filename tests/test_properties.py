@@ -217,3 +217,43 @@ def test_jpeg_q1_bounded_error_property(dims, seed, restart):
     assert out.shape == arr.shape
     # chroma rounding through YCbCr costs up to ~2 LSB; DCT rounding ~1
     assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=3, max_value=8),
+)
+def test_ivf_fast_assign_agrees_or_tied(spark, seed, k_cents, dim):
+    """On arbitrary vectors the Arrow-matmul assignment must pick the
+    same nearest centroid as the exact scaled-int expression — or, when
+    they differ, the two centroids' cosines to the vector must be a
+    genuine near-tie (the only divergence float64-vs-exact rounding can
+    produce)."""
+    import numpy as np
+
+    from mapreduce_minhash_lsh_spark.operators.ann import _assign_col
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    cents = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(k_cents)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = df.select(
+        "vec_id", "embedding",
+        F.element_at(_assign_col(cents, F.col("embedding"), 1, "exact"), 1).alias("e"),
+        F.element_at(_assign_col(cents, F.col("embedding"), 1, "fast"), 1).alias("f"),
+    ).collect()
+    mat = np.array([c[1] for c in cents], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    for r in rows:
+        if r.e == r.f:
+            continue
+        v = np.array(r.embedding, dtype=np.float64)
+        cos = (mat @ v) / (np.where(nrm > 0, nrm, 1.0) * max(np.linalg.norm(v), 1e-300))
+        assert abs(cos[r.e] - cos[r.f]) < 1e-9, (r.vec_id, r.e, r.f, cos)
