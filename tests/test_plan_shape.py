@@ -161,3 +161,17 @@ def test_signature_set_relation_single_aggregate(spark):
     p = plan(base.groupBy("doc_id").agg(*aggs))
     # exactly one exchange: the partial->final aggregate pair rides it
     assert len(re.findall(r"Exchange", p)) == 1, p[:1200]
+
+
+def test_ivf_query_broadcasts_probes_never_shuffles_corpus(spark):
+    """The IVF probe join must broadcast the (|Q| x n_probe)-row probe
+    side; the corpus is scanned once, never exchanged — at 100 TB a
+    SortMergeJoin here would shuffle the whole index per query batch."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivf_index, ivf_query
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents, corpus = ivf_index(emb, n_lists=8)
+    q = emb.where(F.col("vec_id") % 40 == 0)
+    p = plan(ivf_query(cents, corpus, q, k=5, n_probe=3))
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p, p[:1500]
