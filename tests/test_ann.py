@@ -198,3 +198,17 @@ def test_ivf_index_incremental_ingest(spark):
     merged = {(r.neighbor_id, r.list_id) for r in old_idx.unionByName(new_idx).collect()}
     full = {(r.neighbor_id, r.list_id) for r in full_idx.collect()}
     assert merged == full
+
+
+def test_ivf_query_prune_equals_unpruned(spark):
+    """prune=True (collected-list partition pruning, the small-batch
+    path) must not change results — it only narrows the corpus scan to
+    lists the probes touch, which is exactly the set the join keeps."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivf_index, ivf_query
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    cents, corpus = ivf_index(emb, n_lists=8)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    a = ivf_query(cents, corpus, q, k=5, n_probe=3, prune=False)
+    b = ivf_query(cents, corpus, q, k=5, n_probe=3, prune=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
