@@ -464,3 +464,66 @@ def quality_drop_ids(
         .join(keep, "group_id")
         .select(F.col(id_col).alias("drop_id"), "keep_id", "group_id")
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_grams: int = 2,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Passage-level duplication: maximal word spans made of ``n``-gram
+    windows that also occur in at least one OTHER document — the
+    boilerplate/license/quoted-passage detector that whole-document
+    near-dup (``similar_pairs``) and doc-level containment cannot give
+    you, and the span-granular form of "dedup the repeated passages,
+    not the documents" (Lee et al., Deduplicating Training Data).
+
+    documents(doc_id, text) -> (doc_id, span_start, span_end, n_grams):
+    1-based word positions of each maximal run of >= ``min_grams``
+    consecutive duplicated n-gram starts (the span covers
+    span_end - span_start + 1 words).  A gram is "duplicated" when its
+    md5-long id appears in >= 2 distinct documents; ``max_df`` drops
+    stop-phrase grams shared by more than that many docs — the same
+    postings bound as ``containment_pairs_postings``, keeping the
+    gram join linear instead of quadratic in corpus-wide df.
+
+    Plan: one map-side gram explode (the transform building the gram
+    array is the generator's ARGUMENT, evaluated once per doc — the
+    generator-sibling rule, SCALE.md §4), one df aggregate + equi-join
+    on gram id, one per-doc window for gaps-and-islands merging.  All
+    ids are md5-long (the engine-portable contract), so the DuckDB twin
+    reproduces every span bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= n)
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+        lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+    )
+    grams = d.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos0", "gid")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gid").persist()
+    dup = (
+        grams.groupBy("gid")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("gid")
+    )
+    hits = grams.join(dup, "gid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .where(F.col("n_grams") >= min_grams)
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

@@ -1291,3 +1291,52 @@ def q_multimodal_tiff(spark, sf):
     docs = load_table(spark, sf, "documents")
     media = _binary.resize_images(_binary.synth_tiff_media(docs), 6, 8)
     return _binary.extract_media_features(media)
+
+
+_SPAN_N, _SPAN_MIN, _SPAN_MAX_DF = 5, 2, 10_000
+
+
+def _repeated_spans_sql(n: int, min_grams: int, max_df: int) -> str:
+    from mapreduce_minhash_lsh_spark.queries._base import _md5_parse_sql
+
+    gram = f"array_to_string(toks[i:i + {n - 1}], ' ')"
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+grams AS (
+  SELECT doc_id, i AS pos, ({_md5_parse_sql(gram)}) AS gid
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {n} + 2)) AS i
+        FROM toks)
+),
+dup AS (
+  SELECT gid FROM grams GROUP BY gid
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {max_df}
+),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gid)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= {min_grams}"""
+
+
+@register(
+    "repeated_spans",
+    _repeated_spans_sql(_SPAN_N, _SPAN_MIN, _SPAN_MAX_DF),
+)
+def q_repeated_spans(spark, sf):
+    """Passage-level duplication (operators.dedup.repeated_spans): the
+    maximal word spans whose 5-gram windows also occur in another
+    document — boilerplate/license/quote detection at span granularity,
+    the unit "dedup the repeated passages" (Lee et al.) operates on.
+    md5-long gram ids make every span bit-reproducible in the DuckDB
+    twin (gaps-and-islands over the identical duplicated-gram set)."""
+    return _dedup.repeated_spans(
+        load_table(spark, sf, "documents"),
+        n=_SPAN_N, min_grams=_SPAN_MIN, max_df=_SPAN_MAX_DF,
+    )

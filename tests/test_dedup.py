@@ -256,3 +256,46 @@ def test_pair_volume_valve_warns_when_firing(spark, caplog):
                          logger="mapreduce_minhash_lsh_spark.operators.similarity"):
         similar_pairs(docs, cfg, pair_budget=5).count()
     assert any("pair-volume valve" in r.message for r in caplog.records)
+
+
+def test_repeated_spans_planted_passage(spark):
+    """A passage shared verbatim by two docs must come back as one
+    maximal span in each, with correct 1-based word positions; unique
+    text and intra-doc-only repeats must not produce spans."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            # intra-doc repeat only: same 5-gram twice in ONE doc
+            (3, "one two three four five x one two three four five"),
+            (4, "totally unrelated words that never repeat anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in repeated_spans(docs, n=5, min_grams=2).collect()
+    }
+    # doc 1: shared passage occupies words 3..12 -> 5-gram starts 3..8
+    # doc 2: words 1..10 -> starts 1..6; docs 3/4: nothing cross-doc
+    assert out == {(1, 3, 12, 6), (2, 1, 10, 6)}
+
+
+def test_repeated_spans_max_df_drops_stock_phrases(spark):
+    """A gram shared by MORE than max_df docs is treated as a stock
+    phrase and produces no spans (the postings bound)."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import repeated_spans
+
+    phrase = "all rights reserved by the author"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says " + phrase) for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = repeated_spans(docs, n=3, min_grams=1, max_df=4).collect()
+    # only grams fully inside the shared phrase have df=5 (> max_df);
+    # grams straddling the distinct "doc {i} says" prefix have df=1 —
+    # so nothing survives
+    assert got == []
