@@ -505,6 +505,11 @@ def repeated_spans(
         F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
         lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
     )
+    # Persisted because consumed TWICE (df aggregate, then the hits
+    # join); a single-pass collect_list-per-gid alternative would build
+    # an unbounded group for stock phrases BEFORE the df filter could
+    # drop them.  Session-lifetime cache, same convention as the word
+    # flagship's shingle relation (clearCache() between corpora).
     grams = d.select(
         "doc_id", F.posexplode(gram_arr).alias("pos0", "gid")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gid").persist()
