@@ -532,3 +532,47 @@ def repeated_spans(
         .where(F.col("n_grams") >= min_grams)
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_grams: int = 2,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """The actionable form of :func:`repeated_spans`: rewrite every
+    document with its duplicated passages REMOVED — passage-level dedup
+    as a corpus transform (documents(doc_id, text) -> (doc_id, text)),
+    the "train on the unique residue" step downstream pipelines consume.
+
+    Every input doc survives (possibly with empty text when it was
+    boilerplate end to end); word order outside flagged spans is
+    preserved by rebuilding from (position, token) pairs, so the output
+    is deterministic under any partitioning.  One extra shuffle on top
+    of repeated_spans (the per-doc rebuild aggregate); the span join is
+    an anti-join on (doc_id, pos) — span positions, not text, move
+    through the shuffle."""
+    spans = repeated_spans(docs, n, min_grams, max_df)
+    drop = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(drop, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text")
+    )
+    # docs whose every token was flagged vanish from the rebuild group;
+    # re-attach them with empty text so the corpus row set is stable.
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )

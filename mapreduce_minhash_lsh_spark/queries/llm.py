@@ -1296,11 +1296,13 @@ def q_multimodal_tiff(spark, sf):
 _SPAN_N, _SPAN_MIN, _SPAN_MAX_DF = 5, 2, 10_000
 
 
-def _repeated_spans_sql(n: int, min_grams: int, max_df: int) -> str:
+def _repeated_spans_ctes(n: int, min_grams: int, max_df: int) -> str:
+    """The duplicated-passage CTE chain through ``spans`` — shared by
+    the span REPORT oracle and the span STRIP oracle."""
     from mapreduce_minhash_lsh_spark.queries._base import _md5_parse_sql
 
     gram = f"array_to_string(toks[i:i + {n - 1}], ' ')"
-    return f"""WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
   WHERE len(string_split(text, ' ')) >= {n}
 ),
@@ -1318,11 +1320,44 @@ isl AS (
   SELECT doc_id, pos,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {n - 1} AS span_end,
+         COUNT(*) AS n_grams
+  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= {min_grams}
+)"""
+
+
+def _repeated_spans_sql(n: int, min_grams: int, max_df: int) -> str:
+    return f"""WITH {_repeated_spans_ctes(n, min_grams, max_df)}
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(n_grams AS BIGINT) AS n_grams
+FROM spans"""
+
+
+def _strip_spans_sql(n: int, min_grams: int, max_df: int) -> str:
+    return f"""WITH {_repeated_spans_ctes(n, min_grams, max_df)},
+drops AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans)
+),
+tok_pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok_pos t
+  LEFT JOIN drops d ON d.doc_id = t.doc_id AND d.pos = t.pos
+  WHERE d.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + {n - 1} AS BIGINT) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_grams
-FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= {min_grams}"""
+SELECT d.doc_id, COALESCE(r.text, '') AS text
+FROM documents d LEFT JOIN reb r USING (doc_id)"""
 
 
 @register(
@@ -1337,6 +1372,22 @@ def q_repeated_spans(spark, sf):
     md5-long gram ids make every span bit-reproducible in the DuckDB
     twin (gaps-and-islands over the identical duplicated-gram set)."""
     return _dedup.repeated_spans(
+        load_table(spark, sf, "documents"),
+        n=_SPAN_N, min_grams=_SPAN_MIN, max_df=_SPAN_MAX_DF,
+    )
+
+
+@register(
+    "strip_repeated_spans",
+    _strip_spans_sql(_SPAN_N, _SPAN_MIN, _SPAN_MAX_DF),
+)
+def q_strip_repeated_spans(spark, sf):
+    """Passage-level dedup as a corpus TRANSFORM: every document
+    rewritten with its duplicated spans removed (empty text when it was
+    boilerplate end to end; row set stable).  The oracle rebuilds each
+    text from the identical (position, token) residue, so the output
+    strings compare byte-for-byte."""
+    return _dedup.strip_repeated_spans(
         load_table(spark, sf, "documents"),
         n=_SPAN_N, min_grams=_SPAN_MIN, max_df=_SPAN_MAX_DF,
     )

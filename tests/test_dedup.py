@@ -299,3 +299,27 @@ def test_repeated_spans_max_df_drops_stock_phrases(spark):
     # grams straddling the distinct "doc {i} says" prefix have df=1 —
     # so nothing survives
     assert got == []
+
+
+def test_strip_repeated_spans_planted_passage(spark):
+    """The transform removes exactly the flagged spans, preserves word
+    order of the residue, and keeps untouched docs byte-identical."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import strip_repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            (3, "totally unrelated words that never repeat anywhere else"),
+            (4, shared),  # boilerplate end to end -> empty residue
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in strip_repeated_spans(docs, n=5, min_grams=2).collect()}
+    assert got == {
+        1: "alpha beta gamma delta epsilon",
+        2: "zeta eta theta iota kappa",
+        3: "totally unrelated words that never repeat anywhere else",
+        4: "",
+    }
