@@ -471,6 +471,7 @@ def repeated_spans(
     n: int = 5,
     min_grams: int = 2,
     max_df: int = 10_000,
+    id_strategy: str = "md5",
 ) -> DataFrame:
     """Passage-level duplication: maximal word spans made of ``n``-gram
     windows that also occur in at least one OTHER document — the
@@ -491,19 +492,26 @@ def repeated_spans(
     Plan: one map-side gram explode (the transform building the gram
     array is the generator's ARGUMENT, evaluated once per doc — the
     generator-sibling rule, SCALE.md §4), one df aggregate + equi-join
-    on gram id, one per-doc window for gaps-and-islands merging.  All
-    ids are md5-long (the engine-portable contract), so the DuckDB twin
-    reproduces every span bit-for-bit.
+    on gram id, one per-doc window for gaps-and-islands merging.
+    Default gram ids are md5-long (the engine-portable contract), so
+    the DuckDB twin reproduces every span bit-for-bit;
+    ``id_strategy='xxhash'`` is the production option — identical spans
+    (any collision-free 64-bit id yields the same duplicated-position
+    set up to negligible collision odds), cheaper per gram, off the
+    oracle — mirroring the flagship's id_strategy split.
     """
     from pyspark.sql import Window
 
     from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 
+    if id_strategy not in ("md5", "xxhash"):
+        raise ValueError(f"id_strategy must be 'md5' or 'xxhash', got {id_strategy!r}")
+    gid_of = md5_long if id_strategy == "md5" else F.xxhash64
     toks = F.split(F.col("text"), " ")
     d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= n)
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-        lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        lambda i: gid_of(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
     )
     # Persisted because consumed TWICE (df aggregate, then the hits
     # join); a single-pass collect_list-per-gid alternative would build

@@ -323,3 +323,19 @@ def test_strip_repeated_spans_planted_passage(spark):
         3: "totally unrelated words that never repeat anywhere else",
         4: "",
     }
+
+
+def test_repeated_spans_xxhash_strategy_same_spans(spark):
+    """The production xxhash gram ids must produce the identical span
+    set as the oracle md5 ids (the id only names the gram)."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "z z a b c d e f g q"),
+         (3, "nothing in common here at all ok")],
+        "doc_id long, text string",
+    )
+    md5 = sorted(map(tuple, repeated_spans(docs, n=3, min_grams=1).collect()))
+    xx = sorted(map(tuple, repeated_spans(
+        docs, n=3, min_grams=1, id_strategy="xxhash").collect()))
+    assert md5 == xx and len(md5) > 0
