@@ -115,6 +115,10 @@ HEADLINE = [
     # through Arrow-batched mapInPandas — were never benched before.
     "multimodal_features",
     "multimodal_png",
+    # Round-9 addition: passage-level duplication detection (cross-doc
+    # n-gram spans, gaps-and-islands merge) — the span-granular dedup
+    # family's representative.
+    "repeated_spans",
 ]
 
 
