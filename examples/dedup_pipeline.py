@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.functions.redact import redact_pii
 from mapreduce_minhash_lsh_spark.functions.text import quality_score
-from mapreduce_minhash_lsh_spark.operators.dedup import duplicate_ids, near_dup_groups
+from mapreduce_minhash_lsh_spark.operators.dedup import (
+    duplicate_ids,
+    near_dup_groups,
+    strip_repeated_spans,
+)
 from mapreduce_minhash_lsh_spark.operators.packing import pack_sequences
 from mapreduce_minhash_lsh_spark.operators.sampling import split_assign
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
@@ -69,6 +73,15 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         .localCheckpoint(eager=True)
     )
     kept = clean.join(drops, clean.doc_id == drops.drop_id, "left_anti")
+
+    # 3b. Passage-level dedup on the survivors: whole-doc dedup keeps
+    #     one copy of each near-dup GROUP, but distinct documents still
+    #     share boilerplate/license/quoted passages — strip those spans
+    #     and train on the unique residue (round 9, repeated_spans).
+    stripped = strip_repeated_spans(
+        kept.select("doc_id", "text"), n=5, min_grams=2
+    )
+    kept = kept.drop("text").join(stripped, "doc_id")
 
     # 4. Deterministic split (map-side)
     final = split_assign(kept, "doc_id", [("train", 98), ("valid", 1), ("test", 1)])
