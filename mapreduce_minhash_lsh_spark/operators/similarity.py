@@ -448,20 +448,41 @@ def budgeted_overlap_counts(
             n_cand, pair_budget, n_chunks,
         )
         chunk_of = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_chunks))
-        outs = []
-        for i in range(n_chunks):
-            outs.append(
-                fused_overlap_counts(
-                    pairs.where(chunk_of == i), rel, cfg, threshold,
-                    checkpoint_dir, rel_b,
+        # Pre-partition the payload relation(s) by doc_id ONCE: every
+        # chunk's two verify joins would otherwise re-shuffle the full
+        # (sig, sh_set) payload — (chunks x 2) x |rel| of avoidable
+        # exchange, the dominant fixed cost behind the measured 1.41x
+        # chunking premium at 80x (results_r9.json valve_identity_ab).
+        # The cached InMemoryRelation reports its hash partitioning, so
+        # each chunk's join reuses it across actions and only the
+        # bounded chunk side (and join-1's chunk-sized intermediate)
+        # moves through a shuffle.
+        spark = pairs.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        rel_p = rel.repartition(n_part, "doc_id").persist()
+        rel_b_p = (
+            rel_b.repartition(n_part, "doc_id").persist()
+            if rel_b is not None else None
+        )
+        try:
+            outs = []
+            for i in range(n_chunks):
+                outs.append(
+                    fused_overlap_counts(
+                        pairs.where(chunk_of == i), rel_p, cfg, threshold,
+                        checkpoint_dir, rel_b_p,
+                    )
                 )
-            )
-            # fused_overlap_counts materialized the chunk, so its verify
-            # join's shuffle files are dead — but Spark only deletes them
-            # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
-            # the JVM so sequential chunks don't stack N chunks of spill,
-            # which would defeat the valve.
-            pairs.sparkSession.sparkContext._jvm.System.gc()
+                # fused_overlap_counts materialized the chunk, so its verify
+                # join's shuffle files are dead — but Spark only deletes them
+                # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
+                # the JVM so sequential chunks don't stack N chunks of spill,
+                # which would defeat the valve.
+                spark.sparkContext._jvm.System.gc()
+        finally:
+            rel_p.unpersist()
+            if rel_b_p is not None:
+                rel_b_p.unpersist()
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
