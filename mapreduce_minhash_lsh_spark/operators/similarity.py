@@ -24,6 +24,7 @@ from mapreduce_minhash_lsh_spark.operators.lsh import (
     banded_pairs,
     banded_pairs_capped,
     bands_for,
+    candidate_volume_bound,
 )
 from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
 
@@ -403,6 +404,7 @@ def budgeted_overlap_counts(
     checkpoint_dir: str | None = None,
     rel_b: DataFrame | None = None,
     pair_budget: int | None = PAIR_VERIFY_BUDGET,
+    est_volume: int | None = None,
 ) -> DataFrame:
     """:func:`fused_overlap_counts` behind the pair-volume valve
     (VERDICT r8 #2): materialize the candidate list (2 longs/row — the
@@ -410,6 +412,15 @@ def budgeted_overlap_counts(
     exceeds ``pair_budget`` run the verify join in sequential hash
     chunks of at most ``pair_budget`` pairs instead of one join whose
     pairs x (sig, sh_set) payload shuffle can exhaust local spill disk.
+
+    ``est_volume`` (VERDICT r9 #2): a caller-supplied UPPER BOUND on
+    the distinct pairs in ``pairs`` (``lsh.candidate_volume_bound`` —
+    sum of per-bucket C(n,2), available before the pair join runs).  A
+    bound within budget proves the single join safe, so the candidate
+    persist+count barrier — the valve's measured 12% always-on premium
+    at benign scale — is skipped entirely and the exact round-8 plan
+    runs; the barrier is paid only when the bound says chunking is
+    plausibly needed.
 
     Chunking is a deterministic ``pmod(xxhash64(a, b), n_chunks)``
     partition of the candidate list, each chunk verified and
@@ -421,6 +432,8 @@ def budgeted_overlap_counts(
     restoring the exact round-8 single-join plan.
     """
     if pair_budget is None:
+        return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
+    if est_volume is not None and est_volume <= pair_budget:
         return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
     # persist (NOT _materialize/localCheckpoint): checkpoint blocks can
     # only be freed by driver GC + ContextCleaner, so every flagship
@@ -458,7 +471,12 @@ def budgeted_overlap_counts(
         # bounded chunk side (and join-1's chunk-sized intermediate)
         # moves through a shuffle.
         spark = pairs.sparkSession
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            # platforms may set the conf to a non-integer ("auto");
+            # don't let the valve die exactly when it's needed
+            n_part = spark.sparkContext.defaultParallelism
         rel_p = rel.repartition(n_part, "doc_id").persist()
         rel_b_p = (
             rel_b.repartition(n_part, "doc_id").persist()
@@ -477,8 +495,11 @@ def budgeted_overlap_counts(
                 # join's shuffle files are dead — but Spark only deletes them
                 # when the driver GCs the stage's RDDs (ContextCleaner).  Nudge
                 # the JVM so sequential chunks don't stack N chunks of spill,
-                # which would defeat the valve.
-                spark.sparkContext._jvm.System.gc()
+                # which would defeat the valve.  Gated (VERDICT r9 #7): at
+                # <= 2 chunks the stacked spill is no worse than the single
+                # join's, so a stop-the-world full GC per chunk buys nothing.
+                if n_chunks > 2:
+                    spark.sparkContext._jvm.System.gc()
         finally:
             rel_p.unpersist()
             if rel_b_p is not None:
@@ -564,8 +585,16 @@ def similar_pairs_from_shingles(
         if auto_split_threshold is not None:
             kw["auto_split_threshold"] = auto_split_threshold
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize, **kw)
+    est = None
+    if pair_budget is not None:
+        # bucket-size bound on pair volume, off the materialized rel —
+        # proves the unbarriered verify join safe at benign scale
+        # without ever materializing the candidate list (VERDICT r9 #2)
+        cap = max_bucket_size if oversize == "drop" else None
+        est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
     counts = budgeted_overlap_counts(
-        cands, rel, cfg, threshold, checkpoint_dir, pair_budget=pair_budget
+        cands, rel, cfg, threshold, checkpoint_dir, pair_budget=pair_budget,
+        est_volume=est,
     )
     return (
         counts.where(F.col("nc") > 0)
@@ -716,9 +745,14 @@ def cross_corpus_pairs(
             .select("doc_id_a", "doc_id_b")
             .distinct()
         )
+    est = None
+    if pair_budget is not None:
+        est = candidate_volume_bound(
+            rel_new, cfg, rel_b=rel_seen, bucket_cap=max_bucket_size
+        )
     counts = budgeted_overlap_counts(
         cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen,
-        pair_budget=pair_budget,
+        pair_budget=pair_budget, est_volume=est,
     )
     return (
         counts.where(F.col("nc") > 0)
@@ -774,8 +808,13 @@ def containment_pairs(
         cands = banded_pairs(rel, cfg)
     else:
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
+    est = None
+    if pair_budget is not None:
+        cap = max_bucket_size if oversize == "drop" else None
+        est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
     counts = budgeted_overlap_counts(
-        cands, rel, cfg, cfg.threshold, checkpoint_dir, pair_budget=pair_budget
+        cands, rel, cfg, cfg.threshold, checkpoint_dir, pair_budget=pair_budget,
+        est_volume=est,
     )
     return (
         counts.where(F.col("nc") >= 0)

@@ -373,3 +373,57 @@ def test_repeated_spans_releases_gram_cache(spark):
     }
     assert xx_out == md5_out  # gram-id scheme never changes the spans
     assert spans.count() > 0
+
+
+def test_candidate_volume_bound_gates_the_barrier(spark, monkeypatch):
+    """VERDICT r9 #2: the valve's always-on candidate persist+count is
+    replaced by a bucket-size pair-volume BOUND computed before the pair
+    join.  (a) the bound dominates the true distinct candidate count,
+    symmetric and cross-corpus; (b) when the bound fits the budget the
+    barrier is provably skipped (a poisoned DataFrame.persist never
+    fires) and the output is unchanged."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+    from mapreduce_minhash_lsh_spark.operators.lsh import (
+        banded_cross_pairs,
+        banded_pairs,
+        candidate_volume_bound,
+    )
+    from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+    from mapreduce_minhash_lsh_spark.operators.similarity import (
+        signature_set_relation,
+        similar_pairs,
+    )
+    from mapreduce_minhash_lsh_spark.sources.docgen import register_docgen
+
+    register_docgen(spark)
+    docs = (spark.read.format("docgen").option("rows", 120).option("parts", 2)
+            .option("seed", 7).option("dup_every", 4).load())
+    cfg = MinHashLSHConfig(num_hashes=64, num_bands=8, threshold=0.7)
+    rel = signature_set_relation(explode_shingles(docs, cfg.k), cfg)
+
+    # (a) bound >= true candidates, both join shapes
+    bound = candidate_volume_bound(rel, cfg)
+    assert bound >= banded_pairs(rel, cfg).count()
+    half_a = rel.where(F.col("doc_id") % 2 == 0)
+    half_b = rel.where(F.col("doc_id") % 2 == 1)
+    xbound = candidate_volume_bound(half_a, cfg, rel_b=half_b)
+    assert xbound >= banded_cross_pairs(half_a, half_b, cfg).count()
+
+    # (b) benign scale: bound <= budget -> no persist barrier at all
+    want = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in similar_pairs(docs, cfg, pair_budget=None).collect()
+    )
+
+    def _poisoned_persist(self, *a, **k):
+        raise AssertionError("barrier persist fired on the benign path")
+
+    monkeypatch.setattr(DataFrame, "persist", _poisoned_persist)
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in similar_pairs(docs, cfg, pair_budget=10**9).collect()
+    )
+    assert got == want
