@@ -88,9 +88,17 @@ def register(name: str, sql: str | None = None):
 #      +q9_profit_by_nation_year, +q21_sole_blame_suppliers,
 #      +near_dup_drop_best_quality, +document_chunks,
 #      +events_retention_cohorts; backlog 52 -> 42.
-#   r10: the never-checked TPC-H block (q4, q7, q8, q12, q13, q14, q15,
-#      q17, q19, q22), retiring r9-green TPC-H + window redundants;
-#      backlog -> 32.
+#   r10 (done below): the never-checked TPC-H block (q4, q7, q8, q12,
+#      q13, q14, q15, q17, q19, q22), retiring r9-green TPC-H + window
+#      redundants (q1, q3, q5, q9, q21, orders_above_customer_avg,
+#      window_top_orders_per_customer, rollup_quantity,
+#      events_retention_cohorts); PLUS the three new r9 operators pulled
+#      forward from the tail (repeated_spans, strip_repeated_spans,
+#      streaming_ivf_index — new operators earn a driver row within a
+#      round of landing, VERDICT r9 #1), retiring containment_pairs,
+#      near_dup_drop_best_quality, document_chunks, multimodal_gif (all
+#      r9-green; each family keeps a window representative).
+#      backlog 45 -> 32.
 #   r11: analytics/events block (events_session_window, events_sliding_
 #      windows, events_trailing_hour_stats, events_debounce, concurrent_
 #      sessions, user_lifetime_profile, user_first_last_event, events_
@@ -118,26 +126,25 @@ _PRIORITY: list[str] = [
     "lsh_bands",
     "candidate_pairs",
     "similar_pairs",
-    # Relational / TPC-H
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    # Round-9 rotation (VERDICT r8 #1): q10_returned_revenue and
-    # q18_large_orders retired (TPC-H family septuply covered); their
-    # slots go to the never-checked benched headliners below.
-    "q9_profit_by_nation_year",
-    "q21_sole_blame_suppliers",
-    "orders_above_customer_avg",
-    # Window / analytic
-    # (round 8 rotation: events_moving_avg retired — the window-function
-    # family stays quadruply covered by the four rows below + sessionize.)
-    "window_top_orders_per_customer",
+    # Relational / TPC-H — round-10 rotation (VERDICT r9 #1): the ten
+    # never-driver-checked TPC-H shapes take the whole relational block;
+    # the nine retirees (q1, q3, q5, q9, q21, orders_above_customer_avg,
+    # window_top_orders_per_customer, rollup_quantity,
+    # events_retention_cohorts) are all driver-green in r2-r9, stay
+    # registered, and stay sweep-green (aliases-only rule).
+    "q4_late_shipment_priorities",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q12_priority_lines_by_flag",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    # Window / analytic (round 10: sessionize keeps the family's driver
+    # row; the other window shapes are sweep-green retirees)
     "events_sessionize",
-    # (round 9: events_funnel and events_json_extract retired — the
-    # events family keeps sessionize + retention cohorts + streaming;
-    # both retirees stay registered and sweep-green)
-    "events_retention_cohorts",
-    "rollup_quantity",
     # Events / streaming / semi-structured (round 8: streaming_hourly_users
     # retired — the HLL/streaming-agg family keeps streaming_events_hourly;
     # the retiree stays registered and sweep-green)
@@ -148,24 +155,30 @@ _PRIORITY: list[str] = [
     # 100 TB continuous-ingest story — micro-batched minhash against an
     # accumulated band store, batch-equivalence oracle)
     "incremental_similar_pairs",
+    # Streaming IVF ingest (round 10 pull-forward, VERDICT r9 #1: new
+    # r9 operators earn a driver row within a round; multimodal_gif
+    # retired — the codec family keeps png/jpeg/tiff, gif stays
+    # registered and sweep-green)
+    "streaming_ivf_index",
     # Group-level flagship (round 5: Borůvka verified components; takes
     # the window slot of events_users_hll, whose HLL family keeps
     # driver-board coverage via streaming_hourly_users and stays
     # oracle-checked past the window)
     "similar_groups",
-    # Text analysis (round 9: quality_scores and frequent_tokens retired
-    # — three text reps remain; document_chunks promoted: the LLM
-    # training-data chunking operator, never driver-checked before)
+    # Text analysis (round 10: document_chunks retired r10 — r9-green,
+    # chunking stays sweep-green; three text reps remain)
     "text_stats",
     "lang_id",
     "doc_fingerprint",
-    "document_chunks",
+    # Passage-level dedup (round 10 pull-forward, VERDICT r9 #1: the two
+    # new r9 span operators; near_dup_drop_best_quality and
+    # document_chunks retired — both r9-green, both sweep-green)
+    "repeated_spans",
+    "strip_repeated_spans",
     # Dedup family (round 9: dedup_drop_ids and near_dup_drop_ids retired
-    # — exact dedup keeps dedup_by_lang_source, near-dup-drop keeps the
-    # promoted quality-aware variant near_dup_drop_best_quality)
+    # — exact dedup keeps dedup_by_lang_source)
     "dedup_by_lang_source",
     "near_dup_groups",
-    "near_dup_drop_best_quality",
     "cross_corpus_near_dups",
     # Sequence packing (ngram_jaccard_sample is a sample-bounded
     # measurement tool; it stays oracle-checked past the window)
@@ -201,7 +214,8 @@ _PRIORITY: list[str] = [
     # to the benched-never-checked containment headliner)
     "ann_topk",
     "embedding_near_dup",
-    "containment_pairs",
+    # (round 10: containment_pairs retired — r9-green; the containment
+    # family keeps containment_pairs_postings in the window)
     # Sampling / splits / PII / profiling (round 9: documents_profile
     # retired — profiling redundantly covered; slot to a codec row)
     "documents_hash_sample",
@@ -220,7 +234,6 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_png",
     "multimodal_jpeg",
-    "multimodal_gif",
     "multimodal_tiff",
 ]
 
