@@ -289,7 +289,103 @@ def valve_probe(replicas: int) -> None:
     spark.stop()
 
 
+def premium_probe(n_runs: int = 3) -> None:
+    """Always-on valve cost at BENIGN scale (VERDICT r9 #2's done
+    criterion): interleave the armed valve (default budget; since r10
+    the trigger is the pre-join bucket-size volume bound, so no
+    candidate barrier fires) against pair_budget=None (round-8 plan) on
+    the sf0.1 flagship corpus, same session, alternating arms so drift
+    hits both equally.  Target: premium <= 5% (was 12% with the r9
+    persist+count barrier)."""
+    spark = get_spark(app_name="valve-premium-probe")
+    spark.range(1).count()
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+
+    def run(budget):
+        t0 = time.perf_counter()
+        n = similar_pairs(docs, cfg, pair_budget=budget).count()
+        dt = time.perf_counter() - t0
+        _drop_all_persisted(spark)
+        return n, dt
+
+    run(None); run(12_000_000)  # warm codegen, both arms
+    _drop_all_persisted(spark)
+    best = {"armed": 9e9, "off": 9e9}
+    n_pairs = {}
+    for i in range(n_runs):
+        # alternate arm order per iteration so slot-position effects
+        # (GC backlog, page cache) cancel instead of biasing one arm
+        order = [("off", None), ("armed", 12_000_000)]
+        if i % 2:
+            order.reverse()
+        for arm, budget in order:
+            n_pairs[arm], dt = run(budget)
+            best[arm] = min(best[arm], dt)
+    print(json.dumps({
+        "mode": "valve_premium", "sf": 0.1, "runs": n_runs,
+        "pairs": n_pairs, "identical_counts": n_pairs["armed"] == n_pairs["off"],
+        "valve_off_sec": round(best["off"], 2),
+        "valve_armed_sec": round(best["armed"], 2),
+        "premium": round(best["armed"] / best["off"], 3),
+    }))
+    spark.stop()
+
+
+def prepart_ab_probe(replicas: int) -> None:
+    """Same-session interleaved A/B of the valve's payload pre-partition
+    at the 160x design point (VERDICT r9 #3: the r9 798.4-vs-911.5 s
+    comparison was cross-session on a ±25% box).  Both arms run the
+    DEFAULT-budget chunked valve over the same replicated corpus; the
+    only difference is similarity._VALVE_PREPARTITION.  Checksums prove
+    bit-identity; this run doubles as the r10 'valve_160x still
+    completes' evidence."""
+    from mapreduce_minhash_lsh_spark.operators import similarity as S
+
+    spark = get_spark(app_name="prepart-ab-probe")
+    spark.range(1).count()
+    base, big = _replicated(spark, replicas)
+    n_docs = big.count()
+    cfg = MinHashLSHConfig(
+        num_hashes=128, num_bands=8, threshold=0.8,
+        id_strategy="xxhash", band_key_strategy="xxhash",
+    )
+    similar_pairs(base, cfg).count()  # warm codegen at base scale
+    _drop_all_persisted(spark)
+
+    arms = {}
+    for arm, flag in (("prepartitioned", True), ("baseline", False)):
+        big = _replicated(spark, replicas)[1]
+        S._VALVE_PREPARTITION = flag
+        try:
+            t0 = time.perf_counter()
+            sig = _pairs_checksum(similar_pairs(big, cfg))
+            wall = round(time.perf_counter() - t0, 1)
+        finally:
+            S._VALVE_PREPARTITION = True
+        arms[arm] = {"pairs": sig[0], "checksum": list(sig[1:]), "wall_sec": wall}
+        _drop_all_persisted(spark)
+    print(json.dumps({
+        "mode": "prepart_ab", "replicas": replicas, "docs": n_docs,
+        "pair_budget": S.PAIR_VERIFY_BUDGET, **arms,
+        "identical": arms["prepartitioned"]["pairs"] == arms["baseline"]["pairs"]
+        and arms["prepartitioned"]["checksum"] == arms["baseline"]["checksum"],
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--premium" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        premium_probe(int(args[0]) if args else 3)
+        return
+    if "--prepart-ab" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        prepart_ab_probe(int(args[0]) if args else 160)
+        return
     if "--valve-ab" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("-")]
         valve_ab_probe(int(args[0]) if args else 10)

@@ -53,6 +53,15 @@ _CKPT_DIR_SET: dict[str, str] = {}
 # candidate-count materialization entirely).
 PAIR_VERIFY_BUDGET = 12_000_000
 
+# A/B toggle for the valve's payload pre-partition (experiments/
+# scale_probe.py --prepart-ab): production always leaves this True —
+# each verify chunk's joins then reuse one cached hash-partitioned
+# payload relation instead of re-shuffling the full (sig, sh_set)
+# payload per chunk.  Exists so the pre-partition's effect at the 160x
+# design point is a same-session interleaved measurement (VERDICT r9
+# #3), not a cross-session extrapolation.
+_VALVE_PREPARTITION = True
+
 
 def _reset_stats(df: DataFrame) -> DataFrame:
     """Rebuild a (checkpointed) DataFrame as a fresh LogicalRDD WITHOUT
@@ -96,7 +105,9 @@ def _reset_stats(df: DataFrame) -> DataFrame:
         return df
 
 
-def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def _materialize(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
+) -> DataFrame:
     """Eagerly materialize an intermediate relation, truncating lineage.
 
     Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live
@@ -109,9 +120,19 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     relation.  Both paths yield byte-identical results (SCALE.md §8),
     and both strip the checkpoint's carried plan statistics
     (:func:`_reset_stats`) so iterative callers cannot compound them.
+
+    ``eager=False`` (localCheckpoint only): the blocks are saved as a
+    side effect of the FIRST action instead of a dedicated one — used
+    when the caller immediately runs a cheap full-scan action of its
+    own (the valve's pair-volume bound), which then doubles as the
+    materialization pass.  The caller MUST run that action before any
+    multi-consumer plan reads the relation (the cold-cache branch race,
+    SCALE.md §1).  Reliable checkpoints ignore the flag: a lazy
+    ``checkpoint()`` re-computes the whole plan in a second job to
+    write its files, costing more than the dedicated action saves.
     """
     if checkpoint_dir is None:
-        return _reset_stats(df.localCheckpoint(eager=True))
+        return _reset_stats(df.localCheckpoint(eager=eager))
     # setCheckpointDir is SESSION-GLOBAL; set it once per (session, dir)
     # so repeated materializations don't re-point a dir that other code
     # sharing the session may have configured since.
@@ -230,6 +251,7 @@ def signature_set_relation(
     doc_shingles: DataFrame,
     cfg: MinHashLSHConfig,
     checkpoint_dir: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """(doc_id, sig: array<long>, sh_set: array<long>) in ONE shuffle.
 
@@ -244,8 +266,16 @@ def signature_set_relation(
 
     The relation feeds the band join AND both payload sides of the
     verify join within one action, so it is eagerly materialized
-    (cold-cache branch race — SCALE.md §1).
+    (cold-cache branch race — SCALE.md §1).  ``eager=False`` lets a
+    caller that IMMEDIATELY runs its own full-scan action (the valve's
+    pair-volume bound) fold the materialization into that action — one
+    pass instead of two; honored only where a lazy localCheckpoint is
+    sound (ignored under a reliable ``checkpoint_dir``, whose lazy form
+    re-computes the plan to write files, and under 'rank', whose
+    shingle persist is scoped to this call's own materialization).
     """
+    if checkpoint_dir is not None or cfg.id_strategy == "rank":
+        eager = True
     if cfg.id_strategy == "xxhash":
         sid = F.xxhash64(F.col("shingle"))
     else:
@@ -268,7 +298,7 @@ def signature_set_relation(
                 .join(vocabulary(doc_shingles), "shingle")
                 .select("doc_id", "shingle_id", "sid")
             )
-            return _sig_set_from_base(base, cfg, checkpoint_dir)
+            return _sig_set_from_base(base, cfg, checkpoint_dir, eager)
         finally:
             doc_shingles.unpersist()
     from mapreduce_minhash_lsh_spark.functions.hashing import (
@@ -282,13 +312,14 @@ def signature_set_relation(
         mk(F.col("shingle"), cfg.prime).alias("shingle_id"),
         sid.alias("sid"),
     )
-    return _sig_set_from_base(base, cfg, checkpoint_dir)
+    return _sig_set_from_base(base, cfg, checkpoint_dir, eager)
 
 
 def _sig_set_from_base(
     base: DataFrame,
     cfg: MinHashLSHConfig,
     checkpoint_dir: str | None,
+    eager: bool = True,
 ) -> DataFrame:
     """(doc_id, shingle_id, sid) -> the materialized (doc_id, sig,
     sh_set) relation — the strategy-independent aggregate tail of
@@ -319,13 +350,15 @@ def _sig_set_from_base(
             rel = g.select(
                 "doc_id", oph_sig_expr(F.col("_bm"), cfg).alias("sig"), "sh_set"
             )
-            return _materialize(rel, checkpoint_dir)
+            return _materialize(rel, checkpoint_dir, eager)
         sets = b1.groupBy("doc_id").agg(
             F.flatten(F.collect_list("bset")).alias("sh_set")
         )
         sig = oph_sig_from_buckets(b1.select("doc_id", "bucket", "bmin"), cfg)
         rel = sig.join(sets, "doc_id")
-        return _materialize(rel.select("doc_id", "sig", "sh_set"), checkpoint_dir)
+        return _materialize(
+            rel.select("doc_id", "sig", "sh_set"), checkpoint_dir, eager
+        )
     aggs = [
         F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(cfg.hash_params())
@@ -414,13 +447,23 @@ def budgeted_overlap_counts(
     pairs x (sig, sh_set) payload shuffle can exhaust local spill disk.
 
     ``est_volume`` (VERDICT r9 #2): a caller-supplied UPPER BOUND on
-    the distinct pairs in ``pairs`` (``lsh.candidate_volume_bound`` —
-    sum of per-bucket C(n,2), available before the pair join runs).  A
-    bound within budget proves the single join safe, so the candidate
-    persist+count barrier — the valve's measured 12% always-on premium
-    at benign scale — is skipped entirely and the exact round-8 plan
-    runs; the barrier is paid only when the bound says chunking is
-    plausibly needed.
+    the distinct pairs in ``pairs`` (C(n_docs, 2), or the tighter
+    ``lsh.candidate_volume_bound`` — sum of per-bucket C(n,2) — both
+    available before the pair join runs).  A bound within 2x budget
+    proves the single join safe, so the candidate persist+count
+    barrier — the valve's measured 12% always-on premium at benign
+    scale — is skipped entirely and the exact round-8 plan runs; the
+    barrier is paid only when the bound says chunking is plausibly
+    needed.
+
+    The 2x proof slack (both for skipping the barrier and for firing
+    chunks off the exact count) is measurement-backed hysteresis, not
+    optimism: a single verify join at 35.4M pairs COMPLETES on this
+    box's ~70 GB spill headroom (the 80x probe, SCALE.md §7), so
+    proving <= 24M with the default 12M budget stays ~1.5x under the
+    measured completion point while chunking's fixed premium is saved
+    everywhere it cannot pay for itself.  Chunk SIZE stays
+    ``pair_budget`` — the per-join in-flight target is unchanged.
 
     Chunking is a deterministic ``pmod(xxhash64(a, b), n_chunks)``
     partition of the candidate list, each chunk verified and
@@ -433,7 +476,7 @@ def budgeted_overlap_counts(
     """
     if pair_budget is None:
         return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
-    if est_volume is not None and est_volume <= pair_budget:
+    if est_volume is not None and est_volume <= 2 * pair_budget:
         return fused_overlap_counts(pairs, rel, cfg, threshold, checkpoint_dir, rel_b)
     # persist (NOT _materialize/localCheckpoint): checkpoint blocks can
     # only be freed by driver GC + ContextCleaner, so every flagship
@@ -445,7 +488,7 @@ def budgeted_overlap_counts(
     pairs = pairs.select("doc_id_a", "doc_id_b").persist()
     try:
         n_cand = pairs.count()
-        if n_cand <= pair_budget:
+        if n_cand <= 2 * pair_budget:  # same measured slack as est_volume
             return fused_overlap_counts(
                 pairs, rel, cfg, threshold, checkpoint_dir, rel_b
             )
@@ -477,11 +520,14 @@ def budgeted_overlap_counts(
             # platforms may set the conf to a non-integer ("auto");
             # don't let the valve die exactly when it's needed
             n_part = spark.sparkContext.defaultParallelism
-        rel_p = rel.repartition(n_part, "doc_id").persist()
-        rel_b_p = (
-            rel_b.repartition(n_part, "doc_id").persist()
-            if rel_b is not None else None
-        )
+        if _VALVE_PREPARTITION:
+            rel_p = rel.repartition(n_part, "doc_id").persist()
+            rel_b_p = (
+                rel_b.repartition(n_part, "doc_id").persist()
+                if rel_b is not None else None
+            )
+        else:  # A/B baseline only (see _VALVE_PREPARTITION)
+            rel_p, rel_b_p = rel, rel_b
         try:
             outs = []
             for i in range(n_chunks):
@@ -501,8 +547,9 @@ def budgeted_overlap_counts(
                 if n_chunks > 2:
                     spark.sparkContext._jvm.System.gc()
         finally:
-            rel_p.unpersist()
-            if rel_b_p is not None:
+            if rel_p is not rel:
+                rel_p.unpersist()
+            if rel_b_p is not None and rel_b_p is not rel_b:
                 rel_b_p.unpersist()
         out = outs[0]
         for o in outs[1:]:
@@ -538,12 +585,19 @@ def similar_pairs(
     corpora in one long-lived session, call ``spark.catalog.clearCache()``
     between runs.
 
-    ``pair_budget`` is the pair-volume valve (SCALE.md §7): past this
-    many LSH candidates the verify join runs in sequential hash chunks
-    with identical output and bounded peak shuffle — the difference
-    between completing and dying in spill on duplicate-heavy corpora
-    (measured at 160x: 143.8M candidates -> 12 chunks -> 66.1M pairs).
-    ``None`` restores the unconditional single-join plan.
+    ``pair_budget`` is the pair-volume valve (SCALE.md §7): past ~2x
+    this many LSH candidates the verify join runs in sequential hash
+    chunks of ``pair_budget`` pairs with identical output and bounded
+    peak shuffle — the difference between completing and dying in
+    spill on duplicate-heavy corpora (measured at 160x: 143.8M
+    candidates -> 12 chunks -> 66.1M pairs).  Since r10 the trigger is
+    tiered so benign corpora pay ~nothing: C(n_docs, 2) from the
+    materialization count (free), then the per-bucket volume bound
+    (one small aggregate), then the exact candidate count (the
+    persist+count barrier) — each tier only when the previous cannot
+    prove the single join safe (see budgeted_overlap_counts for the
+    measured 2x proof slack).  ``None`` restores the unconditional
+    single-join plan.
     """
     return similar_pairs_from_shingles(
         explode_shingles(docs, cfg.k), cfg, threshold, max_bucket_size,
@@ -577,7 +631,15 @@ def similar_pairs_from_shingles(
     the round-3 staged form, identical candidates and verified pairs.
     """
     threshold = cfg.threshold if threshold is None else threshold
-    rel = signature_set_relation(doc_shingles, cfg, checkpoint_dir)
+    # When the valve is armed, the signature relation is LAZILY
+    # checkpointed and the pair-volume bound's full scan doubles as its
+    # materialization pass (one action instead of two — the bound's
+    # marginal cost is just the band-key hashing + a (band_key, count)
+    # aggregate, VERDICT r9 #2).  The bound proves the unbarriered
+    # verify join safe without ever materializing the candidate list.
+    rel = signature_set_relation(
+        doc_shingles, cfg, checkpoint_dir, eager=pair_budget is None
+    )
     if max_bucket_size is None:
         cands = banded_pairs(rel, cfg)
     else:
@@ -587,11 +649,15 @@ def similar_pairs_from_shingles(
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize, **kw)
     est = None
     if pair_budget is not None:
-        # bucket-size bound on pair volume, off the materialized rel —
-        # proves the unbarriered verify join safe at benign scale
-        # without ever materializing the candidate list (VERDICT r9 #2)
-        cap = max_bucket_size if oversize == "drop" else None
-        est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
+        # Tier 1 (free): the count IS the lazy checkpoint's
+        # materializing action — the same job an eager checkpoint runs
+        # internally — and C(n_docs, 2) already bounds distinct pairs.
+        # Tier 2 (one small agg, only past tier 1): per-bucket bound.
+        n_docs = rel.count()
+        est = n_docs * (n_docs - 1) // 2
+        if est > 2 * pair_budget:
+            cap = max_bucket_size if oversize == "drop" else None
+            est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
     counts = budgeted_overlap_counts(
         cands, rel, cfg, threshold, checkpoint_dir, pair_budget=pair_budget,
         est_volume=est,
@@ -747,9 +813,15 @@ def cross_corpus_pairs(
         )
     est = None
     if pair_budget is not None:
-        est = candidate_volume_bound(
-            rel_new, cfg, rel_b=rel_seen, bucket_cap=max_bucket_size
-        )
+        # tiered trigger, cross-corpus form: n_new x n_seen bounds the
+        # distinct cross pairs; the two counts are cheap scans of the
+        # (eagerly materialized, multi-consumer) rel_all cache
+        n_new, n_seen = rel_new.count(), rel_seen.count()
+        est = n_new * n_seen
+        if est > 2 * pair_budget:
+            est = candidate_volume_bound(
+                rel_new, cfg, rel_b=rel_seen, bucket_cap=max_bucket_size
+            )
     counts = budgeted_overlap_counts(
         cands, rel_new, cfg, threshold, checkpoint_dir, rel_b=rel_seen,
         pair_budget=pair_budget, est_volume=est,
@@ -801,8 +873,11 @@ def containment_pairs(
     containment but Jaccard ~0 and will not band together).  For
     exhaustive containment use :func:`containment_pairs_postings`.
     """
+    # same lazy-checkpoint + bound-as-materialization-pass pattern as
+    # similar_pairs_from_shingles (VERDICT r9 #2)
     rel = signature_set_relation(
-        explode_shingles(docs, cfg.k), cfg, checkpoint_dir
+        explode_shingles(docs, cfg.k), cfg, checkpoint_dir,
+        eager=pair_budget is None,
     )
     if max_bucket_size is None:
         cands = banded_pairs(rel, cfg)
@@ -810,8 +885,12 @@ def containment_pairs(
         cands = banded_pairs_capped(rel, cfg, max_bucket_size, oversize)
     est = None
     if pair_budget is not None:
-        cap = max_bucket_size if oversize == "drop" else None
-        est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
+        # same tiered trigger as similar_pairs_from_shingles
+        n_docs = rel.count()
+        est = n_docs * (n_docs - 1) // 2
+        if est > 2 * pair_budget:
+            cap = max_bucket_size if oversize == "drop" else None
+            est = candidate_volume_bound(rel, cfg, bucket_cap=cap)
     counts = budgeted_overlap_counts(
         cands, rel, cfg, cfg.threshold, checkpoint_dir, pair_budget=pair_budget,
         est_volume=est,

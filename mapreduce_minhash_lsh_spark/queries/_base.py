@@ -87,7 +87,9 @@ def register(name: str, sql: str | None = None):
 #   r9 (done below): +multimodal_{png,jpeg,gif,tiff}, +containment_pairs,
 #      +q9_profit_by_nation_year, +q21_sole_blame_suppliers,
 #      +near_dup_drop_best_quality, +document_chunks,
-#      +events_retention_cohorts; backlog 52 -> 42.
+#      +events_retention_cohorts; backlog 52 -> 42 carried + 3 new r9
+#      registrations (repeated_spans, strip_repeated_spans,
+#      streaming_ivf_index) = 45.
 #   r10 (done below): the never-checked TPC-H block (q4, q7, q8, q12,
 #      q13, q14, q15, q17, q19, q22), retiring r9-green TPC-H + window
 #      redundants (q1, q3, q5, q9, q21, orders_above_customer_avg,
