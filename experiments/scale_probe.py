@@ -357,7 +357,9 @@ def prepart_ab_probe(replicas: int) -> None:
     _drop_all_persisted(spark)
 
     arms = {}
-    for arm, flag in (("prepartitioned", True), ("baseline", False)):
+    # "force" bypasses the r10 n_chunks <= 4 depth gate so the A/B keeps
+    # measuring the cache even at depths where production gates it off
+    for arm, flag in (("prepartitioned", "force"), ("baseline", False)):
         big = _replicated(spark, replicas)[1]
         S._VALVE_PREPARTITION = flag
         try:

@@ -54,12 +54,15 @@ _CKPT_DIR_SET: dict[str, str] = {}
 PAIR_VERIFY_BUDGET = 12_000_000
 
 # A/B toggle for the valve's payload pre-partition (experiments/
-# scale_probe.py --prepart-ab): production always leaves this True —
-# each verify chunk's joins then reuse one cached hash-partitioned
-# payload relation instead of re-shuffling the full (sig, sh_set)
-# payload per chunk.  Exists so the pre-partition's effect at the 160x
-# design point is a same-session interleaved measurement (VERDICT r9
-# #3), not a cross-session extrapolation.
+# scale_probe.py --prepart-ab): production always leaves this True; at
+# runtime it composes with the n_chunks <= 4 depth gate in
+# budgeted_overlap_counts — shallow chunk runs reuse one cached
+# hash-partitioned payload relation, deep runs rely on per-chunk
+# exchange reuse (the cache measured 2.8x AGAINST at 160x/12 chunks,
+# results_r10.json prepart_ab_160).  The flag exists so that effect
+# stays a same-session interleaved measurement (VERDICT r9 #3), not a
+# cross-session extrapolation.  Values: True (production — depth gate
+# applies), "force" (A/B: always pre-partition), False (never).
 _VALVE_PREPARTITION = True
 
 
@@ -504,15 +507,22 @@ def budgeted_overlap_counts(
             n_cand, pair_budget, n_chunks,
         )
         chunk_of = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_chunks))
-        # Pre-partition the payload relation(s) by doc_id ONCE: every
-        # chunk's two verify joins would otherwise re-shuffle the full
-        # (sig, sh_set) payload — (chunks x 2) x |rel| of avoidable
-        # exchange, the dominant fixed cost behind the measured 1.41x
-        # chunking premium at 80x (results_r9.json valve_identity_ab).
-        # The cached InMemoryRelation reports its hash partitioning, so
-        # each chunk's join reuses it across actions and only the
-        # bounded chunk side (and join-1's chunk-sized intermediate)
-        # moves through a shuffle.
+        # Pre-partition + cache the payload relation(s) by doc_id ONLY
+        # for shallow chunk runs (measured inversion, results_r10.json
+        # prepart_ab_160 / VERDICT r9 #3).  At 3 chunks / 80x the cached
+        # hash-partitioned payload beats re-deriving it (r9 interleaved:
+        # 160.3 vs 350.1 s chunked) — but each chunk's verify joins scan
+        # the cache TWICE (both payload sides), so the cache is read
+        # 2 x n_chunks times, while the un-cached plan builds ONE
+        # doc_id exchange per chunk that ReuseExchange shares across
+        # both sides.  Past the point where the payload cache stays
+        # memory-resident those 2 x n_chunks scans hit disk and the
+        # "optimization" inverts: measured same-session at 160x
+        # (12 chunks, ~20 GB payload): 1280.9 s cached vs 452.9 s
+        # uncached — 2.8x AGAINST.  Deep chunk runs exist precisely
+        # because the corpus is huge, so gate on chunk depth: <= 4
+        # chunks (the measured-good regime) pre-partitions, deeper runs
+        # rely on per-chunk exchange reuse.
         spark = pairs.sparkSession
         try:
             n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -520,7 +530,10 @@ def budgeted_overlap_counts(
             # platforms may set the conf to a non-integer ("auto");
             # don't let the valve die exactly when it's needed
             n_part = spark.sparkContext.defaultParallelism
-        if _VALVE_PREPARTITION:
+        prepart = (_VALVE_PREPARTITION == "force") or (
+            _VALVE_PREPARTITION is True and n_chunks <= 4
+        )
+        if prepart:
             rel_p = rel.repartition(n_part, "doc_id").persist()
             rel_b_p = (
                 rel_b.repartition(n_part, "doc_id").persist()
