@@ -10,7 +10,7 @@ same sweep at the driver's sf0.01, where scale-dependent divergences
     SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \\
         python -m pytest tests/test_oracle_parity.py -q
 
-Measured 2026-08-14: 116 passed in 225 s (SCALE.md §9)."""
+Measured 2026-08-15 (r10): 138 passed in 420 s (SCALE.md §9)."""
 
 from __future__ import annotations
 
