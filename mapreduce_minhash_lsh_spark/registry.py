@@ -34,6 +34,7 @@ from mapreduce_minhash_lsh_spark.queries import (  # noqa: E402, F401
     events,
     llm,
     pipeline,
+    quality,
     tpch,
 )
 
