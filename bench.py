@@ -119,6 +119,11 @@ HEADLINE = [
     # n-gram spans, gaps-and-islands merge) — the span-granular dedup
     # family's representative.
     "repeated_spans",
+    # Round-10 additions: the corpus-quality-filter family (Gopher rules,
+    # map-side single-scan) and full-text relevance search (BM25,
+    # term-bounded shuffle + TakeOrdered top-k).
+    "gopher_quality_flags",
+    "bm25_topk",
 ]
 
 

@@ -66,20 +66,21 @@ CHECKSUM_PREFIX = 16
 
 
 def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
-    """Residual compressed-image decode (WebP, HEIC, JPEG-in-TIFF /
-    tiled TIFF) — requires PIL/opencv, not present in this container.
-    STUB; its scope shrank again in round 9: LZW / PackBits / Deflate
-    TIFF strips (with the horizontal predictor) now decode for real in
-    multimodal/tiff.py, joining PNG (zlib+numpy), baseline JPEG
+    """Residual compressed-image decode (lossy-VP8 WebP, HEIC,
+    JPEG-in-TIFF / tiled TIFF) — requires PIL/opencv, not present in
+    this container.  STUB; its scope shrank again in round 10: lossless
+    WebP (the full VP8L bitstream — all four transforms, color cache,
+    meta-Huffman, LZ77) now decodes for real in multimodal/webp.py,
+    joining compressed TIFF (round 9), PNG (zlib+numpy), baseline JPEG
     (huffman+DCT in numpy, multimodal/jpeg.py), GIF (LZW,
     multimodal/gif.py) and BMP/PPM.  What remains genuinely needs
-    external entropy/transform codecs (VP8, HEVC); the Spark-side
-    plumbing is identical either way."""
+    external entropy/transform codecs (VP8's boolean arithmetic coder,
+    HEVC); the Spark-side plumbing is identical either way."""
     raise NotImplementedError(
-        "WebP/HEIC codecs unavailable in this environment; "
-        "JPEG/PNG/GIF/TIFF (incl. LZW/PackBits/Deflate)/BMP/PPM have "
-        "real decoders (decode_jpeg/decode_png/decode_gif/decode_tiff/"
-        "decode_bmp/decode_ppm)"
+        "lossy-WebP(VP8)/HEIC codecs unavailable in this environment; "
+        "lossless WebP (VP8L)/JPEG/PNG/GIF/TIFF (incl. LZW/PackBits/"
+        "Deflate)/BMP/PPM have real decoders (decode_webp/decode_jpeg/"
+        "decode_png/decode_gif/decode_tiff/decode_bmp/decode_ppm)"
     )
 
 
@@ -623,6 +624,33 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_webp_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL lossless-WebP
+    container bytes (multimodal/webp.py), built distributed.  Same
+    doc_id-arithmetic dimensions/gray as the other image synth paths;
+    the encode mode cycles through webp.WEBP_SYNTH_CLASSES by doc_id
+    (palette / plain literal / subtract-green / predictor / color
+    cache), all lossless, so the driver-checked ``multimodal_webp``
+    round trip exercises every VP8L transform-decode path the encoder
+    can produce."""
+    from mapreduce_minhash_lsh_spark.multimodal.webp import (
+        WEBP_SYNTH_CLASSES,
+        make_webp,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                modes = WEBP_SYNTH_CLASSES[did % len(WEBP_SYNTH_CLASSES)]
+                blob = make_webp(4 + did % 13, 3 + did % 7, did % 256, **modes)
+                rows.append((did, blob, "image/webp"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def decode_media(blob: bytes, media_type: str) -> tuple:
     """One decoded feature row (width, height, mean_pixel, sample_rate,
     n_samples, duration_us, rms) — inapplicable fields are None.
@@ -655,6 +683,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         from mapreduce_minhash_lsh_spark.multimodal.tiff import decode_tiff
 
         w, h, mean = decode_tiff(blob)
+        return (w, h, mean, None, None, None, None)
+    if media_type == "image/webp":
+        from mapreduce_minhash_lsh_spark.multimodal.webp import decode_webp
+
+        w, h, mean = decode_webp(blob)
         return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
@@ -734,6 +767,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             return encode_tiff(
                 resize_pixels(tiff_pixels(blob), width, height)
             )
+        if mtype == "image/webp":
+            from mapreduce_minhash_lsh_spark.multimodal.webp import (
+                encode_vp8l,
+                webp_pixels,
+            )
+
+            return encode_vp8l(
+                resize_pixels(webp_pixels(blob), width, height)
+            )
         if mtype.startswith("image/"):
             return decode_image(blob)  # pragma: no cover - raises
         return blob
@@ -752,14 +794,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """WebP/HEIC resize still needs PIL/opencv — kept as the explicit
-    stub; JPEG, PNG, GIF, TIFF (round 9: including LZW/PackBits/Deflate
-    strips) and the uncompressed containers have the REAL
-    :func:`resize_images` above."""
+    """Lossy-WebP/HEIC resize still needs PIL/opencv — kept as the
+    explicit stub; lossless WebP (round 10), JPEG, PNG, GIF, TIFF
+    (round 9: including LZW/PackBits/Deflate strips) and the
+    uncompressed containers have the REAL :func:`resize_images` above."""
     raise NotImplementedError(
-        "WebP/HEIC resize requires codecs unavailable in this "
-        "environment; JPEG/PNG/GIF/TIFF/BMP/PPM resize is real "
-        "(resize_images)"
+        "lossy-WebP(VP8)/HEIC resize requires codecs unavailable in "
+        "this environment; lossless-WebP/JPEG/PNG/GIF/TIFF/BMP/PPM "
+        "resize is real (resize_images)"
     )
 
 

@@ -1293,6 +1293,38 @@ def q_multimodal_tiff(spark, sf):
     return _binary.extract_media_features(media)
 
 
+@register(
+    "multimodal_webp",
+    """SELECT doc_id AS id,
+  'image/webp' AS media_type,
+  CAST(8 AS INTEGER) AS width,
+  CAST(5 AS INTEGER) AS height,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_webp(spark, sf):
+    """REAL lossless-WebP round trip end to end (round 10: the WebP
+    half of the decode_image stub closed with a full VP8L codec in
+    stdlib+numpy — multimodal/webp.py): synthesize an actual RIFF/WEBP
+    container per document — the encode mode cycles by doc_id through
+    palette(+bundling) / plain literal / subtract-green /
+    predictor+subtract-green / color-cache (webp.WEBP_SYNTH_CLASSES) —
+    decode -> NN-resample to 8x5 -> re-encode as VP8L, then decode
+    features from the RESIZED bytes.  VP8L is lossless, so the
+    doc_id-arithmetic oracle predicts every decoded value exactly: a
+    hash match proves TWO full VP8L decodes across every transform the
+    encoder emits.  Foreign-stream surfaces (LZ77 backrefs, cross-color
+    transform, meta-Huffman groups, RLE code lengths, lossy-VP8
+    rejection) are pinned by tests/test_webp.py."""
+    docs = load_table(spark, sf, "documents")
+    media = _binary.resize_images(_binary.synth_webp_media(docs), 8, 5)
+    return _binary.extract_media_features(media)
+
+
 _SPAN_N, _SPAN_MIN, _SPAN_MAX_DF = 5, 2, 10_000
 
 
