@@ -23,6 +23,7 @@ from mapreduce_minhash_lsh_spark.config import MERSENNE_PRIME
 from mapreduce_minhash_lsh_spark.functions.vectors import (
     cosine_from_parts,
     dot_exact,
+    dot_scaled,
     norm2_exact,
 )
 
@@ -547,3 +548,151 @@ def ivf_topk(
     Recall vs brute force measured in tests."""
     cents, corpus = ivf_index(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
     return ivf_query(cents, corpus, queries, k, n_probe, id_col, vec_col, assign)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN codes + ADC scoring
+# ---------------------------------------------------------------------------
+
+PQ_RERANK_DEFAULT = 30
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks: split the vector into ``m`` contiguous
+    sub-vectors of dim/m and run the shared deterministic quantizer
+    (:func:`_centroids`) on each slice.  Codewords quantize sub-vector
+    DIRECTION (the scaled-int cosine assignment every ANN path here
+    shares) — "spherical PQ", matched to the dot/cosine scoring the
+    queries rank by; magnitude error is absorbed by the exact re-rank.
+    Same oracle-bit-exactness as the IVF quantizer: seeds are the
+    n_codes lowest-id sub-vectors, Lloyd updates are int64 sums of
+    1e-12-quantized components."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("vec"),
+        )
+        books.append(_centroids(sliced, n_codes, iters, "vec_id", "vec", assign))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+) -> DataFrame:
+    """(id, code0..code{m-1}) — each vector compressed to m small ints
+    (m * log2(n_codes) bits: 4x16 -> 2 bytes for a 256-byte float64
+    vector).  Map-side only: the codebooks ride into the task as
+    literals/broadcast, the corpus is never shuffled."""
+    sub = dim // len(books)
+    cols = [
+        F.element_at(
+            _assign_col(books[j], F.slice(F.col(vec_col), j * sub + 1, sub), 1, assign),
+            1,
+        ).cast("integer").alias(f"code{j}")
+        for j in range(len(books))
+    ]
+    return emb.select(F.col(id_col).alias("neighbor_id"), *cols)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int = PQ_RERANK_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank — the FAISS-style
+    compressed-scan design, Spark-shaped.
+
+    100 TB story: the scan side touches only the code columns (m ints
+    per vector — memory-resident at billions of vectors where the float
+    corpus is not); per-query lookup tables (m x n_codes scaled-int
+    dots) broadcast; the ADC score is m integer array lookups + adds
+    per (vector, query) — no float math, no UDF, no corpus shuffle
+    until the |Q| x rerank candidate relation (tiny) joins back to
+    fetch true vectors for the exact re-rank.
+
+    Determinism: ADC scores are int64 sums of scaled-int dots, the
+    candidate cut ties on neighbor_id, and the re-rank reuses the exact
+    cosine tail every other ANN path shares — so the DuckDB oracle
+    reproduces the full result bit-for-bit (queries/ann.py
+    _pq_oracle_sql)."""
+    sub = dim // m
+    books = pq_codebooks(emb, dim, m, n_codes, iters, id_col, vec_col, assign)
+    codes = pq_encode(emb, books, dim, id_col, vec_col, assign)
+    luts = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    dot_scaled(
+                        F.slice(F.col(vec_col), j * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in cvec]),
+                    )
+                    for _cid, cvec in books[j]
+                ]
+            ).alias(f"lut{j}")
+            for j in range(m)
+        ],
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("prank")
+        )
+        .where(F.col("prank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    n = norms(emb, id_col, vec_col)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    nq = n.select(F.col(id_col).alias("query_id"), F.col("n2").alias("n2_q"))
+    nc = n.select(F.col(id_col).alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            dot_exact(F.col("q_vec"), F.col("c_vec")).alias("dot"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_from_parts(F.col("dot"), F.col("n2_q"), F.col("n2_c")).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, k)
