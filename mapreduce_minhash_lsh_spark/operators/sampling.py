@@ -173,3 +173,46 @@ def rebalance_to_uniform(
         .where(hash_bucket(F.col(key_col), seed) < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int = 20,
+    n_lists: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    assign: str = "exact",
+) -> DataFrame:
+    """Diversity-preserving corpus sample: assign every embedding to its
+    nearest coarse-quantizer cell (the shared deterministic IVF
+    quantizer) and keep the ``per_cluster`` rows with the lowest md5
+    bucket in each cell — so every region of embedding space is
+    represented no matter how skewed the corpus density (a plain
+    Bernoulli sample is dominated by the dense clusters that
+    deduplication exists to thin out).
+
+    Deterministic end to end (quantizer + md5 rank, tie-broken on id),
+    hence oracle-exact.  Scale note: the rank is a window over
+    (list_id) — at extreme corpus sizes pre-thin each cell with
+    ``hash_sample`` at a generous rate first, then rank the survivors;
+    the md5 bucket makes the two-stage cut identical to the one-stage
+    one whenever the pre-thin keeps >= per_cluster rows per cell."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivf_index
+
+    _cents, assigned = ivf_index(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    bucket = hash_bucket(F.col("neighbor_id"), seed)
+    w = Window.partitionBy("list_id").orderBy(bucket.asc(), F.col("neighbor_id").asc())
+    return (
+        assigned.select(
+            "neighbor_id", F.col("list_id").cast("long").alias("list_id")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cluster)
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "list_id",
+            F.col("rn").cast("integer").alias("rn"),
+        )
+    )

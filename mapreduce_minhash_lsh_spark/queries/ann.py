@@ -657,3 +657,36 @@ def q_ann_pq_topk(spark, sf):
         emb, queries, dim=64, k=5, m=8, n_codes=16, iters=2, rerank=60,
         assign="exact",
     )
+
+
+from mapreduce_minhash_lsh_spark.queries._base import _md5_parse_sql  # noqa: E402
+
+_VEC_KEY_SQL = "CAST(neighbor_id AS VARCHAR) || ':42'"
+_VEC_BUCKET_SQL = f"({_md5_parse_sql(_VEC_KEY_SQL)}) % 1000000"
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""WITH base AS ({{base}}),
+ranked AS (
+  SELECT neighbor_id, list_id,
+         CAST(row_number() OVER (PARTITION BY list_id
+                                 ORDER BY ({_VEC_BUCKET_SQL}), neighbor_id) AS INTEGER) AS rn
+  FROM base
+)
+SELECT neighbor_id AS vec_id, list_id, rn
+FROM ranked WHERE rn <= 20""".format(base=_ivf_oracle_sql(n_lists=16, n_probe=0, k=None, iters=2)),
+)
+def q_cluster_balanced_sample(spark, sf):
+    """Diversity-preserving sample (round 10): up to 20 rows per
+    coarse-quantizer cell, chosen by deterministic md5 rank — every
+    region of embedding space stays represented regardless of corpus
+    density skew (the cluster-balanced counterpart of the plain
+    hash_sample, the curation step after near-dup thinning).  The
+    oracle composes the unrolled-Lloyd IVF assignment
+    (_ivf_oracle_sql(k=None)) with the md5-bucket rank, so the whole
+    sample is engine-bit-exact."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_balanced_sample(emb, per_cluster=20, n_lists=16, assign="exact")

@@ -197,3 +197,21 @@ def test_rebalance_excludes_null_groups_from_totals(spark):
     # identical keep-set: NULL rows neither survive nor shift the cuts
     assert kept_clean == kept_noisy
     assert all(d < 2000 for d in kept_noisy)
+
+
+def test_cluster_balanced_sample_covers_every_cell(spark):
+    """Every quantizer cell contributes up to per_cluster rows, no cell
+    exceeds the quota, and the choice is deterministic across calls."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import cluster_balanced_sample
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    out = cluster_balanced_sample(emb, per_cluster=7, n_lists=8).collect()
+    per_list = {}
+    for r in out:
+        per_list.setdefault(r.list_id, []).append(r.vec_id)
+    assert len(per_list) == 8  # every cell represented on this corpus
+    assert all(len(v) <= 7 for v in per_list.values())
+    again = cluster_balanced_sample(emb, per_cluster=7, n_lists=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
