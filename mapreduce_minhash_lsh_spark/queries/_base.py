@@ -10,9 +10,6 @@ mapreduce_minhash_lsh_spark.registry, whose surface is unchanged.
 
 from __future__ import annotations
 
-
-from __future__ import annotations
-
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
