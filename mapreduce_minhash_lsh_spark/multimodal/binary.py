@@ -85,9 +85,14 @@ def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
 
 
 def decode_audio(blob: bytes):  # pragma: no cover - requires codec libs
+    """Residual compressed-audio decode (MP3/AAC/Opus — psychoacoustic
+    transforms + entropy coders) — STUB; round 10 made G.711 µ-law,
+    A-law and IMA-ADPCM WAV real (multimodal/audio.py), joining plain
+    16-bit PCM."""
     raise NotImplementedError(
-        "compressed-audio codecs unavailable in this environment; "
-        "WAV has a real decoder (decode_wav)"
+        "MP3/AAC/Opus codecs unavailable in this environment; WAV decodes "
+        "for real across PCM, G.711 mu-law/A-law and IMA-ADPCM "
+        "(audio.decode_wav_ex)"
     )
 
 
@@ -624,6 +629,50 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_audio_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL WAV containers
+    cycling every supported audio format by doc_id: 16-bit PCM square,
+    G.711 mu-law square, G.711 A-law square, IMA-ADPCM constant.  Each
+    class is built so its RMS is EXACTLY predictable from doc_id
+    arithmetic (multimodal/audio.py docstring: G.711 decode points
+    round-trip exactly; a constant is an ADPCM fixed point), so the
+    ``multimodal_audio`` oracle checks all four decode paths by value."""
+    from mapreduce_minhash_lsh_spark.multimodal.audio import (
+        ALAW_DECODE,
+        MULAW_DECODE,
+        make_wav_adpcm,
+        make_wav_g711,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1000 + (did % 50) * 8
+                cls = did % 4
+                if cls == 0:
+                    amp = 1 + did % 1000
+                    samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                    blob = make_wav(samples, WAV_RATE)
+                elif cls in (1, 2):
+                    law = "mulaw" if cls == 1 else "alaw"
+                    table = MULAW_DECODE if cls == 1 else ALAW_DECODE
+                    code = 16 + did % 100
+                    v, v_neg = table[code], table[code ^ 0x80]
+                    samples = np.tile(np.array([v, v_neg], dtype=np.int16), n // 2)
+                    blob = make_wav_g711(samples, WAV_RATE, law)
+                else:
+                    amp = 1 + did % 2000
+                    blob = make_wav_adpcm(
+                        np.full(n, amp, dtype=np.int16), WAV_RATE
+                    )
+                rows.append((did, blob, "audio/wav"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_webp_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL lossless-WebP
     container bytes (multimodal/webp.py), built distributed.  Same
@@ -658,7 +707,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
     decoder picks a codec; compressed types raise NotImplementedError
     (see decode_image/decode_audio)."""
     if media_type == "audio/wav":
-        rate, n, _, rms = decode_wav(blob)
+        # the extended parser (multimodal/audio.py) covers PCM + G.711
+        # mu-law/A-law + IMA-ADPCM; identical features on plain PCM
+        from mapreduce_minhash_lsh_spark.multimodal.audio import decode_wav_ex
+
+        rate, n, _, rms = decode_wav_ex(blob)
         return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
     if media_type == "image/bmp":
         w, h, mean = decode_bmp(blob)

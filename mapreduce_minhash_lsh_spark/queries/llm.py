@@ -1423,3 +1423,46 @@ def q_strip_repeated_spans(spark, sf):
         load_table(spark, sf, "documents"),
         n=_SPAN_N, min_grams=_SPAN_MIN, max_df=_SPAN_MAX_DF,
     )
+
+
+from mapreduce_minhash_lsh_spark.multimodal.audio import (  # noqa: E402
+    ALAW_DECODE as _ALAW,
+    MULAW_DECODE as _MULAW,
+)
+
+_ABS_MULAW = [abs(v) for v in _MULAW]
+_ABS_ALAW = [abs(v) for v in _ALAW]
+_AUDIO_N = "CAST(1000 + (doc_id % 50) * 8 AS BIGINT)"
+
+
+@register(
+    "multimodal_audio",
+    f"""SELECT doc_id AS id,
+  'audio/wav' AS media_type,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS DOUBLE) AS mean_pixel,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  {_AUDIO_N} AS n_samples,
+  {_AUDIO_N} * 125 AS duration_us,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 1 + doc_id % 1000
+    WHEN 1 THEN list_extract({_ABS_MULAW}, (16 + doc_id % 100) + 1)
+    WHEN 2 THEN list_extract({_ABS_ALAW}, (16 + doc_id % 100) + 1)
+    ELSE 1 + doc_id % 2000
+  END AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_audio(spark, sf):
+    """REAL compressed-audio round trip end to end (round 10: the
+    compressed-audio stub shrank to MP3/AAC/Opus — G.711 mu-law/A-law
+    and IMA-ADPCM WAV decode for real in multimodal/audio.py):
+    synthesize an actual WAV per document cycling PCM / mu-law / A-law
+    / ADPCM by doc_id, then decode features from the bytes.  Each class
+    is constructed on an exactness hook (G.711 decode points round-trip
+    exactly with symmetric negatives; a constant signal is an ADPCM
+    fixed point), so the doc_id-arithmetic oracle predicts every RMS
+    bit-exactly.  Lossy tracking behavior, the mu-law two-zeros alias,
+    stereo/foreign-tag rejection are pinned by tests/test_audio.py."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_audio_media(docs))

@@ -128,10 +128,17 @@ def test_codec_rejections():
         decode_bmp(b"XX" + b"\x00" * 64)
     with pytest.raises(ValueError, match="PPM"):
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
-    # round 8: jpeg/gif/tiff are REAL now (multimodal/{jpeg,gif,tiff}.py);
-    # the stub scope is WebP/HEIC/compressed-TIFF + compressed a/v
-    with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF....WEBP", "image/webp")
+    # round 10: lossless WebP is REAL (multimodal/webp.py) — a malformed
+    # container is a ValueError, only the lossy VP8 bitstream remains a
+    # NotImplementedError stub; video stays environmental
+    with pytest.raises(ValueError, match="VP8L"):
+        decode_media(b"RIFF\x04\x00\x00\x00WEBP", "image/webp")
+    import struct as _struct
+
+    _vp8 = b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4
+    _lossy = b"RIFF" + _struct.pack("<I", 4 + len(_vp8)) + b"WEBP" + _vp8
+    with pytest.raises(NotImplementedError, match="VP8L decodes for real"):
+        decode_media(_lossy, "image/webp")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
     with pytest.raises(ValueError, match="media_type"):
