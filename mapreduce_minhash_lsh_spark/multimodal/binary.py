@@ -629,6 +629,35 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_mp4_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL single-track
+    ISO-BMFF containers (multimodal/mp4.py), built distributed.
+    4 + doc_id%9 frames of doc_id-arithmetic sizes at timescale 600 /
+    25 ticks per frame, so the ``multimodal_video_meta`` oracle
+    predicts sample count and duration exactly.  Handler alternates
+    video/audio by doc_id parity (both probe paths exercised)."""
+    from mapreduce_minhash_lsh_spark.multimodal.mp4 import make_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 9
+                frames = [
+                    bytes([(did + i) % 256]) * (10 + (did + i) % 20)
+                    for i in range(n)
+                ]
+                handler, codec = (
+                    (b"vide", b"mp4v") if did % 2 == 0 else (b"soun", b"mp4a")
+                )
+                blob = make_mp4(frames, handler=handler, codec=codec)
+                rows.append((did, blob, "video/mp4"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_audio_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL WAV containers
     cycling every supported audio format by doc_id: 16-bit PCM square,
@@ -744,6 +773,15 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         return (w, h, mean, None, None, None, None)
     if media_type.startswith("image/"):
         return decode_image(blob)
+    if media_type == "video/mp4":
+        # the CONTAINER layer is real (round 10, multimodal/mp4.py):
+        # brand/track/sample-table parse gives count + duration without
+        # touching any codec; decoding frame bytes stays environmental
+        from mapreduce_minhash_lsh_spark.multimodal.mp4 import probe_mp4
+
+        info = probe_mp4(blob)
+        n = info["tracks"][0]["n_samples"] if info["tracks"] else 0
+        return (None, None, None, None, n, info["duration_us"], None)
     if media_type.startswith(("audio/", "video/")):
         return decode_audio(blob)
     raise ValueError(f"unknown media_type {media_type!r}")
@@ -863,17 +901,23 @@ FRAME_SIZE = 32  # bytes per pseudo-frame in the deterministic stand-in
 
 
 def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
-    """Video frame-sampling plumbing: emit every k-th frame of each blob
-    as its own row (binary), via the same Arrow-batched mapInPandas
-    contract as extract_features.
+    """Video frame-sampling: emit every k-th frame of each blob as its
+    own row (binary), via the same Arrow-batched mapInPandas contract
+    as extract_features.
 
-    Without a real container/codec the "frames" are fixed-size byte
-    chunks (FRAME_SIZE) — the row-explosion shape, schema, and batching
-    are exactly what an ffmpeg-backed decoder drops into; swap
-    ``chunk_frames`` for the codec call and nothing else changes.
+    For ISO-BMFF (MP4) blobs the frames are the REAL samples sliced out
+    of mdat via the stsz/stsc/stco tables (round 10,
+    multimodal/mp4.py) — codec-encoded bytes at true frame boundaries.
+    Other blobs fall back to fixed-size byte chunks (FRAME_SIZE), the
+    original plumbing stand-in; either way the row-explosion shape,
+    schema and batching are exactly what an ffmpeg-backed frame DECODER
+    would drop into.
     """
+    from mapreduce_minhash_lsh_spark.multimodal.mp4 import mp4_frames
 
     def chunk_frames(blob: bytes) -> list[bytes]:
+        if blob[4:8] == b"ftyp":
+            return mp4_frames(blob)
         return [
             blob[i : i + FRAME_SIZE] for i in range(0, len(blob), FRAME_SIZE)
         ]

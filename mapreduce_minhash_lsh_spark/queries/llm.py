@@ -1466,3 +1466,30 @@ def q_multimodal_audio(spark, sf):
     stereo/foreign-tag rejection are pinned by tests/test_audio.py."""
     docs = load_table(spark, sf, "documents")
     return _binary.extract_media_features(_binary.synth_audio_media(docs))
+
+
+@register(
+    "multimodal_video_meta",
+    """SELECT doc_id AS id,
+  'video/mp4' AS media_type,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS DOUBLE) AS mean_pixel,
+  CAST(NULL AS INTEGER) AS sample_rate,
+  CAST(4 + doc_id % 9 AS BIGINT) AS n_samples,
+  CAST(((4 + doc_id % 9) * 25000000) // 600 AS BIGINT) AS duration_us,
+  CAST(NULL AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_video_meta(spark, sf):
+    """REAL video-container metadata end to end (round 10: the
+    ISO-BMFF box layer is real in multimodal/mp4.py — codec decode
+    stays the documented environmental stub): synthesize an actual MP4
+    per document (ftyp + mdat + complete moov/stbl; handler alternates
+    video/audio by parity), probe brand/mvhd/trak/stsz distributed, and
+    return sample count + duration.  Both are doc_id arithmetic, so the
+    oracle predicts every value exactly.  Real frame-boundary slicing
+    (stsz/stsc/stco) and rejection surfaces are pinned by
+    tests/test_mp4.py."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_mp4_media(docs))

@@ -139,8 +139,12 @@ def test_codec_rejections():
     _lossy = b"RIFF" + _struct.pack("<I", 4 + len(_vp8)) + b"WEBP" + _vp8
     with pytest.raises(NotImplementedError, match="VP8L decodes for real"):
         decode_media(_lossy, "image/webp")
-    with pytest.raises(NotImplementedError):
+    # round 10: the MP4 CONTAINER layer is real (multimodal/mp4.py) —
+    # truncated boxes are a ValueError; only codec decode stays stubbed
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x00\x00\x18ftyp", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00" * 16, "video/webm")
     with pytest.raises(ValueError, match="media_type"):
         decode_media(b"", "application/x-unknown")
 
