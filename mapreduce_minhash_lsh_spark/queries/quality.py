@@ -208,3 +208,55 @@ def q_bm25_topk(spark, sf):
     engine-exact ranking (operators/search.py docstring)."""
     docs = load_table(spark, sf, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, idf="rational")
+
+
+# --------------------------------------------------------------------------
+# BPE token accounting (functions/bpe.py)
+# --------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.functions.bpe import (  # noqa: E402
+    _TRAIN_FREQS,
+    BPE_MERGES,
+    count_text_tokens,
+    n_tokens_map,
+)
+
+# word -> subword count under the shipped asset, replayed at import —
+# the ELSE arm is unreachable on the closed generator vocabulary (a new
+# word would hash-mismatch the row, which is the conservative failure)
+_BPE_CASE = "CASE w " + " ".join(
+    f"WHEN '{w}' THEN {n}"
+    for w, n in sorted(n_tokens_map(BPE_MERGES, _TRAIN_FREQS).items())
+) + " ELSE length(w) END"
+
+
+@register(
+    "bpe_token_counts",
+    f"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(string_split(text, ' '), w -> {_BPE_CASE})) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents WHERE length(text) > 0""",
+)
+def q_bpe_token_counts(spark, sf):
+    """Real subword token accounting (round 10): per-document BPE token
+    counts under the shipped merge asset (functions/bpe.py) — the unit
+    every packing/mixture/budget decision in a training pipeline keys
+    off.  The encoder runs in an Arrow-batched pandas_udf with an
+    LRU'd per-word count (corpus vocabularies are tiny next to
+    corpora); the oracle replays encode_word over the same asset at
+    import, so the distributed application is value-checked."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def counts(texts):
+        return texts.map(count_text_tokens)
+
+    counts.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = pandas_udf(counts, "long")
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        udf(F.col("text")).alias("n_bpe_tokens"),
+    )
