@@ -120,10 +120,12 @@ HEADLINE = [
     # family's representative.
     "repeated_spans",
     # Round-10 additions: the corpus-quality-filter family (Gopher rules,
-    # map-side single-scan) and full-text relevance search (BM25,
-    # term-bounded shuffle + TakeOrdered top-k).
+    # map-side single-scan), full-text relevance search (BM25,
+    # term-bounded shuffle + TakeOrdered top-k), and real-BPE token
+    # accounting (Arrow-batched subword encode).
     "gopher_quality_flags",
     "bm25_topk",
+    "bpe_token_counts",
 ]
 
 
