@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Quality-first curation flow over the documents corpus — the round-10
+operator set composed end to end:
+
+  1. Gopher document rules (map-side flags, single scan) — drop docs
+     failing the published word-count / word-length / stopword /
+     alpha-fraction / symbol-ratio conjunction;
+  2. C4 line cleanup — strip boilerplate lines, drop thin documents;
+  3. near-duplicate thinning (the MinHash/LSH flagship) — keep the
+     lowest doc_id of each similar pair's group;
+  4. BPE token accounting (the shipped merge asset) — the budget unit;
+  5. a BM25 spot check that the surviving corpus still answers a
+     relevance query.
+
+    python3 examples/curation_pipeline.py [SF_DIR]
+
+Every stage is an operator with its own oracle-checked registry entry
+(gopher_quality_flags, c4_line_filter, similar_pairs, bpe_token_counts,
+bm25_topk) — this script is the composition, not new logic.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
+from mapreduce_minhash_lsh_spark.functions import quality as q
+from mapreduce_minhash_lsh_spark.functions.bpe import count_text_tokens
+from mapreduce_minhash_lsh_spark.operators.search import bm25_topk
+from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+from mapreduce_minhash_lsh_spark.session import get_spark
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="curation_pipeline", shuffle_partitions=8)
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n0 = docs.count()
+
+    # 1. Gopher rules — one scan, zero shuffle
+    t = F.col("text")
+    keep = q.gopher_keep(
+        F.size(F.split(t, " ")).cast("long"),
+        q.mean_word_len(t),
+        q.distinct_stopword_hits(t),
+        q.alpha_word_frac(t),
+        q.symbol_to_word_ratio(t),
+    )
+    docs = docs.where(keep == 1)
+    n1 = docs.count()
+
+    # 2. C4 line cleanup on synthesized lines (single-line corpus; a
+    #    real multi-line corpus would split on "\n")
+    toks = F.split(t, " ")
+    n_lines = F.floor((F.size(toks).cast("long") + 11) / F.lit(12)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+            F.when(i % 3 < 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    kept = q.c4_kept_lines(lines)
+    docs = (
+        docs.withColumn("clean_text", F.array_join(kept, "\n"))
+        .where(F.size(kept) >= q.C4_MIN_KEPT_LINES)
+    )
+    n2 = docs.count()
+
+    # 3. near-dup thinning on the CLEANED text
+    clean = docs.select("doc_id", F.col("clean_text").alias("text"))
+    cfg = MinHashLSHConfig(num_hashes=128, num_bands=8, threshold=0.8,
+                           id_strategy="md5")
+    pairs = similar_pairs(clean, cfg)
+    drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    docs = clean.join(drop, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 4. token budget under the shipped BPE asset
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def counts(texts):
+        return texts.map(count_text_tokens)
+
+    counts.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    budget = docs.select(pandas_udf(counts, "long")(F.col("text")).alias("n")) \
+                 .agg(F.sum("n").alias("tokens")).first()["tokens"]
+
+    # 5. relevance spot check on the survivors
+    top = bm25_topk(docs, ("merge", "scan"), k=5).collect()
+
+    print(f"ingested            {n0}")
+    print(f"after gopher rules  {n1}")
+    print(f"after c4 cleanup    {n2}")
+    print(f"after near-dup drop {n3}")
+    print(f"BPE token budget    {budget}")
+    print("top-5 bm25:", [(r['doc_id'], round(r['bm25'], 3)) for r in top])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
