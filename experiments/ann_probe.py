@@ -149,7 +149,77 @@ def crossover_probe(replicas: int) -> None:
     spark.stop()
 
 
+
+def pq_probe(replicas: int) -> None:
+    """Round 10: the PQ counterpart of crossover_probe — at
+    REPLICAS x 2000 vectors, build the compressed index once
+    (pq_codebooks + pq_encode with the Arrow-matmul assignment, codes
+    written to parquet: m ints per vector, the 64x-compression unit),
+    then measure per-100-query-batch walls for exact brute force vs
+    pq_query at two rerank depths, with class-level recall@10."""
+    import math
+
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        pq_codebooks,
+        pq_encode,
+        pq_query,
+    )
+
+    spark = get_spark(app_name="pq-crossover")
+    spark.range(1).count()
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = base.orderBy("vec_id").limit(100)
+    cosine_topk(base, queries, k=10).count()  # warm codegen
+    _drop_all_persisted(spark)
+
+    _, big, tmp = _replicated(spark, replicas)
+    n = big.count()
+    out = {"mode": "pq_crossover", "dim": 64, "vectors": n,
+           "m": 8, "n_codes": 16, "queries_per_batch": 100}
+
+    t0 = time.perf_counter()
+    exact = cosine_topk(big, queries, k=10)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    out["exact_batch_sec"] = round(time.perf_counter() - t0, 1)
+    _drop_all_persisted(spark)
+
+    t0 = time.perf_counter()
+    books = pq_codebooks(big, dim=64, m=8, n_codes=16, assign="fast")
+    codes = pq_encode(big, books, dim=64, assign="fast")
+    codes_path = tmp + "_codes"
+    codes.repartition(32).write.mode("overwrite").parquet(codes_path)
+    out["encode_build_sec"] = round(time.perf_counter() - t0, 1)
+    codes = spark.read.parquet(codes_path)
+    exact_cls = {(q, nid % 1_000_000) for q, nid in exact_set}
+
+    for rerank in (100, 400):
+        t0 = time.perf_counter()
+        pq = pq_query(books, codes, big, queries, dim=64, k=10, rerank=rerank)
+        pq_set = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+        t_pq = round(time.perf_counter() - t0, 1)
+        pq_cls = {(q, nid % 1_000_000) for q, nid in pq_set}
+        recall = round(len(exact_cls & pq_cls) / len(exact_cls), 3)
+        out[f"pq_rerank{rerank}"] = {
+            "batch_sec": t_pq, "recall_at10_class": recall,
+            "speedup_vs_exact": round(out["exact_batch_sec"] / max(t_pq, 0.1), 1),
+            "batches_to_amortize_build": (
+                math.ceil(out["encode_build_sec"]
+                          / (out["exact_batch_sec"] - t_pq))
+                if out["exact_batch_sec"] > t_pq else None
+            ),
+        }
+        _drop_all_persisted(spark)
+
+    print(json.dumps(out))
+    shutil.rmtree(str(Path(tmp).parent), ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--pq" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        pq_probe(int(args[0]) if args else 512)
+        return
     if "--crossover" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("-")]
         crossover_probe(int(args[0]) if args else 512)

@@ -87,12 +87,13 @@ def decode_image(blob: bytes):  # pragma: no cover - requires codec libs
 def decode_audio(blob: bytes):  # pragma: no cover - requires codec libs
     """Residual compressed-audio decode (MP3/AAC/Opus — psychoacoustic
     transforms + entropy coders) — STUB; round 10 made G.711 µ-law,
-    A-law and IMA-ADPCM WAV real (multimodal/audio.py), joining plain
-    16-bit PCM."""
+    A-law and IMA-ADPCM WAV real (multimodal/audio.py) and FLAC real
+    (multimodal/flac.py: rice-coded fixed/LPC prediction), joining
+    plain 16-bit PCM."""
     raise NotImplementedError(
-        "MP3/AAC/Opus codecs unavailable in this environment; WAV decodes "
-        "for real across PCM, G.711 mu-law/A-law and IMA-ADPCM "
-        "(audio.decode_wav_ex)"
+        "MP3/AAC/Opus codecs unavailable in this environment; WAV "
+        "(PCM/G.711/IMA-ADPCM) and FLAC decode for real "
+        "(audio.decode_wav_ex, flac.decode_flac)"
     )
 
 
@@ -658,6 +659,31 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_flac_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL FLAC streams
+    (multimodal/flac.py), built distributed.  Square wave, amplitude
+    1 + doc_id % 1000 (RMS exactly the amplitude — FLAC is lossless),
+    1000 + (doc_id % 50) * 8 samples at 8 kHz, the synth_media WAV
+    class' doc_id arithmetic, so the ``multimodal_flac`` oracle
+    predicts every decoded value."""
+    from mapreduce_minhash_lsh_spark.multimodal.flac import encode_flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1 + did % 1000
+                n = 1000 + (did % 50) * 8
+                samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                # small blocks -> multi-frame files (framing exercised)
+                rows.append((did, encode_flac(samples, WAV_RATE, block_size=512),
+                             "audio/flac"))
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_audio_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL WAV containers
     cycling every supported audio format by doc_id: 16-bit PCM square,
@@ -741,6 +767,11 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         from mapreduce_minhash_lsh_spark.multimodal.audio import decode_wav_ex
 
         rate, n, _, rms = decode_wav_ex(blob)
+        return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
+    if media_type == "audio/flac":
+        from mapreduce_minhash_lsh_spark.multimodal.flac import decode_flac
+
+        rate, n, _, rms = decode_flac(blob)
         return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
     if media_type == "image/bmp":
         w, h, mean = decode_bmp(blob)

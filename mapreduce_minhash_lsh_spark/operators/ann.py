@@ -640,10 +640,38 @@ def pq_topk(
     candidate cut ties on neighbor_id, and the re-rank reuses the exact
     cosine tail every other ANN path shares — so the DuckDB oracle
     reproduces the full result bit-for-bit (queries/ann.py
-    _pq_oracle_sql)."""
-    sub = dim // m
+    _pq_oracle_sql).
+
+    The fused form re-trains and re-encodes per call — one-shot use.
+    For repeated query batches build once (pq_codebooks + pq_encode,
+    codes written to parquet) and call :func:`pq_query` per batch, the
+    same production split as ivf_index/ivf_query."""
     books = pq_codebooks(emb, dim, m, n_codes, iters, id_col, vec_col, assign)
     codes = pq_encode(emb, books, dim, id_col, vec_col, assign)
+    return pq_query(
+        books, codes, emb, queries, dim,
+        k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def pq_query(
+    books: list[list[tuple[int, list[float]]]],
+    codes: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    rerank: int = PQ_RERANK_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt PQ index (``codes`` from :func:`pq_encode`,
+    typically read back from parquet): broadcast per-query LUTs, int64
+    ADC scan over the code columns, top-``rerank`` candidate cut
+    (WindowGroupLimit — per-partition heaps before the shuffle), exact
+    cosine re-rank of the candidates against ``emb``."""
+    m = len(books)
+    sub = dim // m
     luts = queries.select(
         F.col(id_col).alias("query_id"),
         *[

@@ -1493,3 +1493,30 @@ def q_multimodal_video_meta(spark, sf):
     tests/test_mp4.py."""
     docs = load_table(spark, sf, "documents")
     return _binary.extract_media_features(_binary.synth_mp4_media(docs))
+
+
+@register(
+    "multimodal_flac",
+    f"""SELECT doc_id AS id,
+  'audio/flac' AS media_type,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS DOUBLE) AS mean_pixel,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  {_AUDIO_N} AS n_samples,
+  {_AUDIO_N} * 125 AS duration_us,
+  CAST(1 + doc_id % 1000 AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_flac(spark, sf):
+    """REAL FLAC round trip end to end (round 10: rice-coded fixed/LPC
+    prediction in multimodal/flac.py — the compressed-audio stub is
+    down to the perceptual codecs): synthesize an actual multi-frame
+    FLAC stream per document (square wave, amplitude and length by
+    doc_id arithmetic), decode features from the bytes.  FLAC is
+    lossless, so RMS is exactly the amplitude and the oracle predicts
+    every value.  Foreign decode paths (LPC subframes, escape
+    partitions, rice2, partition orders, wasted bits, stereo, CRC
+    enforcement) are pinned by tests/test_flac.py."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_flac_media(docs))

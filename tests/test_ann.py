@@ -274,3 +274,19 @@ def test_pq_corpus_scan_side_has_no_vector_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_pq_split_equals_fused(spark):
+    """pq_codebooks + pq_encode + pq_query (the build-once/query-many
+    production split) must equal the fused pq_topk exactly."""
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        pq_codebooks, pq_encode, pq_query, pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    books = pq_codebooks(emb, dim=64, m=4, n_codes=16)
+    codes = pq_encode(emb, books, dim=64)
+    a = sorted(map(tuple, pq_query(books, codes, emb, q, dim=64, k=5).collect()))
+    b = sorted(map(tuple, pq_topk(emb, q, dim=64, k=5, m=4, n_codes=16).collect()))
+    assert a == b
