@@ -62,6 +62,8 @@ def mulaw_encode(pcm: int) -> int:
         pcm = _CLIP
     pcm += _BIAS >> 2
     seg = _seg_search(pcm, _SEG_UEND)
+    if seg >= 8:  # clipped full-scale lands past the last segment end
+        return 0x7F ^ mask
     uval = (seg << 4) | ((pcm >> (seg + 1)) & 0xF)
     return uval ^ mask
 
