@@ -3,14 +3,16 @@
 
 The multimodal half of the training-data story: media arrive as opaque
 ``binary`` columns with typed metadata, and every transform is an
-Arrow-batched ``mapInPandas`` over real container bytes — the six
-dependency-free codecs this repo ships (WAV via stdlib ``wave``; BMP and
-binary PPM via struct+numpy; PNG via zlib + scanline unfiltering;
-baseline JPEG via huffman + 8x8 DCT in numpy; GIF via LZW; uncompressed
-TIFF via IFD walk):
+Arrow-batched ``mapInPandas`` over real container bytes — the
+dependency-free codecs this repo ships (WAV incl. G.711/ADPCM; FLAC;
+BMP and binary PPM via struct+numpy; PNG via zlib + scanline
+unfiltering; baseline JPEG via huffman + 8x8 DCT in numpy; GIF via
+LZW; TIFF incl. LZW/PackBits/Deflate strips; lossless WebP — full
+VP8L; MP4 container probe):
 
   1. synthesize a mixed-format media relation (WAV/BMP/PPM) plus PNG,
-     JPEG, GIF and TIFF relations, one real container per document,
+     JPEG, GIF, TIFF, WebP, compressed-audio, FLAC and MP4 relations,
+     one real container per document,
   2. normalize every image to a fixed thumbnail size — decode →
      NN-resample → re-encode INTO ITS OWN FORMAT (audio passes through),
   3. extract typed features from the resized bytes (width/height/mean
@@ -39,11 +41,15 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.multimodal.binary import (
     extract_media_features,
     resize_images,
+    synth_audio_media,
+    synth_flac_media,
     synth_gif_media,
     synth_jpeg_media,
     synth_media,
+    synth_mp4_media,
     synth_png_media,
     synth_tiff_media,
+    synth_webp_media,
 )
 from mapreduce_minhash_lsh_spark.session import get_spark
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
@@ -68,6 +74,18 @@ def run(spark, sf_dir: str):
         .unionByName(
             synth_tiff_media(docs).withColumn("id", F.col("id") + 40_000_000)
         )
+        .unionByName(
+            synth_webp_media(docs).withColumn("id", F.col("id") + 50_000_000)
+        )
+        .unionByName(
+            synth_audio_media(docs).withColumn("id", F.col("id") + 60_000_000)
+        )
+        .unionByName(
+            synth_flac_media(docs).withColumn("id", F.col("id") + 70_000_000)
+        )
+        .unionByName(
+            synth_mp4_media(docs).withColumn("id", F.col("id") + 80_000_000)
+        )
     )
 
     # 2. Thumbnail normalization: every image becomes 8x6 in its own
@@ -84,6 +102,7 @@ def run(spark, sf_dir: str):
             F.count("*").alias("n"),
             F.round(F.avg("mean_pixel"), 2).alias("avg_pixel"),
             F.round(F.avg("rms"), 2).alias("avg_rms"),
+            F.round(F.avg("duration_us"), 0).alias("avg_duration_us"),
         )
         .orderBy("media_type")
     )
