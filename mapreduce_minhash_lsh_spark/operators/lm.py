@@ -1,0 +1,158 @@
+"""N-gram language-model scoring — the CCNet/KenLM-style quality signal.
+
+A training-data pipeline's classic quality filter scores every document
+by its cross-entropy under an n-gram language model (CCNet trains KenLM
+on a reference corpus and drops the high-perplexity tail).  This module
+is that filter Spark-shaped: the LM is a pair of count relations built
+with plain groupBy aggregations (model "training" is one shuffle over
+corpus bigrams — no driver-side state, no UDFs), and scoring is a join
+of the document's bigrams against those relations followed by a per-doc
+integer aggregation.
+
+100 TB design notes:
+
+* The LM relations are (string, count) tables bounded by the corpus
+  vocabulary, not the corpus size — at web scale they are large enough
+  to need a shuffle join (they are NOT broadcast here), but the join key
+  is the bigram string, so AQE handles the skewed head (stopword
+  bigrams) and the aggregation below it is map-side partial.
+* Scoring output is one row per document: the per-bigram log
+  probabilities never leave the executors un-aggregated.
+* Determinism contract (the repo-wide rule: cross-row float sums are
+  forbidden): each bigram's Laplace-smoothed log probability
+  ``ln((c_bigram + 1) / (c_prefix + V))`` is quantized map-side to an
+  int64 at :data:`LM_LOG_SCALE` (floor), and the per-document sum is an
+  exact integer sum — order-independent, engine-portable.  The only
+  doubles in the output are pinned-order divisions of those integers.
+  The 1e4 scale keeps the worst-case cross-engine ``ln`` ULP
+  disagreement (~4e-15 absolute) five orders of magnitude below the
+  quantization cell, and 1e-4 nats/bigram is far finer than any
+  filtering threshold needs.
+
+Reference anchor: the reference engine has no LM (it is the MinHash
+pipeline, Main.java:1-89); this is part of the mandated LLM-pipeline
+extension surface, same family as functions/text.py quality scores.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# log-prob quantization: floor(LM_LOG_SCALE * ln p) as int64.
+LM_LOG_SCALE = 10_000
+
+
+class BigramLM(NamedTuple):
+    """A trained bigram LM: two count relations + a 1-row vocab size.
+
+    ``bigrams``: (bigram, c_bg) — smoothing numerator counts.
+    ``prefixes``: (w1, c_w1) — conditional denominators (count of w1 as
+    a bigram prefix, i.e. unigram count minus document-final tokens).
+    ``vocab``: single-row (vsz) — |V| for Laplace smoothing, attached to
+    the scoring relation as a 1-row broadcast crossJoin (the repo's
+    standard scalar-attach; no driver action).
+    """
+
+    bigrams: DataFrame
+    prefixes: DataFrame
+    vocab: DataFrame
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, bigram) with multiplicity — map-side only.
+
+    Tokenization is the repo-wide whitespace split (functions/text.py
+    ``tokens``); w1 is recovered from the space-joined bigram with
+    substring_index, exact because tokens cannot contain the joiner.
+    """
+    from mapreduce_minhash_lsh_spark.functions.text import tokens, word_ngrams
+
+    return (
+        docs.where(F.size(tokens(F.col(text_col))) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            F.substring_index(F.col("bigram"), " ", 1).alias("w1"),
+            "bigram",
+        )
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> BigramLM:
+    """Train the bigram LM: two groupBy counts over the corpus bigram
+    relation plus a distinct-token count.  All three are lazy
+    DataFrames — "training" materializes nothing until a scoring plan
+    executes, and at scale the count relations can be written to
+    parquet once and re-read per scoring run (the ivf_index/ivf_query
+    split, applied to an LM)."""
+    from mapreduce_minhash_lsh_spark.functions.text import tokens
+
+    bg = _doc_bigrams(docs, text_col, id_col)
+    bigrams = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefixes = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = (
+        docs.where(F.size(tokens(F.col(text_col))) >= 2)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    return BigramLM(bigrams=bigrams, prefixes=prefixes, vocab=vocab)
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    lm: BigramLM | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under ``lm`` (nats/bigram; lower =
+    more corpus-typical).  ``lm=None`` trains on ``docs`` itself — the
+    self-perplexity quality signal (documents the corpus LM finds
+    surprising are boilerplate-free outliers or garbage; both tails are
+    what curation inspects).  Pass an LM trained on a held-out clean
+    corpus for the CCNet reference-perplexity variant.
+
+    Returns (doc_id, n_bigrams, logp_scaled, avg_nll):
+
+    * n_bigrams — bigram token count (bigint),
+    * logp_scaled — exact int64 sum of floor(1e4 * ln p(w2|w1)),
+    * avg_nll — -logp_scaled / 1e4 / n_bigrams (double, pinned op
+      order; the per-doc cross-entropy a filter thresholds on).
+    """
+    if lm is None:
+        lm = train_bigram_lm(docs, text_col, id_col)
+    bg = _doc_bigrams(docs, text_col, id_col)
+    # LEFT joins + coalesce-to-0: with an external LM the scored corpus
+    # contains unseen bigrams/prefixes, and Laplace smoothing is exactly
+    # what handles them — p = 1 / V for a fully novel bigram.  (On the
+    # self-LM path every key hits, so this is inner-join-equivalent.)
+    c_bg = F.coalesce(F.col("c_bg"), F.lit(0)).cast("double")
+    c_w1 = F.coalesce(F.col("c_w1"), F.lit(0)).cast("double")
+    p = (c_bg + F.lit(1.0)) / (c_w1 + F.col("vsz").cast("double"))
+    lp = F.floor(F.lit(float(LM_LOG_SCALE)) * F.log(p)).cast("long")
+    scored = (
+        bg.join(lm.bigrams, "bigram", "left")
+        .join(lm.prefixes, "w1", "left")
+        .crossJoin(F.broadcast(lm.vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("logp_scaled"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "logp_scaled",
+        (
+            (-F.col("logp_scaled")).cast("double")
+            / F.lit(float(LM_LOG_SCALE))
+            / F.col("n_bigrams")
+        ).alias("avg_nll"),
+    )

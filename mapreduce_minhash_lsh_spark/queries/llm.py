@@ -325,6 +325,49 @@ def q_repetition_scores(spark, sf):
 
 
 @register(
+    "ngram_lm_scores",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+cb AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
+cw AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+lp AS (
+  SELECT g.doc_id,
+         CAST(floor(10000.0 * ln(
+           (CAST(cb.c_bg AS DOUBLE) + 1.0)
+           / (CAST(cw.c_w1 AS DOUBLE) + CAST(v.vsz AS DOUBLE))
+         )) AS BIGINT) AS lp
+  FROM bg g JOIN cb USING (bigram) JOIN cw ON cw.w1 = g.w1 CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS logp_scaled,
+       CAST(-CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
+FROM lp GROUP BY doc_id""",
+)
+def q_ngram_lm_scores(spark, sf):
+    """Per-document cross-entropy under a corpus-trained bigram LM —
+    the CCNet/KenLM-style perplexity quality signal (round 10).  LM
+    "training" is two groupBy counts over corpus bigrams; scoring joins
+    each document's bigrams back to them and aggregates an exact int64
+    sum of 1e-4-quantized log probabilities, so the whole statistic is
+    engine-bit-exact (operators/lm.py module docstring has the ULP
+    budget).  At 100 TB the LM relations shuffle-join (vocabulary-
+    bounded, AQE handles the stopword-bigram skew head) and nothing
+    per-bigram ever reaches the driver."""
+    from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf, "documents"))
+
+
+@register(
     "benchmark_contamination",
     """WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks

@@ -1,0 +1,94 @@
+"""N-gram LM scoring (operators/lm.py): hand-computed cross-entropy on a
+tiny corpus, the external-LM (unseen bigram) smoothing path, and
+partition invariance of the quantized integer sums."""
+
+from __future__ import annotations
+
+import math
+
+from mapreduce_minhash_lsh_spark.operators.lm import (
+    LM_LOG_SCALE,
+    bigram_lm_scores,
+    train_bigram_lm,
+)
+
+
+def _expected(corpus: dict[int, str], score_docs: dict[int, str]):
+    """Driver-side reimplementation: Laplace bigram LM trained on
+    ``corpus``, scoring ``score_docs`` — mirrors the operator spec."""
+    def bigrams(text):
+        toks = text.split(" ")
+        return [(toks[i], f"{toks[i]} {toks[i + 1]}") for i in range(len(toks) - 1)]
+
+    c_bg: dict[str, int] = {}
+    c_w1: dict[str, int] = {}
+    vocab = set()
+    for text in corpus.values():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        vocab.update(toks)
+        for w1, bg in bigrams(text):
+            c_bg[bg] = c_bg.get(bg, 0) + 1
+            c_w1[w1] = c_w1.get(w1, 0) + 1
+    out = {}
+    for doc_id, text in score_docs.items():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        s = 0
+        grams = bigrams(text)
+        for w1, bg in grams:
+            p = (c_bg.get(bg, 0) + 1.0) / (c_w1.get(w1, 0) + float(len(vocab)))
+            s += math.floor(LM_LOG_SCALE * math.log(p))
+        out[doc_id] = (len(grams), s, (-s) / float(LM_LOG_SCALE) / len(grams))
+    return out
+
+
+CORPUS = {
+    1: "the cat sat on the mat",
+    2: "the cat ran",
+    3: "a dog sat",
+    4: "solo",  # < 2 tokens: contributes nothing, scored as nothing
+}
+
+
+def _docs_df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+
+
+def test_self_lm_matches_hand_computation(spark):
+    got = {
+        r.doc_id: (r.n_bigrams, r.logp_scaled, r.avg_nll)
+        for r in bigram_lm_scores(_docs_df(spark, CORPUS)).collect()
+    }
+    assert got == _expected(CORPUS, CORPUS)
+    assert 4 not in got  # single-token doc has no bigrams
+
+
+def test_external_lm_smooths_unseen_bigrams(spark):
+    lm = train_bigram_lm(_docs_df(spark, CORPUS))
+    new = {10: "the cat sat", 11: "zebra quark flux"}  # 11: fully unseen
+    got = {
+        r.doc_id: (r.n_bigrams, r.logp_scaled, r.avg_nll)
+        for r in bigram_lm_scores(_docs_df(spark, new), lm=lm).collect()
+    }
+    assert got == _expected(CORPUS, new)
+    # the unseen doc scores exactly the novel-bigram floor: p = 1/V
+    vsz = 8  # the cat sat on mat ran a dog
+    lp = math.floor(LM_LOG_SCALE * math.log(1.0 / vsz))
+    assert got[11] == (2, 2 * lp, (-2 * lp) / float(LM_LOG_SCALE) / 2)
+    # corpus-typical text is less surprising than novel text
+    assert got[10][2] < got[11][2]
+
+
+def test_partition_invariance(spark):
+    docs = _docs_df(spark, CORPUS)
+    a = {r.doc_id: r.logp_scaled for r in bigram_lm_scores(docs).collect()}
+    b = {
+        r.doc_id: r.logp_scaled
+        for r in bigram_lm_scores(docs.repartition(7)).collect()
+    }
+    assert a == b
