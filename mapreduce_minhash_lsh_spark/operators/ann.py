@@ -687,23 +687,52 @@ def pq_query(
             for j in range(m)
         ],
     )
-    adc = None
-    for j in range(m):
-        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}") + 1)
-        adc = term if adc is None else adc + term
+    adc = _adc_score(m)
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
+    cand = _adc_candidates(scored, rerank)
+    return _exact_rerank(cand, emb, queries, k, id_col, vec_col)
+
+
+def _adc_score(m: int):
+    """Σ_j lut{j}[code{j}] — the pure-int64 ADC score expression."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut{j}"), F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _adc_candidates(scored: DataFrame, rerank: int) -> DataFrame:
+    """Top-``rerank`` neighbors per query by ADC score (ties on
+    neighbor_id — engine-exact cut): WindowGroupLimit pushes
+    per-partition heaps below the shuffle."""
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    cand = (
+    return (
         scored.select(
             "query_id", "neighbor_id", F.row_number().over(w).alias("prank")
         )
         .where(F.col("prank") <= rerank)
         .select("query_id", "neighbor_id")
     )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rank of (query_id, neighbor_id) candidates — the
+    shared tail of the compressed-scan paths (PQ, IVF-PQ).  The
+    candidate relation is |Q| x rerank rows (tiny); only it joins back
+    to the float corpus, so the re-rank never rescans unprobed
+    vectors."""
     n = norms(emb, id_col, vec_col)
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
@@ -724,3 +753,144 @@ def pq_query(
         )
     )
     return _rank_topk(exact, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + compressed ADC scan within probed lists
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 2,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]], DataFrame]:
+    """Build the combined FAISS-IVFPQ-style index: the IVF coarse
+    quantizer prunes WHICH vectors a query scans (partition the corpus
+    into ``n_lists`` inverted lists), PQ compresses WHAT the scan reads
+    (m small int codes instead of the float vector).  Returns
+    ``(cents, books, codes)`` with codes = (neighbor_id, list_id,
+    code0..code{m-1}) — derived in ONE map-side projection over the
+    corpus (quantizers ride in as literals; no join, no shuffle).
+
+    Codes are quantized on the RAW vector, not the IVF residual
+    (``by_residual=false`` in FAISS terms): the repo's spherical PQ
+    quantizes sub-vector direction for the cosine/dot scoring every ANN
+    path shares, a geometry residuals would break — and the exact
+    re-rank absorbs the coarser approximation either way.
+
+    100 TB story: write ``codes`` to parquet ``partitionBy('list_id')``
+    once per ingest — each query batch then scans only its probed
+    lists' files (literal partition pruning, the IVF win) AND reads
+    only m int columns per vector instead of the float corpus (the PQ
+    win, ~64x smaller at the registered 8x16 config).  Incremental
+    ingest pins both quantizers exactly like :func:`ivf_index`'s
+    ``cents`` path: re-deriving them per batch would re-map every
+    stored list and code."""
+    cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    books = pq_codebooks(emb, dim, m, n_codes, pq_iters, id_col, vec_col, assign)
+    sub = dim // m
+    codes = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_assign_col(cents, F.col(vec_col), 1, assign), 1).alias("list_id"),
+        *[
+            F.element_at(
+                _assign_col(
+                    books[j], F.slice(F.col(vec_col), j * sub + 1, sub), 1, assign
+                ),
+                1,
+            ).cast("integer").alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+    return cents, books, codes
+
+
+def ivfpq_query(
+    cents: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    codes: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = PQ_RERANK_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+    prune: bool = False,
+) -> DataFrame:
+    """Query a prebuilt IVF-PQ index: assign each query its ``n_probe``
+    nearest coarse lists and its per-subspace ADC lookup tables in one
+    probe-side projection (|Q| x n_probe rows — broadcast; the LUT
+    arrays ride along), equi-join on list_id so the ADC scan touches
+    only probed lists, int64 ADC cut to ``rerank`` candidates, exact
+    cosine re-rank.  ``prune=True`` filters the code relation to the
+    probed list ids before the join (literal partition pruning against
+    a partitionBy('list_id') parquet index), same trade-off as
+    :func:`ivf_query`."""
+    m = len(books)
+    sub = dim // m
+    luts = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    dot_scaled(
+                        F.slice(F.col(vec_col), j * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in cvec]),
+                    )
+                    for _cid, cvec in books[j]
+                ]
+            ).alias(f"lut{j}")
+            for j in range(m)
+        ],
+        F.explode(_assign_col(cents, F.col(vec_col), n_probe, assign)).alias("list_id"),
+    )
+    if prune:
+        lists = [r.list_id for r in luts.select("list_id").distinct().collect()]
+        codes = codes.where(F.col("list_id").isin(lists))
+    scored = (
+        codes.join(F.broadcast(luts), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_score(m).alias("adc"))
+    )
+    cand = _adc_candidates(scored, rerank)
+    return _exact_rerank(cand, emb, queries, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 2,
+    pq_iters: int = 2,
+    rerank: int = PQ_RERANK_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "exact",
+) -> DataFrame:
+    """IVF-PQ in one call (:func:`ivfpq_index` + :func:`ivfpq_query`) —
+    one-shot form; for repeated batches build once and persist the code
+    relation, the same split as every other index here."""
+    cents, books, codes = ivfpq_index(
+        emb, dim, n_lists, m, n_codes, lloyd_iters, pq_iters, id_col, vec_col, assign
+    )
+    return ivfpq_query(
+        cents, books, codes, emb, queries, dim,
+        k=k, n_probe=n_probe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col, assign=assign,
+    )

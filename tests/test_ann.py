@@ -290,3 +290,72 @@ def test_pq_split_equals_fused(spark):
     a = sorted(map(tuple, pq_query(books, codes, emb, q, dim=64, k=5).collect()))
     b = sorted(map(tuple, pq_topk(emb, q, dim=64, k=5, m=4, n_codes=16).collect()))
     assert a == b
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ recall@5 against brute force: measured 0.78 at the
+    registered configuration (16 lists, n_probe=8, m=8, 16 codewords,
+    rerank=120) — identical to the full-scan PQ at the same rerank, so
+    the coarse pruning cost no recall on this corpus.  Gate at 0.6.
+    Deterministic quantizers, so stable."""
+    from mapreduce_minhash_lsh_spark.operators.ann import cosine_topk, ivfpq_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, q, dim=64, k=5, n_lists=16, n_probe=8, m=8, n_codes=16, rerank=120
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_ivfpq_split_equals_fused(spark):
+    """ivfpq_index + ivfpq_query (build-once/query-many) must equal the
+    fused ivfpq_topk exactly."""
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        ivfpq_index, ivfpq_query, ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    cents, books, codes = ivfpq_index(emb, dim=64, n_lists=8, m=4, n_codes=16)
+    a = sorted(map(tuple, ivfpq_query(
+        cents, books, codes, emb, q, dim=64, k=5, n_probe=3).collect()))
+    b = sorted(map(tuple, ivfpq_topk(
+        emb, q, dim=64, k=5, n_lists=8, n_probe=3, m=4, n_codes=16).collect()))
+    assert a == b
+
+
+def test_ivfpq_prune_equals_unpruned(spark):
+    """prune=True only narrows the code scan to probed lists — the set
+    the join keeps anyway — so results must be identical."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivfpq_index, ivfpq_query
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    cents, books, codes = ivfpq_index(emb, dim=64, n_lists=8, m=4, n_codes=16)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    a = ivfpq_query(cents, books, codes, emb, q, dim=64, k=5, n_probe=3, prune=False)
+    b = ivfpq_query(cents, books, codes, emb, q, dim=64, k=5, n_probe=3, prune=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_codes_carry_list_and_codes(spark):
+    """The index relation is (neighbor_id, list_id, m codes) — the
+    partitionBy(list_id) + int-columns-only scan contract."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivfpq_index
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    _cents, _books, codes = ivfpq_index(emb, dim=64, n_lists=8, m=4, n_codes=16)
+    assert codes.columns == ["neighbor_id", "list_id", "code0", "code1", "code2", "code3"]
+    agg = codes.agg(
+        F.min("list_id").alias("llo"), F.max("list_id").alias("lhi"),
+        *[F.max(f"code{j}").alias(f"hi{j}") for j in range(4)],
+        F.count("*").alias("n"),
+    ).first()
+    assert agg["n"] == emb.count()
+    assert 0 <= agg["llo"] and agg["lhi"] < 8
+    for j in range(4):
+        assert agg[f"hi{j}"] < 16
