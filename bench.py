@@ -126,6 +126,12 @@ HEADLINE = [
     "gopher_quality_flags",
     "bm25_topk",
     "bpe_token_counts",
+    # Round-10 session-4 additions: the LM-perplexity quality signal
+    # (corpus-bigram shuffle join — the family's only shuffle-heavy
+    # text scorer) and the IVF-PQ composition (coarse pruning + ADC
+    # scan; regressions in either quantizer land here).
+    "ngram_lm_scores",
+    "ann_ivfpq_topk",
 ]
 
 
