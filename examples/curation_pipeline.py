@@ -8,15 +8,17 @@ operator set composed end to end:
   2. C4 line cleanup — strip boilerplate lines, drop thin documents;
   3. near-duplicate thinning (the MinHash/LSH flagship) — keep the
      lowest doc_id of each similar pair's group;
-  4. BPE token accounting (the shipped merge asset) — the budget unit;
-  5. a BM25 spot check that the surviving corpus still answers a
+  4. bigram-LM perplexity (session 4) — drop the most corpus-atypical
+     tail (the CCNet-style cut, self-trained here);
+  5. BPE token accounting (the shipped merge asset) — the budget unit;
+  6. a BM25 spot check that the surviving corpus still answers a
      relevance query.
 
     python3 examples/curation_pipeline.py [SF_DIR]
 
 Every stage is an operator with its own oracle-checked registry entry
-(gopher_quality_flags, c4_line_filter, similar_pairs, bpe_token_counts,
-bm25_topk) — this script is the composition, not new logic.
+(gopher_quality_flags, c4_line_filter, similar_pairs, ngram_lm_scores,
+bpe_token_counts, bm25_topk) — this script is the composition, not new logic.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.functions import quality as q
 from mapreduce_minhash_lsh_spark.functions.bpe import count_text_tokens
+from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
 from mapreduce_minhash_lsh_spark.operators.search import bm25_topk
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 from mapreduce_minhash_lsh_spark.session import get_spark
@@ -82,7 +85,20 @@ def main() -> None:
     docs = clean.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
-    # 4. token budget under the shipped BPE asset
+    # 4. LM-perplexity cut: drop docs whose cross-entropy under the
+    #    (self-trained) corpus bigram LM exceeds a fixed ceiling —
+    #    production would train on a held-out clean corpus and pick the
+    #    ceiling from its score distribution.
+    scores = bigram_lm_scores(docs)
+    ceiling = 6.0  # nats/bigram
+    docs = (
+        docs.join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
+        .where(F.coalesce(F.col("avg_nll"), F.lit(0.0)) <= ceiling)
+        .drop("avg_nll")
+    )
+    n4 = docs.count()
+
+    # 5. token budget under the shipped BPE asset
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -93,13 +109,14 @@ def main() -> None:
     budget = docs.select(pandas_udf(counts, "long")(F.col("text")).alias("n")) \
                  .agg(F.sum("n").alias("tokens")).first()["tokens"]
 
-    # 5. relevance spot check on the survivors
+    # 6. relevance spot check on the survivors
     top = bm25_topk(docs, ("merge", "scan"), k=5).collect()
 
     print(f"ingested            {n0}")
     print(f"after gopher rules  {n1}")
     print(f"after c4 cleanup    {n2}")
     print(f"after near-dup drop {n3}")
+    print(f"after LM-ppl cut    {n4}")
     print(f"BPE token budget    {budget}")
     print("top-5 bm25:", [(r['doc_id'], round(r['bm25'], 3)) for r in top])
     spark.stop()
