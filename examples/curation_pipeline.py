@@ -87,10 +87,11 @@ def main() -> None:
 
     # 4. LM-perplexity cut: drop docs whose cross-entropy under the
     #    (self-trained) corpus bigram LM exceeds a fixed ceiling —
-    #    production would train on a held-out clean corpus and pick the
-    #    ceiling from its score distribution.
+    #    ceiling = this corpus's own p95 (one bounded-scalar action);
+    #    production trains on a held-out clean corpus and fixes the
+    #    ceiling from ITS score distribution instead.
     scores = bigram_lm_scores(docs)
-    ceiling = 6.0  # nats/bigram
+    ceiling = scores.agg(F.expr("percentile(avg_nll, 0.95)")).first()[0]
     docs = (
         docs.join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
         .where(F.coalesce(F.col("avg_nll"), F.lit(0.0)) <= ceiling)
