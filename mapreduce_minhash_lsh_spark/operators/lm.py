@@ -156,3 +156,142 @@ def bigram_lm_scores(
             / F.col("n_bigrams")
         ).alias("avg_nll"),
     )
+
+
+class TrigramLM(NamedTuple):
+    """A trained stupid-backoff trigram LM: three count relations plus
+    a 1-row (n_tokens, vsz) totals relation.  All lazy; write to
+    parquet once for repeated scoring runs."""
+
+    trigrams: DataFrame   # (trigram, c3)
+    bigrams: DataFrame    # (bigram, c2)
+    unigrams: DataFrame   # (tok, c1)
+    totals: DataFrame     # single row (n_tokens, vsz)
+
+
+def train_trigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> TrigramLM:
+    """Count relations for :func:`stupid_backoff_scores` — three
+    groupBy counts over corpus n-grams plus one totals aggregate."""
+    from mapreduce_minhash_lsh_spark.functions.text import tokens, word_ngrams
+
+    t = F.col(text_col)
+    tri_docs = docs.where(F.size(tokens(t)) >= 3)
+    trigrams = (
+        tri_docs.select(F.explode(word_ngrams(t, 3)).alias("trigram"))
+        .groupBy("trigram").agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi_docs = docs.where(F.size(tokens(t)) >= 2)
+    bigrams = (
+        bi_docs.select(F.explode(word_ngrams(t, 2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = docs.where(F.size(tokens(t)) >= 1).select(
+        F.explode(tokens(t)).alias("tok")
+    )
+    unigrams = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vsz"),
+    )
+    return TrigramLM(trigrams=trigrams, bigrams=bigrams, unigrams=unigrams, totals=totals)
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    lm: TrigramLM | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log stupid-backoff score — the
+    web-scale trigram LM of Brants et al. 2007 ("Large Language Models
+    in Machine Translation"): no normalization, no discounting, just
+    count ratios with a fixed 0.4 backoff factor per level, which is
+    exactly what makes it trainable and servable as plain count tables
+    at corpus scale.
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                      = 0.4 * c(w2w3)/c(w2)        else if c(w2w3) > 0
+                      = 0.4^2 * (c(w3)+1)/(N+V)    otherwise
+
+    (The base level is Laplace-floored — a departure from the paper's
+    unsmoothed c(w)/N — so the external-LM path stays finite on tokens
+    the training corpus never saw.)
+
+    Same determinism contract as :func:`bigram_lm_scores`: every score
+    is a pinned-order rational of int64 counts, ln is quantized
+    map-side at :data:`LM_LOG_SCALE`, per-doc sums are exact integer
+    sums.  Returns (doc_id, n_trigrams, logsb_scaled, avg_nls) with
+    avg_nls = -logsb_scaled / 1e4 / n_trigrams (mean negative
+    log-score; higher = more corpus-atypical).
+    """
+    from mapreduce_minhash_lsh_spark.functions.text import tokens, word_ngrams
+
+    if lm is None:
+        lm = train_trigram_lm(docs, text_col, id_col)
+    t = F.col(text_col)
+    tri = (
+        docs.where(F.size(tokens(t)) >= 3)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(t, 3)).alias("trigram"),
+        )
+        .select(
+            "doc_id", "trigram",
+            F.substring_index(F.col("trigram"), " ", 2).alias("bigram"),
+            F.substring_index(F.col("trigram"), " ", -2).alias("suf23"),
+            F.substring_index(
+                F.substring_index(F.col("trigram"), " ", 2), " ", -1
+            ).alias("w2"),
+            F.substring_index(F.col("trigram"), " ", -1).alias("w3"),
+        )
+    )
+    c23 = lm.bigrams.select(F.col("bigram").alias("suf23"), F.col("c2").alias("c23"))
+    cw2 = lm.unigrams.select(F.col("tok").alias("w2"), F.col("c1").alias("cw2"))
+    cw3 = lm.unigrams.select(F.col("tok").alias("w3"), F.col("c1").alias("cw3"))
+    joined = (
+        tri.join(lm.trigrams, "trigram", "left")
+        .join(lm.bigrams, "bigram", "left")
+        .join(c23, "suf23", "left")
+        .join(cw2, "w2", "left")
+        .join(cw3, "w3", "left")
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    c3_ = F.coalesce(F.col("c3"), F.lit(0))
+    c12 = F.coalesce(F.col("c2"), F.lit(0))
+    c23_ = F.coalesce(F.col("c23"), F.lit(0))
+    cw2_ = F.coalesce(F.col("cw2"), F.lit(0))
+    cw3_ = F.coalesce(F.col("cw3"), F.lit(0))
+    sb = (
+        F.when(
+            (c3_ > 0) & (c12 > 0),
+            c3_.cast("double") / c12.cast("double"),
+        )
+        .when(
+            (c23_ > 0) & (cw2_ > 0),
+            F.lit(0.4) * (c23_.cast("double") / cw2_.cast("double")),
+        )
+        .otherwise(
+            F.lit(0.4) * F.lit(0.4)
+            * (
+                (cw3_.cast("double") + F.lit(1.0))
+                / (F.col("n_tokens").cast("double") + F.col("vsz").cast("double"))
+            )
+        )
+    )
+    lp = F.floor(F.lit(float(LM_LOG_SCALE)) * F.log(sb)).cast("long")
+    scored = joined.select("doc_id", lp.alias("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("lp").cast("long").alias("logsb_scaled"),
+    ).select(
+        "doc_id",
+        "n_trigrams",
+        "logsb_scaled",
+        (
+            (-F.col("logsb_scaled")).cast("double")
+            / F.lit(float(LM_LOG_SCALE))
+            / F.col("n_trigrams")
+        ).alias("avg_nls"),
+    )

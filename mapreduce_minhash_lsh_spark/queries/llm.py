@@ -368,6 +368,68 @@ def q_ngram_lm_scores(spark, sf):
 
 
 @register(
+    "stupid_backoff_scores",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS trigram,
+         toks[i] || ' ' || toks[i + 1] AS bigram,
+         toks[i + 1] || ' ' || toks[i + 2] AS suf23,
+         toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+c3g AS (SELECT trigram, COUNT(*) AS c3 FROM tri GROUP BY trigram),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+c2g AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+uni AS (SELECT unnest(toks) AS tok FROM t WHERE len(toks) >= 1),
+c1g AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM uni),
+lp AS (
+  SELECT g.doc_id,
+         CAST(floor(10000.0 * ln(
+           CASE
+             WHEN COALESCE(c3g.c3, 0) > 0 AND COALESCE(p12.c2, 0) > 0
+               THEN CAST(c3g.c3 AS DOUBLE) / CAST(p12.c2 AS DOUBLE)
+             WHEN COALESCE(s23.c2, 0) > 0 AND COALESCE(u2.c1, 0) > 0
+               THEN 0.4 * (CAST(s23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+             ELSE 0.4 * 0.4 * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0)
+                   / (CAST(tot.n_tokens AS DOUBLE) + CAST(tot.vsz AS DOUBLE)))
+           END)) AS BIGINT) AS lp
+  FROM tri g
+  LEFT JOIN c3g ON c3g.trigram = g.trigram
+  LEFT JOIN c2g p12 ON p12.bigram = g.bigram
+  LEFT JOIN c2g s23 ON s23.bigram = g.suf23
+  LEFT JOIN c1g u2 ON u2.tok = g.w2
+  LEFT JOIN c1g u3 ON u3.tok = g.w3
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(lp) AS BIGINT) AS logsb_scaled,
+       CAST(-CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nls
+FROM lp GROUP BY doc_id""",
+)
+def q_stupid_backoff_scores(spark, sf):
+    """Per-document mean negative log stupid-backoff trigram score —
+    the Brants et al. 2007 web-scale LM (round 10): count ratios with a
+    fixed 0.4 backoff per level, no normalization, so the "model" IS
+    three count tables and scoring is joins — the design that serves
+    trillion-token LMs.  Same engine-bit-exact quantized-int contract
+    as ngram_lm_scores (operators/lm.py)."""
+    from mapreduce_minhash_lsh_spark.operators.lm import stupid_backoff_scores
+
+    return stupid_backoff_scores(load_table(spark, sf, "documents"))
+
+
+@register(
     "benchmark_contamination",
     """WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks

@@ -92,3 +92,78 @@ def test_partition_invariance(spark):
         for r in bigram_lm_scores(docs.repartition(7)).collect()
     }
     assert a == b
+
+
+def _sb_expected(corpus: dict[int, str], score_docs: dict[int, str]):
+    """Driver-side stupid backoff mirror (Laplace-floored base level)."""
+    c3: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    n_tokens = 0
+    for text in corpus.values():
+        toks = text.split(" ")
+        n_tokens += len(toks)
+        for w in toks:
+            c1[w] = c1.get(w, 0) + 1
+        for i in range(len(toks) - 1):
+            bg = f"{toks[i]} {toks[i + 1]}"
+            c2[bg] = c2.get(bg, 0) + 1
+        for i in range(len(toks) - 2):
+            tg = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+            c3[tg] = c3.get(tg, 0) + 1
+    vsz = len(c1)
+    out = {}
+    for doc_id, text in score_docs.items():
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue
+        s, n = 0, 0
+        for i in range(len(toks) - 2):
+            w1, w2, w3 = toks[i], toks[i + 1], toks[i + 2]
+            tg, b12, b23 = f"{w1} {w2} {w3}", f"{w1} {w2}", f"{w2} {w3}"
+            if c3.get(tg, 0) > 0 and c2.get(b12, 0) > 0:
+                sb = c3[tg] / c2[b12]
+            elif c2.get(b23, 0) > 0 and c1.get(w2, 0) > 0:
+                sb = 0.4 * (c2[b23] / c1[w2])
+            else:
+                sb = 0.4 * 0.4 * ((c1.get(w3, 0) + 1.0) / (n_tokens + float(vsz)))
+            s += math.floor(LM_LOG_SCALE * math.log(sb))
+            n += 1
+        out[doc_id] = (n, s, (-s) / float(LM_LOG_SCALE) / n)
+    return out
+
+
+def test_stupid_backoff_matches_hand_computation(spark):
+    from mapreduce_minhash_lsh_spark.operators.lm import stupid_backoff_scores
+
+    got = {
+        r.doc_id: (r.n_trigrams, r.logsb_scaled, r.avg_nls)
+        for r in stupid_backoff_scores(_docs_df(spark, CORPUS)).collect()
+    }
+    assert got == _sb_expected(CORPUS, CORPUS)
+    assert 4 not in got and 3 in got  # <3 tokens unscored; exactly 3 scored
+
+
+def test_stupid_backoff_hits_all_three_levels(spark):
+    """An external-LM scoring doc engineered so its trigrams exercise
+    the trigram hit, the bigram backoff, and the Laplace base level."""
+    from mapreduce_minhash_lsh_spark.operators.lm import (
+        stupid_backoff_scores,
+        train_trigram_lm,
+    )
+
+    lm = train_trigram_lm(_docs_df(spark, CORPUS))
+    # "the cat sat": trigram hit.  "cat ran on": c3=0, suffix bigram
+    # "ran on"? not in corpus -> base; "sat on the": c3=0 but "on the"
+    # is a corpus bigram -> bigram backoff level.
+    new = {20: "the cat sat", 21: "ran sat on the mat"}
+    got = {
+        r.doc_id: (r.n_trigrams, r.logsb_scaled, r.avg_nls)
+        for r in stupid_backoff_scores(_docs_df(spark, new), lm=lm).collect()
+    }
+    exp = _sb_expected(CORPUS, new)
+    assert got == exp
+    # doc 20's single trigram is a trigram HIT with S = c3/c12 = 1/2
+    # ("the cat sat" once over "the cat" twice) — pin the level's value
+    lp = math.floor(LM_LOG_SCALE * math.log(0.5))
+    assert got[20] == (1, lp, -lp / float(LM_LOG_SCALE))
