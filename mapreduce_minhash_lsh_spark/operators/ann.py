@@ -397,65 +397,78 @@ def _centroids(
 
     A float-mean Lloyd (np.mean) would be pairwise-summation-order
     dependent and unreproducible in SQL; this one is plain integer
-    arithmetic plus IEEE ops every engine rounds identically."""
+    arithmetic plus IEEE ops every engine rounds identically.
+
+    Execution (round 10): the Lloyd loop runs DRIVER-SIDE in numpy over
+    the collected sample.  The sample was always driver-bounded
+    (<= IVF_TRAIN_CAP rows — ~2 MB at 4096 x 64 doubles, independent of
+    corpus size); the earlier cluster-side loop scheduled
+    iters x quantizers small jobs whose latency, not compute, dominated
+    every small-corpus index build (measured: the 9-quantizer IVF-PQ
+    config spent ~5.4 s in 27 bounded-sample jobs).  Every numpy op
+    used is IEEE-exact (float64 multiply, floor, int64 sum, pinned-
+    order division) or correctly rounded (sqrt), and the rank-1 pick is
+    a stable ascending argsort on (neg_cos, cid-order) — NaN-last, the
+    same total order Spark's array_sort and DuckDB's row_number apply —
+    so the centroids are BIT-IDENTICAL to the cluster-side loop and to
+    the unrolled-CTE oracles (gated by the oracle-parity sweep over
+    every quantizer-backed query).  ``assign`` is retained for API
+    compatibility; training now always uses the exact quantized
+    arithmetic (the numpy matmul-with-floor is fast at any supported
+    k), while corpus/probe ASSIGNMENT strategy remains the caller's
+    choice and stays distributed."""
+    import numpy as np
+
     from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
 
-    # persist (NOT localCheckpoint) both bounded intermediates: a
-    # localCheckpoint'd DataFrame's blocks sit on the RDD itself, so
-    # Dataset.unpersist() is a no-op for them and release waits on
-    # driver GC + ContextCleaner (ADVICE r8) — with persist, the
-    # explicit unpersist below frees the blocks deterministically, so
-    # repeated ivf_topk calls on a long-lived cluster session don't
-    # accumulate dead sample/assignment blocks.
-    sample = (
+    del assign  # training arithmetic is strategy-independent (see above)
+    rows = (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .orderBy("vec_id")
         .limit(IVF_TRAIN_CAP)
-        .persist()  # reused once per Lloyd round
+        .collect()
     )
-    seeds = sample.orderBy("vec_id").limit(k).collect()
-    cents = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
-    try:
-        for _ in range(iters):
-            quant = F.transform(
-                F.col("vec"), lambda x: F.floor(x.cast("double") * F.lit(SCALE)).cast("long")
-            )
-            # Materialize the assignment BEFORE the posexplode (round 8):
-            # projected into the same select as the generator, the k x dim
-            # assignment expression was re-evaluated once PER EXPLODED ROW —
-            # dim x the work, interpreted — and each Lloyd round took ~47 s
-            # on a 2 000-row sample; with the barrier it is ~2 s
-            # (experiments/results_r8.json ivf_lloyd_fix).  The cache is
-            # k-bounded (<= IVF_TRAIN_CAP rows of (int, dim longs)); the
-            # cache build evaluates the full projection once, so the
-            # InMemoryRelation is the same barrier the checkpoint was.
-            assigned = sample.select(
-                F.element_at(_assign_col(cents, F.col("vec"), 1, assign), 1).alias("cid"),
-                quant.alias("q"),
-            ).persist()
-            rows = (
-                assigned.select("cid", F.posexplode("q").alias("i", "q"))
-                .groupBy("cid", "i")
-                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            assigned.unpersist()
-            sums: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in rows:
-                sums.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
-            cents = [
-                (
-                    cid,
-                    [
-                        # (double(s) / 1e12) / double(n) — same op order as the oracle
-                        (dims[i][0] / SCALE) / float(dims[i][1]) for i in range(len(prev))
-                    ]
-                    if (dims := sums.get(cid)) else prev,
-                )
-                for cid, prev in cents
-            ]
-    finally:
-        sample.unpersist()  # deterministic release (VERDICT r8 nit)
+    V = np.asarray([[float(x) for x in r["vec"]] for r in rows], dtype=np.float64)
+    n, dim = V.shape if V.ndim == 2 else (0, 0)
+    cents = [(i, [float(x) for x in V[i]]) for i in range(min(k, n))]
+    if n == 0:
+        return cents
+    # constants across rounds: 1e-12-quantized components (the update
+    # step's summand) and each sample vector's scaled-int squared norm
+    quant = np.floor(V * SCALE).astype(np.int64)
+    n2v = (np.floor(V * V * SCALE).astype(np.int64).sum(axis=1)).astype(
+        np.float64
+    ) / SCALE
+
+    def scaled_dots(B: np.ndarray) -> np.ndarray:
+        """(n, |B|) doubles: int64 sums of floor(v_i * b_i * 1e12) / 1e12
+        — elementwise floor BEFORE the sum, exactly the engine's
+        dot_scaled.  Chunked over sample rows to bound the (rows x k x
+        dim) temporary."""
+        out = np.empty((n, B.shape[0]), dtype=np.float64)
+        step = max(1, (1 << 24) // max(1, B.shape[0] * dim))
+        for s in range(0, n, step):
+            blk = V[s : s + step, None, :] * B[None, :, :] * SCALE
+            out[s : s + step] = np.floor(blk).astype(np.int64).sum(axis=2) / SCALE
+        return out
+
+    for _ in range(iters):
+        C = np.asarray([vec for _cid, vec in cents], dtype=np.float64)
+        n2c = (np.floor(C * C * SCALE).astype(np.int64).sum(axis=1)).astype(
+            np.float64
+        ) / SCALE
+        neg_cos = -(scaled_dots(C) / (np.sqrt(n2v)[:, None] * np.sqrt(n2c)[None, :]))
+        # rank-1 centroid per row: ascending stable argsort keeps the
+        # lower cid on exact ties and sorts NaN last (zero-norm rows)
+        pick = np.argsort(neg_cos, axis=1, kind="stable")[:, 0]
+        sums = np.zeros((len(cents), dim), dtype=np.int64)
+        np.add.at(sums, pick, quant)
+        counts = np.bincount(pick, minlength=len(cents)).astype(np.float64)
+        means = (sums.astype(np.float64) / SCALE) / np.where(counts == 0, 1.0, counts)[:, None]
+        cents = [
+            (cid, [float(x) for x in means[j]] if counts[j] else prev)
+            for j, (cid, prev) in enumerate(cents)
+        ]
     return cents
 
 
