@@ -429,6 +429,43 @@ def q_stupid_backoff_scores(spark, sf):
     return stupid_backoff_scores(load_table(spark, sf, "documents"))
 
 
+from mapreduce_minhash_lsh_spark.queries._base import _md5_parse_sql as _mp  # noqa: E402
+
+@register(
+    "winnow_fingerprints",
+    f"""WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 8
+),
+g AS (
+  SELECT doc_id, i, substring(text, CAST(i AS INTEGER), 5) AS gram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM d)
+),
+h AS (SELECT doc_id, i, ({_mp('gram')}) AS h FROM g),
+s AS (
+  SELECT doc_id, unnest(range(1, length(text) - 6)) AS i FROM d
+),
+win AS (
+  SELECT s.doc_id, s.i AS ws, h.i AS pos, h.h,
+         row_number() OVER (PARTITION BY s.doc_id, s.i
+                            ORDER BY h.h ASC, h.i DESC) AS rn
+  FROM s JOIN h ON h.doc_id = s.doc_id AND h.i BETWEEN s.i AND s.i + 3
+)
+SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, CAST(h AS BIGINT) AS fp
+FROM win WHERE rn = 1""",
+)
+def q_winnow_fingerprints(spark, sf):
+    """Winnowed fingerprint sets (round 10): rightmost-min md5 k-gram
+    hash per sliding window (k=5, w=4) — the MOSS selection with the
+    paper's guarantee that any >= 8-char substring match between two
+    docs shares a fingerprint.  Pure map-side array expressions, zero
+    shuffle (operators/winnow.py); the oracle is the relational form
+    (positions x windows join + row_number), value-bit-exact because
+    the hash is the shared md5_long."""
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf, "documents"), k=5, w=4)
+
+
 @register(
     "benchmark_contamination",
     """WITH t AS (
