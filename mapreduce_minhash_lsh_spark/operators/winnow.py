@@ -89,3 +89,48 @@ def winnow_fingerprints(
         base.select("doc_id", F.explode(F.array_distinct(wins)).alias("s"))
         .select("doc_id", F.col("s.p").alias("pos"), F.col("s.v").alias("fp"))
     )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id_a < doc_id_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowed fingerprint VALUES — the MOSS matcher.  By
+    the selection guarantee this catches every pair with a common
+    substring of length >= w + k - 1 per shared fingerprint, at
+    position granularity MinHash's document-level signature cannot see.
+
+    Scale design mirrors repeated_spans (operators/dedup.py): the join
+    is an inverted-index self-join on fingerprint value, bounded by
+    ``max_df`` — fingerprints appearing in more than ``max_df``
+    documents are corpus boilerplate (function words, templates) and
+    are dropped BEFORE the join, so candidate volume is
+    sum-over-fps(C(df, 2)) with df <= max_df: linear-ish in corpus
+    size, never quadratic.  ``max_df=None`` disables the bound
+    (exhaustive; small corpora only).
+    """
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col, id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(
+            df_counts.where(F.col("df") <= max_df).select("fp"), "fp"
+        )
+    a = fps.select(F.col("doc_id").alias("doc_id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -431,9 +431,9 @@ def q_stupid_backoff_scores(spark, sf):
 
 from mapreduce_minhash_lsh_spark.queries._base import _md5_parse_sql as _mp  # noqa: E402
 
-@register(
-    "winnow_fingerprints",
-    f"""WITH d AS (
+# Winnowing twin CTEs (k=5, w=4), shared by the fingerprint and matcher
+# oracles: k-gram md5-long hashes, window starts, rightmost-min select.
+_WINNOW_CTES = f"""d AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= 8
 ),
 g AS (
@@ -449,7 +449,12 @@ win AS (
          row_number() OVER (PARTITION BY s.doc_id, s.i
                             ORDER BY h.h ASC, h.i DESC) AS rn
   FROM s JOIN h ON h.doc_id = s.doc_id AND h.i BETWEEN s.i AND s.i + 3
-)
+)"""
+
+
+@register(
+    "winnow_fingerprints",
+    f"""WITH {_WINNOW_CTES}
 SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, CAST(h AS BIGINT) AS fp
 FROM win WHERE rn = 1""",
 )
@@ -464,6 +469,34 @@ def q_winnow_fingerprints(spark, sf):
     from mapreduce_minhash_lsh_spark.operators.winnow import winnow_fingerprints
 
     return winnow_fingerprints(load_table(spark, sf, "documents"), k=5, w=4)
+
+
+@register(
+    "winnow_match_pairs",
+    f"""WITH {_WINNOW_CTES},
+fps AS (SELECT DISTINCT doc_id, CAST(h AS BIGINT) AS fp FROM win WHERE rn = 1),
+bounded AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16)
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3""",
+)
+def q_winnow_match_pairs(spark, sf):
+    """The MOSS matcher (round 10): document pairs sharing >= 3
+    winnowed fingerprint values, boilerplate fingerprints (df > 16)
+    dropped before the inverted-index self-join — the repeated_spans
+    postings bound applied to fingerprint space, so candidate volume is
+    sum C(df, 2) with df <= 16, never quadratic.  Substring-level
+    near-dup/quote detection at position granularity."""
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_match_pairs
+
+    return winnow_match_pairs(
+        load_table(spark, sf, "documents"), k=5, w=4, min_shared=3, max_df=16
+    )
 
 
 @register(

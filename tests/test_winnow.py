@@ -73,3 +73,39 @@ def test_density_bound(spark):
     n_grams = len(text) - 4
     density = len(rows) / n_grams
     assert 0.2 < density < 0.6  # 2/(w+1) = 0.4 expected
+
+
+def test_match_pairs_finds_planted_pair(spark):
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_match_pairs
+
+    shared = "this exact passage is replicated between the two documents"
+    docs = {
+        1: f"prefix one {shared} suffix one",
+        2: f"{shared} completely different remainder here",
+        3: "unrelated text with nothing in common whatsoever today",
+    }
+    rows = winnow_match_pairs(
+        _docs_df(spark, docs), k=5, w=4, min_shared=3, max_df=None
+    ).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in rows}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_match_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every doc is boilerplate: with max_df
+    below the corpus size it must not create pairs on its own."""
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_match_pairs
+
+    boiler = "standard footer attached everywhere"
+    docs = {i: f"document number {i} body {boiler}" for i in range(1, 7)}
+    # every pair shares ONLY the boilerplate; max_df=3 < 6 docs kills it
+    rows = winnow_match_pairs(
+        _docs_df(spark, docs), k=5, w=4, min_shared=1, max_df=3
+    ).collect()
+    boiler_only = {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    got = {(r.doc_id_a, r.doc_id_b) for r in rows}
+    # "document number X body" prefixes still share grams across docs —
+    # but those grams also appear in all 6 docs, so df-bounding kills
+    # them too; nothing survives
+    assert got == set() or got < boiler_only
