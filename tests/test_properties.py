@@ -257,3 +257,39 @@ def test_ivf_fast_assign_agrees_or_tied(spark, seed, k_cents, dim):
         v = np.array(r.embedding, dtype=np.float64)
         cos = (mat @ v) / (np.where(nrm > 0, nrm, 1.0) * max(np.linalg.norm(v), 1e-300))
         assert abs(cos[r.e] - cos[r.f]) < 1e-9, (r.vec_id, r.e, r.f, cos)
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=5))
+def test_winnowing_matches_python_spec(spark, docs_texts):
+    """Winnowed fingerprint sets equal the plain-Python rightmost-min
+    spec on arbitrary text (incl. whitespace/quotes/unicode)."""
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_fingerprints
+    from tests.test_winnow import _mirror
+
+    docs = spark.createDataFrame(list(enumerate(docs_texts)), ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=3, w=2).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in enumerate(docs_texts):
+        assert got.get(i, set()) == _mirror(t, 3, 2), repr(t)
+
+
+# space-joined word docs: the LM tokenization is a plain ' ' split, so
+# build inputs from words (possibly empty -> consecutive spaces)
+_words = st.text(alphabet=st.sampled_from("ab "), min_size=0, max_size=12)
+
+
+@SLOW
+@given(st.lists(_words, min_size=1, max_size=5))
+def test_bigram_lm_matches_python_spec(spark, docs_texts):
+    from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
+    from tests.test_lm import _expected
+
+    corpus = {i: t for i, t in enumerate(docs_texts)}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.logp_scaled, r.avg_nll)
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert got == _expected(corpus, corpus)
