@@ -278,3 +278,127 @@ def decode_wav_ex(blob: bytes) -> tuple[int, int, int, float]:
     xf = x.astype(np.float64)
     rms = float(np.sqrt(np.mean(xf * xf))) if xf.size else 0.0
     return rate, len(x) // channels, channels, rms
+
+
+# ---------------------------------------------------------------------------
+# AIFF (IFF chunks, big-endian PCM, 80-bit extended-float sample rate)
+# and Sun AU / .snd (offset-header, big-endian data, µ-law or PCM)
+# ---------------------------------------------------------------------------
+
+
+def _f80_encode(value: int) -> bytes:
+    """IEEE 754 80-bit extended ("SANE extended") for a positive integer
+    — the AIFF COMM sampleRate field: 15-bit exponent biased 16383, then
+    a 64-bit mantissa with an EXPLICIT integer bit."""
+    if value <= 0:
+        raise ValueError("sample rate must be positive")
+    p = value.bit_length() - 1
+    mant = value << (63 - p)
+    return struct.pack(">HQ", 16383 + p, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    """Integer sample rate from the 80-bit extended field (rounds the
+    fractional part away — audio rates are integers in practice)."""
+    se, mant = struct.unpack(">HQ", b[:10])
+    sign = -1 if se & 0x8000 else 1
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    val = mant * (2 ** shift) if shift >= 0 else mant / (2 ** -shift)
+    return int(sign * val)
+
+
+def make_aiff(samples: np.ndarray, rate: int) -> bytes:
+    """Mono 16-bit big-endian PCM in a real AIFF container
+    (FORM/AIFF + COMM + SSND)."""
+    data = samples.astype(">i2").tobytes()
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+        ">hIh", 1, len(samples), 16
+    ) + _f80_encode(rate)
+    ssnd = b"SSND" + struct.pack(">I", 8 + len(data)) + struct.pack(">II", 0, 0) + data
+    if len(data) & 1:
+        ssnd += b"\x00"
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def aiff_samples(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """(rate, channels, int16 samples) from an AIFF container —
+    manual IFF chunk walk (stdlib ``aifc`` is gone in Python 3.13)."""
+    if blob[:4] != b"FORM" or blob[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF container")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        size = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + 8 : pos + 8 + size]
+        if tag == b"COMM":
+            comm = payload
+        elif tag == b"SSND":
+            ssnd = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF container missing COMM or SSND chunk")
+    channels, n_frames, bits = struct.unpack(">hIh", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    if bits != 16:
+        raise ValueError(f"only 16-bit AIFF PCM supported, got {bits}")
+    offset, _block = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset : 8 + offset + n_frames * channels * 2]
+    return rate, channels, np.frombuffer(data, dtype=">i2").astype(np.int16)
+
+
+AU_MAGIC = b".snd"
+AU_ENC_MULAW = 1
+AU_ENC_PCM16 = 3
+
+
+def make_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
+    """Mono Sun AU (.snd): 24-byte header + big-endian data.  ``mulaw``
+    runs the real G.711 encoder over the samples."""
+    if encoding == "pcm16":
+        enc, data = AU_ENC_PCM16, samples.astype(">i2").tobytes()
+    elif encoding == "mulaw":
+        enc = AU_ENC_MULAW
+        data = bytes(mulaw_encode(int(x)) for x in samples)
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding!r}")
+    return AU_MAGIC + struct.pack(">IIIII", 24, len(data), enc, rate, 1) + data
+
+
+def au_samples(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """(rate, channels, int16 samples) from a Sun AU container —
+    µ-law decodes through the shared G.711 table."""
+    if blob[:4] != AU_MAGIC:
+        raise ValueError("not a Sun AU container (missing .snd magic)")
+    offset, size, enc, rate, channels = struct.unpack(">IIIII", blob[4:24])
+    end = len(blob) if size == 0xFFFFFFFF else offset + size
+    data = blob[offset:end]
+    if enc == AU_ENC_PCM16:
+        return rate, channels, np.frombuffer(data, dtype=">i2").astype(np.int16)
+    if enc == AU_ENC_MULAW:
+        table = np.array(MULAW_DECODE, dtype=np.int16)
+        return rate, channels, table[np.frombuffer(data, dtype=np.uint8)]
+    raise NotImplementedError(
+        f"AU encoding {enc} needs external codecs; µ-law/PCM16 decode for real"
+    )
+
+
+def _pcm_features(rate: int, channels: int, x: np.ndarray) -> tuple[int, int, int, float]:
+    xf = x.astype(np.float64)
+    rms = float(np.sqrt(np.mean(xf * xf))) if xf.size else 0.0
+    return rate, len(x) // channels, channels, rms
+
+
+def decode_aiff_ex(blob: bytes) -> tuple[int, int, int, float]:
+    """(rate, n_frames, channels, rms) — decode_wav_ex's twin for AIFF."""
+    return _pcm_features(*aiff_samples(blob))
+
+
+def decode_au_ex(blob: bytes) -> tuple[int, int, int, float]:
+    """(rate, n_frames, channels, rms) — decode_wav_ex's twin for AU."""
+    return _pcm_features(*au_samples(blob))

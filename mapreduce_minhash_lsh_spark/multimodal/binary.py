@@ -728,6 +728,48 @@ def synth_audio_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
 
 
+def synth_aiff_au_media(docs: DataFrame) -> DataFrame:
+    """documents -> (id, media, media_type) with REAL AIFF and Sun AU
+    containers cycling by doc_id: AIFF 16-bit big-endian PCM square,
+    AU G.711 mu-law square (decode-point construction, round-trips
+    exactly), AU 16-bit PCM square — so the ``multimodal_aiff_au``
+    oracle predicts every RMS bit-exactly from doc_id arithmetic,
+    through a real 80-bit-extended-float rate parse on the AIFF side."""
+    from mapreduce_minhash_lsh_spark.multimodal.audio import (
+        MULAW_DECODE,
+        make_aiff,
+        make_au,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1000 + (did % 50) * 8
+                cls = did % 3
+                if cls == 0:
+                    amp = 1 + did % 1000
+                    samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                    rows.append((did, make_aiff(samples, WAV_RATE), "audio/aiff"))
+                elif cls == 1:
+                    code = 16 + did % 100
+                    v, v_neg = MULAW_DECODE[code], MULAW_DECODE[code ^ 0x80]
+                    samples = np.tile(np.array([v, v_neg], dtype=np.int16), n // 2)
+                    rows.append(
+                        (did, make_au(samples, WAV_RATE, "mulaw"), "audio/basic")
+                    )
+                else:
+                    amp = 1 + did % 2000
+                    samples = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                    rows.append(
+                        (did, make_au(samples, WAV_RATE, "pcm16"), "audio/basic")
+                    )
+            yield pd.DataFrame(rows, columns=["id", "media", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_MIX_SCHEMA)
+
+
 def synth_webp_media(docs: DataFrame) -> DataFrame:
     """documents -> (id, media, media_type) with REAL lossless-WebP
     container bytes (multimodal/webp.py), built distributed.  Same
@@ -767,6 +809,16 @@ def decode_media(blob: bytes, media_type: str) -> tuple:
         from mapreduce_minhash_lsh_spark.multimodal.audio import decode_wav_ex
 
         rate, n, _, rms = decode_wav_ex(blob)
+        return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
+    if media_type == "audio/aiff":
+        from mapreduce_minhash_lsh_spark.multimodal.audio import decode_aiff_ex
+
+        rate, n, _, rms = decode_aiff_ex(blob)
+        return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
+    if media_type == "audio/basic":  # Sun AU / .snd
+        from mapreduce_minhash_lsh_spark.multimodal.audio import decode_au_ex
+
+        rate, n, _, rms = decode_au_ex(blob)
         return (None, None, None, rate, n, n * 1_000_000 // rate, rms)
     if media_type == "audio/flac":
         from mapreduce_minhash_lsh_spark.multimodal.flac import decode_flac

@@ -1644,6 +1644,34 @@ def q_multimodal_audio(spark, sf):
 
 
 @register(
+    "multimodal_aiff_au",
+    f"""SELECT doc_id AS id,
+  CASE WHEN doc_id % 3 = 0 THEN 'audio/aiff' ELSE 'audio/basic' END AS media_type,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS DOUBLE) AS mean_pixel,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  {_AUDIO_N} AS n_samples,
+  {_AUDIO_N} * 125 AS duration_us,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN 1 + doc_id % 1000
+    WHEN 1 THEN list_extract({_ABS_MULAW}, (16 + doc_id % 100) + 1)
+    ELSE 1 + doc_id % 2000
+  END AS DOUBLE) AS rms
+FROM documents""",
+)
+def q_multimodal_aiff_au(spark, sf):
+    """REAL AIFF + Sun AU round trips (round 10, session 4): synthesize
+    an actual container per document — AIFF big-endian PCM (through a
+    real IEEE-754 80-bit extended-float sample-rate field), AU G.711
+    mu-law (shared codec tables), AU PCM — then decode features from
+    the bytes.  Same exactness hooks as multimodal_audio, so the
+    doc_id-arithmetic oracle checks all three decode paths by value."""
+    docs = load_table(spark, sf, "documents")
+    return _binary.extract_media_features(_binary.synth_aiff_au_media(docs))
+
+
+@register(
     "multimodal_video_meta",
     """SELECT doc_id AS id,
   'video/mp4' AS media_type,

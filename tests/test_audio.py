@@ -118,3 +118,56 @@ def test_spark_audio_chain(spark):
     assert rows[3]["rms"] == 4.0          # ADPCM const 1 + 3 % 2000
     assert rows[1]["rms"] == abs(A.MULAW_DECODE[16 + 1])
     assert rows[2]["rms"] == abs(A.ALAW_DECODE[16 + 2])
+
+
+# ---------------------------------------------------------------------------
+# AIFF + Sun AU containers (round 10, session 4)
+# ---------------------------------------------------------------------------
+
+
+def test_f80_roundtrip_common_rates():
+    from mapreduce_minhash_lsh_spark.multimodal.audio import _f80_decode, _f80_encode
+
+    for rate in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 1):
+        assert _f80_decode(_f80_encode(rate)) == rate
+
+
+def test_aiff_pcm_roundtrip():
+    from mapreduce_minhash_lsh_spark.multimodal.audio import aiff_samples, make_aiff
+
+    x = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    rate, ch, y = aiff_samples(make_aiff(x, 44100))
+    assert (rate, ch) == (44100, 1)
+    assert np.array_equal(x, y)
+
+
+def test_au_pcm_and_mulaw_roundtrip():
+    from mapreduce_minhash_lsh_spark.multimodal.audio import (
+        MULAW_DECODE,
+        au_samples,
+        make_au,
+    )
+
+    x = np.array([0, 5000, -5000, 123], dtype=np.int16)
+    rate, ch, y = au_samples(make_au(x, 8000, "pcm16"))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(x, y)
+    # mu-law: decode points survive the lossy trip exactly
+    pts = np.array([MULAW_DECODE[16], MULAW_DECODE[16 ^ 0x80]], dtype=np.int16)
+    _, _, z = au_samples(make_au(pts, 8000, "mulaw"))
+    assert np.array_equal(pts, z)
+
+
+def test_aiff_au_reject_foreign_bytes():
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.multimodal.audio import aiff_samples, au_samples
+
+    with pytest.raises(ValueError, match="FORM/AIFF"):
+        aiff_samples(b"RIFF0000WAVE")
+    with pytest.raises(ValueError, match="snd magic"):
+        au_samples(b"FORM0000AIFF")
+    with pytest.raises(NotImplementedError, match="AU encoding"):
+        # encoding 27 = A-law AU variant we don't ship
+        import struct
+        au_samples(b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + b"\0\0\0\0")
