@@ -368,6 +368,62 @@ def q_ngram_lm_scores(spark, sf):
 
 
 @register(
+    "ngram_lm_ref_scores",
+    """WITH ref AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 2
+),
+rbg AS (
+  SELECT toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ref)
+),
+cb AS (SELECT bigram, COUNT(*) AS c_bg FROM rbg GROUP BY bigram),
+cw AS (SELECT w1, COUNT(*) AS c_w1 FROM rbg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM ref)),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 7 != 0 AND len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+lp AS (
+  SELECT g.doc_id,
+         CAST(floor(10000.0 * ln(
+           (CAST(COALESCE(cb.c_bg, 0) AS DOUBLE) + 1.0)
+           / (CAST(COALESCE(cw.c_w1, 0) AS DOUBLE) + CAST(v.vsz AS DOUBLE))
+         )) AS BIGINT) AS lp
+  FROM bg g
+  LEFT JOIN cb ON cb.bigram = g.bigram
+  LEFT JOIN cw ON cw.w1 = g.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS logp_scaled,
+       CAST(-CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
+FROM lp GROUP BY doc_id""",
+)
+def q_ngram_lm_ref_scores(spark, sf):
+    """The CCNet shape proper (round 10): train the bigram LM on a
+    held-out reference slice (doc_id % 7 == 0 — standing in for the
+    clean corpus CCNet trains KenLM on) and score every OTHER document
+    against it — unseen bigrams/prefixes hit the external-LM left-join
+    path and get the Laplace floor 1/V.  Production would persist the
+    count relations once and re-score each crawl against them."""
+    from mapreduce_minhash_lsh_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 7 == 0))
+    return bigram_lm_scores(docs.where(F.col("doc_id") % 7 != 0), lm=lm)
+
+
+@register(
     "stupid_backoff_scores",
     """WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
