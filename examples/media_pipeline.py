@@ -8,7 +8,7 @@ dependency-free codecs this repo ships (WAV incl. G.711/ADPCM; FLAC;
 BMP and binary PPM via struct+numpy; PNG via zlib + scanline
 unfiltering; baseline JPEG via huffman + 8x8 DCT in numpy; GIF via
 LZW; TIFF incl. LZW/PackBits/Deflate strips; lossless WebP — full
-VP8L; MP4 container probe):
+VP8L; MP4 container probe; AIFF + Sun AU):
 
   1. synthesize a mixed-format media relation (WAV/BMP/PPM) plus PNG,
      JPEG, GIF, TIFF, WebP, compressed-audio, FLAC and MP4 relations,
@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.multimodal.binary import (
     extract_media_features,
     resize_images,
+    synth_aiff_au_media,
     synth_audio_media,
     synth_flac_media,
     synth_gif_media,
@@ -85,6 +86,9 @@ def run(spark, sf_dir: str):
         )
         .unionByName(
             synth_mp4_media(docs).withColumn("id", F.col("id") + 80_000_000)
+        )
+        .unionByName(
+            synth_aiff_au_media(docs).withColumn("id", F.col("id") + 90_000_000)
         )
     )
 

@@ -215,7 +215,81 @@ def pq_probe(replicas: int) -> None:
     spark.stop()
 
 
+def ivfpq_probe(replicas: int) -> None:
+    """Round 10 session 4: the combined index at the crossover scale —
+    build IVF-PQ once (coarse lists ~sqrt(n) + 8x4-bit codes, codes
+    written partitionBy(list_id)), then measure per-100-query-batch
+    walls at two (n_probe, rerank) points with class recall@10 vs
+    exact.  The claim under test (SCALE.md §13): the two pruning axes
+    multiply — the ADC scan touches n_probe/n_lists of the rows AND
+    only the int code columns."""
+    import math
+
+    from mapreduce_minhash_lsh_spark.operators.ann import ivfpq_index, ivfpq_query
+
+    spark = get_spark(app_name="ivfpq-crossover")
+    spark.range(1).count()
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = base.orderBy("vec_id").limit(100)
+    cosine_topk(base, queries, k=10).count()  # warm codegen
+    _drop_all_persisted(spark)
+
+    _, big, tmp = _replicated(spark, replicas)
+    n = big.count()
+    n_lists = 2 ** round(math.log2(math.sqrt(n)))
+    out = {"mode": "ivfpq_crossover", "dim": 64, "vectors": n,
+           "n_lists": n_lists, "m": 8, "n_codes": 16,
+           "queries_per_batch": 100}
+
+    t0 = time.perf_counter()
+    exact = cosine_topk(big, queries, k=10)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    out["exact_batch_sec"] = round(time.perf_counter() - t0, 1)
+    _drop_all_persisted(spark)
+
+    t0 = time.perf_counter()
+    cents, books, codes = ivfpq_index(
+        big, dim=64, n_lists=n_lists, m=8, n_codes=16, assign="fast"
+    )
+    codes_path = tmp + "_ivfpq"
+    codes.repartition(64, "list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(codes_path)
+    out["index_build_sec"] = round(time.perf_counter() - t0, 1)
+    codes = spark.read.parquet(codes_path)
+    exact_cls = {(q, nid % 1_000_000) for q, nid in exact_set}
+
+    for n_probe, rerank in ((8, 100), (32, 400)):
+        t0 = time.perf_counter()
+        got = ivfpq_query(
+            cents, books, codes, big, queries, dim=64, k=10,
+            n_probe=n_probe, rerank=rerank, assign="fast",
+        )
+        got_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        t_q = round(time.perf_counter() - t0, 1)
+        got_cls = {(q, nid % 1_000_000) for q, nid in got_set}
+        recall = round(len(exact_cls & got_cls) / len(exact_cls), 3)
+        out[f"ivfpq_probe{n_probe}_rerank{rerank}"] = {
+            "batch_sec": t_q, "recall_at10_class": recall,
+            "speedup_vs_exact": round(out["exact_batch_sec"] / max(t_q, 0.1), 1),
+            "batches_to_amortize_build": (
+                math.ceil(out["index_build_sec"]
+                          / (out["exact_batch_sec"] - t_q))
+                if out["exact_batch_sec"] > t_q else None
+            ),
+        }
+        _drop_all_persisted(spark)
+
+    print(json.dumps(out))
+    shutil.rmtree(str(Path(tmp).parent), ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--ivfpq" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("-")]
+        ivfpq_probe(int(args[0]) if args else 512)
+        return
     if "--pq" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("-")]
         pq_probe(int(args[0]) if args else 512)
