@@ -324,9 +324,7 @@ def q_repetition_scores(spark, sf):
     )
 
 
-@register(
-    "ngram_lm_scores",
-    """WITH t AS (
+_NGRAM_LM_SQL = """WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks
   FROM documents WHERE len(string_split(text, ' ')) >= 2
 ),
@@ -350,8 +348,10 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(lp) AS BIGINT) AS logp_scaled,
        CAST(-CAST(SUM(lp) AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_nll
-FROM lp GROUP BY doc_id""",
-)
+FROM lp GROUP BY doc_id"""
+
+
+@register("ngram_lm_scores", _NGRAM_LM_SQL)
 def q_ngram_lm_scores(spark, sf):
     """Per-document cross-entropy under a corpus-trained bigram LM —
     the CCNet/KenLM-style perplexity quality signal (round 10).  LM
@@ -365,6 +365,21 @@ def q_ngram_lm_scores(spark, sf):
     from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
 
     return bigram_lm_scores(load_table(spark, sf, "documents"))
+
+
+@register("streaming_lm_scores", _NGRAM_LM_SQL)
+def q_streaming_lm_scores(spark, sf):
+    """The LM maintained incrementally (round 10, session 4): stream
+    the corpus in micro-batches, append per-batch count DELTAS to a
+    partitioned parquet log (idempotent batch_id partitions), compact
+    on read, score against the accumulated LM.  Integer count sums are
+    associative, so the result is EXACTLY the batch-trained
+    ngram_lm_scores — the oracle is that query's SQL verbatim
+    (batch-equivalence, the streaming family's standard check;
+    streaming/jobs.py streaming_lm_scores)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_lm_scores
+
+    return streaming_lm_scores(spark, sf)
 
 
 @register(

@@ -595,3 +595,116 @@ def streaming_ivf_index(
         if own_state:
             shutil.rmtree(state_dir, ignore_errors=True)
     return result
+
+
+def streaming_lm_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """Bigram-LM quality scoring with the LM maintained INCREMENTALLY:
+    stream the documents table in micro-batches, append each batch's
+    bigram/prefix count DELTAS (and its token set) to a partitioned
+    parquet count log, then score the corpus against the accumulated
+    LM — the continuous-crawl shape of operators/lm.py, mirroring
+    streaming_ivf_index's contract.
+
+    The count store is a LOG, not a read-modify-write table: every
+    batch writes its deltas under its own ``batch_id=`` partition with
+    dynamic partition overwrite (idempotent on checkpoint replay — a
+    replayed batch overwrites its own partition instead of
+    double-counting), and the LM is compacted ON READ with one groupBy
+    SUM.  Integer count sums are associative, so the accumulated LM is
+    EXACTLY the batch-trained LM regardless of how the corpus was
+    micro-batched — which is why the oracle is ngram_lm_scores' SQL
+    verbatim (batch-equivalence, the streaming family's standard
+    check).  A production deployment would roll the log up with a
+    periodic compaction job; the read-side groupBy is that compaction
+    inlined.
+
+    STATE-REUSE CONTRACT: same as streaming_ivf_index — a caller
+    state_dir means "resume THIS corpus's count log"; the input is
+    fingerprinted on first build and mismatching reuse fails fast.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.operators.lm import (
+        BigramLM,
+        _doc_bigrams,
+        bigram_lm_scores,
+    )
+    from mapreduce_minhash_lsh_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="lm_stream_")
+    split_dir = os.path.join(state_dir, "docs_split")
+    bg_path = os.path.join(state_dir, "counts_bigram")
+    w1_path = os.path.join(state_dir, "counts_prefix")
+    tok_path = os.path.join(state_dir, "tokens")
+    meta_path = os.path.join(state_dir, "source_meta")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bg = _doc_bigrams(batch_df, "text", "doc_id")
+        for rel, path in (
+            (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c")), bg_path),
+            (bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c")), w1_path),
+            (
+                batch_df.where(F.size(tokens(F.col("text"))) >= 2)
+                .select(F.explode(tokens(F.col("text"))).alias("tok"))
+                .distinct(),
+                tok_path,
+            ),
+        ):
+            (
+                rel.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+    try:
+        fingerprint = f"{sf_dir}|bigram_lm"
+        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
+            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+            spark.createDataFrame(
+                [(fingerprint,)], ["fingerprint"]
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        elif fs_exists(spark, meta_path):
+            row = spark.read.parquet(meta_path).first()
+            if row is not None and row.fingerprint != fingerprint:
+                raise ValueError(
+                    f"state_dir {state_dir!r} holds a count log built from "
+                    f"{row.fingerprint!r}; refusing to resume it as "
+                    f"{fingerprint!r} — use a fresh state_dir per corpus"
+                )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        lm = BigramLM(
+            bigrams=spark.read.parquet(bg_path)
+            .groupBy("bigram").agg(F.sum("c").alias("c_bg")),
+            prefixes=spark.read.parquet(w1_path)
+            .groupBy("w1").agg(F.sum("c").alias("c_w1")),
+            vocab=spark.read.parquet(tok_path)
+            .agg(F.countDistinct("tok").alias("vsz")),
+        )
+        # materialize before the state dir (which the LM reads) goes away
+        result = bigram_lm_scores(docs, lm=lm).localCheckpoint(eager=True)
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result

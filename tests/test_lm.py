@@ -167,3 +167,21 @@ def test_stupid_backoff_hits_all_three_levels(spark):
     # ("the cat sat" once over "the cat" twice) — pin the level's value
     lp = math.floor(LM_LOG_SCALE * math.log(0.5))
     assert got[20] == (1, lp, -lp / float(LM_LOG_SCALE))
+
+
+def test_streaming_lm_state_fingerprint_guard(spark, tmp_path):
+    """Reusing a count-log state_dir against a different corpus must
+    fail fast, not silently return the previous LM's scores."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_lm_scores
+    from tests.conftest import SF_SMALL
+
+    state = str(tmp_path / "lm_state")
+    a = streaming_lm_scores(spark, SF_SMALL, state_dir=state)
+    assert a.count() > 0
+    with pytest.raises(ValueError, match="refusing to resume"):
+        streaming_lm_scores(spark, "/root/testdata/sf0.01", state_dir=state)
+    # same corpus resumes fine (checkpoint replays cleanly; idempotent)
+    b = streaming_lm_scores(spark, SF_SMALL, state_dir=state)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
