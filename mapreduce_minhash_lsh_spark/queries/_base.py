@@ -108,10 +108,11 @@ def register(name: str, sql: str | None = None):
 #      ann_pq_topk, cluster_balanced_sample, bpe_token_counts,
 #      ngram_lm_scores, stupid_backoff_scores, ann_ivfpq_topk,
 #      winnow_fingerprints, winnow_match_pairs, multimodal_aiff_au,
-#      ngram_lm_ref_scores, streaming_lm_scores — new operators earn
-#      a driver row within a round of landing, the VERDICT r9 #1 norm;
-#      if the 10-swap pace holds, the overflow slides to r12);
-#      backlog 32 + 18 new -> 30.
+#      ngram_lm_ref_scores, streaming_lm_scores, q11_important_parts,
+#      q16_supplier_part_counts, q20_excess_suppliers — new operators
+#      earn a driver row within a round of landing, the VERDICT r9 #1
+#      norm; if the 10-swap pace holds, the overflow slides to r12);
+#      backlog 32 + 21 new -> 33.
 #   r12: sampling/scoring block (stratified_sample, quality_weighted_
 #      sample, lang_rebalanced_sample, repetition_scores, benchmark_
 #      contamination, distinctive_terms, token_length_histogram,

@@ -721,6 +721,146 @@ def q_q22_idle_rich_customers(spark, sf):
 
 
 @register(
+    "q11_important_parts",
+    """WITH nl AS (
+  SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+),
+val AS (
+  SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS value
+  FROM nl GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(v) AS DOUBLE) AS total FROM nl)
+SELECT l_partkey AS p_partkey, value
+FROM val, tot WHERE value > 0.001 * total""",
+)
+def q_q11_important_parts(spark, sf):
+    """TPC-H Q11 SHAPE over the driver schema (which has no partsupp
+    table — lineitem revenue stands in for supplycost x availqty, the
+    same group-value-vs-global-scalar structure): per-part value of one
+    nation's suppliers, kept when above a fraction of the nation
+    total.  The scalar total rides a 1-row broadcast crossJoin;
+    decimal-exact sums cast to double make the HAVING boundary
+    engine-exact."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    nl = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat.where(F.col("n_name") == "NATION_3")),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", v.alias("v"))
+    )
+    val = nl.groupBy("l_partkey").agg(F.sum("v").cast("double").alias("value"))
+    tot = nl.agg(F.sum("v").cast("double").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+GROUP BY p_brand, p_type, p_size""",
+)
+def q_q16_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape (no partsupp: lineitem is the who-supplies-what
+    relation): distinct supplier count per (brand, type, size) slice,
+    excluding a supplier denylist via NOT IN — a broadcast anti join
+    (the comment-LIKE complaint filter of real Q16 becomes an acctbal
+    threshold; the driver schema has no s_comment)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    sup = load_table(spark, sf, "supplier")
+    bad = sup.where(F.col("s_acctbal") < 1500).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").startswith("PROMO")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+        )
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """WITH sl AS (
+  SELECT l_suppkey, l_partkey, CAST(l_quantity AS DECIMAL(38,6)) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+),
+shipped AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(q) AS DOUBLE) AS qty
+  FROM sl GROUP BY l_suppkey, l_partkey
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(q) AS DOUBLE) AS total_qty
+  FROM sl GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM shipped sh
+JOIN per_part pp ON pp.l_partkey = sh.l_partkey
+JOIN supplier ON s_suppkey = sh.l_suppkey
+WHERE sh.qty > 0.5 * pp.total_qty""",
+)
+def q_q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 shape (availqty > half a part's year volume becomes:
+    this supplier shipped more than half the part's total year volume
+    — the same correlated-threshold nested structure, partsupp-free):
+    suppliers dominating any 'small%' part's 1995 shipments.  Both
+    aggregates ride one shuffle family on l_partkey; the per-part
+    total broadcasts back; decimal-exact sums."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    sup = load_table(spark, sf, "supplier")
+    sl = (
+        li.join(F.broadcast(part.where(F.col("p_name").startswith("small"))),
+                li.l_partkey == part.p_partkey)
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select("l_suppkey", "l_partkey",
+                F.col("l_quantity").cast("decimal(38,6)").alias("q"))
+    )
+    shipped = sl.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("q").cast("double").alias("qty")
+    )
+    per_part = sl.groupBy("l_partkey").agg(
+        F.sum("q").cast("double").alias("total_qty")
+    )
+    return (
+        shipped.join(F.broadcast(per_part), "l_partkey")
+        .where(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
     "customer_balance_ranks",
     """SELECT c_custkey, c_nationkey,
        CAST(percent_rank() OVER w AS DOUBLE) AS bal_pct_rank,
