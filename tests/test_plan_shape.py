@@ -175,3 +175,46 @@ def test_ivf_query_broadcasts_probes_never_shuffles_corpus(spark):
     p = plan(ivf_query(cents, corpus, q, k=5, n_probe=3))
     assert "BroadcastHashJoin" in p, p[:1500]
     assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_winnow_fingerprints_is_shuffle_free(spark):
+    """The winnowing selection is pure map-side array math — at 100 TB
+    an Exchange here would shuffle every document's hash array for an
+    operator that needs no cross-row state."""
+    from mapreduce_minhash_lsh_spark.operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    p = plan(winnow_fingerprints(docs, k=5, w=4))
+    assert "Exchange" not in p, p[:1500]
+
+
+def test_ivfpq_query_broadcasts_probes_never_shuffles_codes(spark):
+    """Same contract as the IVF guard, on the compressed index: the
+    probe+LUT side broadcasts, the code relation is scanned once —
+    never sort-merge-shuffled — before the rerank cut."""
+    from mapreduce_minhash_lsh_spark.operators.ann import ivfpq_index, ivfpq_query
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents, books, codes = ivfpq_index(emb, dim=64, n_lists=8, m=4, n_codes=16)
+    q = emb.where(F.col("vec_id") % 40 == 0)
+    p = plan(ivfpq_query(cents, books, codes, emb, q, dim=64, k=5, n_probe=3))
+    assert "BroadcastHashJoin" in p, p[:1500]
+    # the only allowed exchanges are on the tiny candidate/rank side;
+    # the full code relation must join the probes via broadcast hash
+    assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_lm_scores_aggregates_before_driver(spark):
+    """The LM score plan must keep per-bigram rows executor-side: the
+    output aggregate is per-doc, and the plan carries map-side partial
+    aggregation (two-phase HashAggregate) for the count relations."""
+    import re
+
+    from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    p = plan(bigram_lm_scores(docs))
+    # partial+final pairs for bigram counts, prefix counts, vocab and
+    # the per-doc rollup — at least 4 HashAggregate pairs
+    assert len(re.findall(r"HashAggregate", p)) >= 8, p[:2000]
+    assert "CollectLimit" not in p
