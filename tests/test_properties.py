@@ -293,3 +293,18 @@ def test_bigram_lm_matches_python_spec(spark, docs_texts):
         for r in bigram_lm_scores(docs).collect()
     }
     assert got == _expected(corpus, corpus)
+
+
+@SLOW
+@given(st.lists(_words, min_size=1, max_size=4))
+def test_stupid_backoff_matches_python_spec(spark, docs_texts):
+    from mapreduce_minhash_lsh_spark.operators.lm import stupid_backoff_scores
+    from tests.test_lm import _sb_expected
+
+    corpus = {i: t for i, t in enumerate(docs_texts)}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_trigrams, r.logsb_scaled, r.avg_nls)
+        for r in stupid_backoff_scores(docs).collect()
+    }
+    assert got == _sb_expected(corpus, corpus)
