@@ -132,6 +132,10 @@ HEADLINE = [
     # scan; regressions in either quantizer land here).
     "ngram_lm_scores",
     "ann_ivfpq_topk",
+    # Round-10 session-4 additions (second wave): the backoff-LM and
+    # winnowing family representatives.
+    "stupid_backoff_scores",
+    "winnow_fingerprints",
 ]
 
 

@@ -185,3 +185,19 @@ def test_streaming_lm_state_fingerprint_guard(spark, tmp_path):
     # same corpus resumes fine (checkpoint replays cleanly; idempotent)
     b = streaming_lm_scores(spark, SF_SMALL, state_dir=state)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_empty_and_degenerate_corpora(spark):
+    """No-bigram corpora (empty table, single tokens, empty strings)
+    score to empty results, not errors."""
+    from mapreduce_minhash_lsh_spark.operators.lm import (
+        bigram_lm_scores,
+        stupid_backoff_scores,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bigram_lm_scores(empty).count() == 0
+    assert stupid_backoff_scores(empty).count() == 0
+    degen = _docs_df(spark, {1: "", 2: "one", 3: "  "})  # "  " -> 3 empty toks
+    assert bigram_lm_scores(degen).count() == 1   # doc 3 has 2 bigrams of ""
+    assert stupid_backoff_scores(degen).count() == 1

@@ -109,3 +109,16 @@ def test_match_pairs_max_df_drops_boilerplate(spark):
     # but those grams also appear in all 6 docs, so df-bounding kills
     # them too; nothing survives
     assert got == set() or got < boiler_only
+
+
+def test_empty_corpus_and_short_docs(spark):
+    from mapreduce_minhash_lsh_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert winnow_fingerprints(empty).count() == 0
+    assert winnow_match_pairs(empty).count() == 0
+    short = _docs_df(spark, {1: "", 2: "1234567"})  # both below k+w-1
+    assert winnow_fingerprints(short, k=5, w=4).count() == 0
