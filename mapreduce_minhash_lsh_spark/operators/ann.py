@@ -371,6 +371,7 @@ def _assign_col(
 def _centroids(
     emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str,
     assign: str = "auto",
+    sample_mat=None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic, engine-portable coarse quantizer.
 
@@ -422,13 +423,20 @@ def _centroids(
     from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
 
     del assign  # training arithmetic is strategy-independent (see above)
-    rows = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-        .orderBy("vec_id")
-        .limit(IVF_TRAIN_CAP)
-        .collect()
-    )
-    V = np.asarray([[float(x) for x in r["vec"]] for r in rows], dtype=np.float64)
+    if sample_mat is not None:
+        # pre-collected (n, dim) float64 sample — multi-quantizer
+        # builders (pq_codebooks, ivfpq_index) collect the sample ONCE
+        # and slice it driver-side instead of scheduling one
+        # TakeOrdered job per sub-quantizer
+        V = np.asarray(sample_mat, dtype=np.float64)
+    else:
+        rows = (
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+            .orderBy("vec_id")
+            .limit(IVF_TRAIN_CAP)
+            .collect()
+        )
+        V = np.asarray([[float(x) for x in r["vec"]] for r in rows], dtype=np.float64)
     n, dim = V.shape if V.ndim == 2 else (0, 0)
     cents = [(i, [float(x) for x in V[i]]) for i in range(min(k, n))]
     if n == 0:
@@ -597,6 +605,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "exact",
+    sample_mat=None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace codebooks: split the vector into ``m`` contiguous
     sub-vectors of dim/m and run the shared deterministic quantizer
@@ -610,27 +619,32 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-
-    def _one(j: int) -> list[tuple[int, list[float]]]:
-        sliced = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("vec"),
+    if sample_mat is None:
+        sample_mat = _collect_sample(emb, id_col, vec_col)
+    # slicing the ONE collected sample replaces m TakeOrdered jobs; the
+    # per-subspace Lloyd is driver-side numpy (see _centroids), so the
+    # whole codebook build is one Spark job + arithmetic
+    return [
+        _centroids(
+            emb, n_codes, iters, id_col, vec_col, assign,
+            sample_mat=sample_mat[:, j * sub : (j + 1) * sub],
         )
-        return _centroids(sliced, n_codes, iters, "vec_id", "vec", assign)
+        for j in range(m)
+    ]
 
-    # The m sub-quantizers are independent (disjoint slices, no shared
-    # state) — train them as CONCURRENT Spark jobs.  Sequentially, each
-    # Lloyd round's driver-side collect serializes m x iters small jobs
-    # whose latency, not compute, dominates (measured: the registered
-    # 9-quantizer IVF-PQ config dropped ~3x when coarse + subspace
-    # training went concurrent).  Thread-per-subspace is safe: Spark's
-    # scheduler interleaves jobs from multiple driver threads, and each
-    # result is a pure function of its slice, so the books list is
-    # byte-identical to the sequential loop regardless of scheduling.
-    from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        return list(pool.map(_one, range(m)))
+def _collect_sample(emb: DataFrame, id_col: str, vec_col: str):
+    """The shared bounded training sample (lowest IVF_TRAIN_CAP ids) as
+    an (n, dim) float64 matrix — collected once, sliced per quantizer."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .collect()
+    )
+    return np.asarray([[float(x) for x in r["vec"]] for r in rows], dtype=np.float64)
 
 
 def pq_encode(
@@ -838,19 +852,17 @@ def ivfpq_index(
     ingest pins both quantizers exactly like :func:`ivf_index`'s
     ``cents`` path: re-deriving them per batch would re-map every
     stored list and code."""
-    # Coarse + subspace training are independent — run them as
-    # concurrent Spark jobs (see pq_codebooks for why this pays: the
-    # sequential form serializes (1 + m) x iters driver-side collects).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        cents_f = pool.submit(
-            _centroids, emb, n_lists, lloyd_iters, id_col, vec_col, assign
-        )
-        books_f = pool.submit(
-            pq_codebooks, emb, dim, m, n_codes, pq_iters, id_col, vec_col, assign
-        )
-        cents, books = cents_f.result(), books_f.result()
+    # ONE sample collect feeds all 1 + m quantizers (Lloyd itself is
+    # driver-side numpy — _centroids), so the whole training phase is
+    # a single Spark job plus arithmetic.
+    sample_mat = _collect_sample(emb, id_col, vec_col)
+    cents = _centroids(
+        emb, n_lists, lloyd_iters, id_col, vec_col, assign, sample_mat=sample_mat
+    )
+    books = pq_codebooks(
+        emb, dim, m, n_codes, pq_iters, id_col, vec_col, assign,
+        sample_mat=sample_mat,
+    )
     sub = dim // m
     codes = emb.select(
         F.col(id_col).alias("neighbor_id"),
