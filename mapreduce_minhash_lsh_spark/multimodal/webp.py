@@ -654,12 +654,16 @@ def _write_huffman_code(bw: _BitWriter, freqs: dict[int, int], alphabet: int):
         {cl: cl_seq.count(cl) for cl in set(cl_seq)}
     )
     if len(clc_lengths_map) == 1:
-        # a single CL symbol still needs a decodable (possibly 0-bit)
-        # tree; length 1 keeps the header well-formed
-        pass
-    clc_table = _canonical_from_lengths(
-        [clc_lengths_map.get(s, 0) for s in range(19)]
-    )
+        # single-CL-symbol tree (all emitted lengths identical, e.g. a
+        # narrow palette image whose green symbols are equiprobable):
+        # the decoder's single-symbol _HuffDecoder consumes ZERO bits
+        # per read, so the writer must emit zero bits too — a canonical
+        # (0, 1) code here desyncs the stream by one bit per symbol.
+        clc_table = {next(iter(clc_lengths_map)): (0, 0)}
+    else:
+        clc_table = _canonical_from_lengths(
+            [clc_lengths_map.get(s, 0) for s in range(19)]
+        )
     num_clc = max(
         i + 1 for i, s in enumerate(_CLC_ORDER) if clc_lengths_map.get(s, 0) > 0
     )

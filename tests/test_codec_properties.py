@@ -4,6 +4,8 @@ on top of the deterministic fixtures in their per-codec test files."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -14,7 +16,12 @@ from mapreduce_minhash_lsh_spark.multimodal import flac as FL
 from mapreduce_minhash_lsh_spark.multimodal import mp4 as M
 from mapreduce_minhash_lsh_spark.multimodal import webp as W
 
-FAST = settings(max_examples=20, deadline=None)
+# default is a fast CI budget; CODEC_PROP_MAX_EXAMPLES elevates it for
+# the per-round deep fuzz run recorded in experiments/results_r*.json
+FAST = settings(
+    max_examples=int(os.environ.get("CODEC_PROP_MAX_EXAMPLES", "20")),
+    deadline=None,
+)
 
 
 @FAST
@@ -35,12 +42,41 @@ def test_vp8l_roundtrip_random_images(h, w, mode, rnd):
 @FAST
 @given(st.integers(1, 4), st.integers(1, 40), st.randoms(use_true_random=False))
 def test_vp8l_palette_roundtrip(h, w, rnd):
-    ncol = rnd.randrange(1, 17)
+    # full palette-size range: covers every bundling width (8/4/2 px per
+    # byte and the 8-bit no-bundling path) — the r10 bug hid at ncol>=4
+    # on narrow images, where all bundled symbols were equiprobable and
+    # the code-length code collapsed to a single symbol
+    ncol = rnd.randrange(1, 257)
     vals = np.array(
         [[rnd.randrange(256) for _ in range(3)] for _ in range(ncol)], dtype=np.uint8
     )
     arr = vals[np.array([[rnd.randrange(ncol) for _ in range(w)] for _ in range(h)])]
     assert np.array_equal(W.webp_pixels(W.encode_vp8l(arr, palette=True)), arr)
+
+
+def _palette_img(h, w, ncol):
+    """Deterministic image with exactly min(ncol, h*w) distinct colors,
+    indices cycling — makes bundled symbols equiprobable, the shape that
+    collapses the code-length code to a single symbol."""
+    ncol = min(ncol, h * w)
+    colors = np.stack(
+        [(np.arange(ncol) * 37) % 256, (np.arange(ncol) * 91) % 256,
+         (np.arange(ncol) * 53) % 256], axis=1,
+    ).astype(np.uint8)
+    return colors[(np.arange(h * w) % ncol).reshape(h, w)]
+
+
+def test_vp8l_palette_regression_matrix():
+    """Fixed repro matrix for the r10 single-CL-symbol desync: w=1 with
+    >=4 palette colors, and 8-bit palettes (ncol=32) at w=8/9 — every
+    cell raised 'VP8L: bitstream truncated' before the fix."""
+    cases = [(4, 1, n) for n in (4, 5, 16, 17, 32, 64, 128, 256)]
+    cases += [(4, w, 32) for w in (8, 9)]
+    cases += [(4, 1, 2), (4, 1, 3), (1, 1, 1)]  # never-broken edges
+    for h, w, ncol in cases:
+        arr = _palette_img(h, w, ncol)
+        out = W.webp_pixels(W.encode_vp8l(arr, palette=True))
+        assert np.array_equal(out, arr), (h, w, ncol)
 
 
 @FAST
