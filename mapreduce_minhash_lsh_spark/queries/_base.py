@@ -98,27 +98,48 @@ def register(name: str, sql: str | None = None):
 #      near_dup_drop_best_quality, document_chunks, multimodal_gif (all
 #      r9-green; each family keeps a window representative).
 #      backlog 45 -> 32.
-#   r11: analytics/events block (events_session_window, events_sliding_
-#      windows, events_trailing_hour_stats, events_debounce, concurrent_
-#      sessions, user_lifetime_profile, user_first_last_event, events_
-#      hourly_anomalies, customer_rfm_segments, customer_balance_ranks);
-#      PLUS the ten new r10 registrations pulled forward (gopher_
-#      quality_flags, c4_line_filter, bm25_topk, multimodal_webp,
+#   r11 (done below): ALL 21 new r10 registrations promoted at once
+#      (gopher_quality_flags, c4_line_filter, bm25_topk, multimodal_webp,
 #      multimodal_audio, multimodal_flac, multimodal_video_meta,
 #      ann_pq_topk, cluster_balanced_sample, bpe_token_counts,
 #      ngram_lm_scores, stupid_backoff_scores, ann_ivfpq_topk,
 #      winnow_fingerprints, winnow_match_pairs, multimodal_aiff_au,
 #      ngram_lm_ref_scores, streaming_lm_scores, q11_important_parts,
-#      q16_supplier_part_counts, q20_excess_suppliers — new operators
-#      earn a driver row within a round of landing, the VERDICT r9 #1
-#      norm; if the 10-swap pace holds, the overflow slides to r12);
-#      backlog 32 + 21 new -> 33.
-#   r12: sampling/scoring block (stratified_sample, quality_weighted_
+#      q16_supplier_part_counts, q20_excess_suppliers).  VERDICT r10 #2
+#      said: when 10 swaps can't cover the 21-new + events block,
+#      prioritize the new-operator families (LM, PQ/IVF-PQ, winnow,
+#      quality, codecs) over the events block — so the planned
+#      analytics/events block slides to r12 and this round runs 21
+#      swaps.  The 21 retirees are all driver-green in r10 (several in
+#      earlier rounds too), stay registered, stay sweep-green, and every
+#      family keeps a window representative: TPC-H keeps q7/q15/q22
+#      (+ the three new q11/q16/q20) while q4/q8/q12/q13/q14/q17/q19
+#      retire; the flagship chain keeps shingling/lsh_bands/
+#      candidate_pairs/similar_pairs while shingle_postings/vocabulary
+#      retire (both transitively evidenced by the chain); the similarity
+#      variants keep oph/skew/containment_postings while weighted/
+#      paragraph/word retire; text keeps text_stats/lang_id (+ simhash
+#      for fingerprints) while doc_fingerprint retires; spans keep
+#      repeated_spans while strip_repeated_spans retires; dedup keeps
+#      dedup_by_lang_source + similar_groups (CC) while near_dup_groups/
+#      cross_corpus_near_dups retire; sampling keeps
+#      documents_hash_sample while train_valid_test_split retires;
+#      image codecs keep png (+ the five new real-codec rows) while
+#      jpeg/tiff retire; streaming keeps view_clicks/incremental/ivf
+#      (+ new streaming_lm_scores) while streaming_events_hourly
+#      retires; ANN keeps ann_topk exact (+ new pq/ivfpq) while
+#      embedding_near_dup retires.  backlog 53 -> 32.
+#   r12: analytics/events block (events_session_window, events_sliding_
+#      windows, events_trailing_hour_stats, events_debounce, concurrent_
+#      sessions, user_lifetime_profile, user_first_last_event, events_
+#      hourly_anomalies, customer_rfm_segments, customer_balance_ranks);
+#      backlog -> 22.
+#   r13: sampling/scoring block (stratified_sample, quality_weighted_
 #      sample, lang_rebalanced_sample, repetition_scores, benchmark_
 #      contamination, distinctive_terms, token_length_histogram,
 #      embeddings_profile, quantity_quantiles_approx, vocab_coverage);
 #      backlog -> 12.
-#   r13: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
+#   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
 #      packed_sequences_greedy, purchases_with_next_view, quantity_price_
 #      correlation, edit_distance_pairs, quantity_grouping_sets,
 #      cheapest_supplier_per_part, partkeys_both_years, oph_signatures,
@@ -130,35 +151,27 @@ _PRIORITY: list[str] = [
     # shingling + lsh_bands + candidate_pairs, and the query itself stays
     # registered and sweep-green.)
     "shingling",
-    "shingle_postings",
-    "vocabulary",
     "lsh_bands",
     "candidate_pairs",
     "similar_pairs",
-    # Relational / TPC-H — round-10 rotation (VERDICT r9 #1): the ten
-    # never-driver-checked TPC-H shapes take the whole relational block;
-    # the nine retirees (q1, q3, q5, q9, q21, orders_above_customer_avg,
-    # window_top_orders_per_customer, rollup_quantity,
-    # events_retention_cohorts) are all driver-green in r2-r9, stay
-    # registered, and stay sweep-green (aliases-only rule).
-    "q4_late_shipment_priorities",
+    # Relational / TPC-H — round-11 rotation: keep the three most
+    # structurally distinct r10-green shapes (q7 multi-join trade
+    # volume, q15 view+top-k, q22 anti-join/semi-join) and promote the
+    # three never-checked r10 registrations; q4/q8/q12/q13/q14/q17/q19
+    # retire r10-green (aliases-only rule, all stay sweep-green).
     "q7_nation_trade_volume",
-    "q8_market_share",
-    "q12_priority_lines_by_flag",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
+    "q11_important_parts",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
     "q22_idle_rich_customers",
     # Window / analytic (round 10: sessionize keeps the family's driver
     # row; the other window shapes are sweep-green retirees)
     "events_sessionize",
-    # Events / streaming / semi-structured (round 8: streaming_hourly_users
-    # retired — the HLL/streaming-agg family keeps streaming_events_hourly;
-    # the retiree stays registered and sweep-green)
-    "streaming_events_hourly",
-    # Stream-stream interval join
+    # Events / streaming / semi-structured (round 11:
+    # streaming_events_hourly retired r2-r10-green — the streaming
+    # family keeps the interval join, the incremental ingest jobs, and
+    # the new LM-scoring stream below)
     "streaming_view_clicks",
     # Incremental near-dup ingest (round 8 promotion, VERDICT r7 #3: the
     # 100 TB continuous-ingest story — micro-batched minhash against an
@@ -169,26 +182,23 @@ _PRIORITY: list[str] = [
     # retired — the codec family keeps png/jpeg/tiff, gif stays
     # registered and sweep-green)
     "streaming_ivf_index",
-    # Group-level flagship (round 5: Borůvka verified components; takes
-    # the window slot of events_users_hll, whose HLL family keeps
-    # driver-board coverage via streaming_hourly_users and stays
-    # oracle-checked past the window)
+    # Streaming LM scoring (round 11 promotion: new r10 operator earns
+    # its driver row — idempotent count-delta log, batch-equivalence
+    # oracle)
+    "streaming_lm_scores",
+    # Group-level flagship (round 5: Borůvka verified components)
     "similar_groups",
-    # Text analysis (round 10: document_chunks retired r10 — r9-green,
-    # chunking stays sweep-green; three text reps remain)
+    # Text analysis (round 11: doc_fingerprint retired r2-r10-green —
+    # simhash keeps the fingerprint family's driver row)
     "text_stats",
     "lang_id",
-    "doc_fingerprint",
-    # Passage-level dedup (round 10 pull-forward, VERDICT r9 #1: the two
-    # new r9 span operators; near_dup_drop_best_quality and
-    # document_chunks retired — both r9-green, both sweep-green)
+    # Passage-level dedup (round 11: strip_repeated_spans retired
+    # r10-green; repeated_spans keeps the span family's driver row)
     "repeated_spans",
-    "strip_repeated_spans",
-    # Dedup family (round 9: dedup_drop_ids and near_dup_drop_ids retired
-    # — exact dedup keeps dedup_by_lang_source)
+    # Dedup family (round 11: near_dup_groups and cross_corpus_near_dups
+    # retired r10-green — exact dedup keeps dedup_by_lang_source and the
+    # connected-components family keeps similar_groups)
     "dedup_by_lang_source",
-    "near_dup_groups",
-    "cross_corpus_near_dups",
     # Sequence packing (ngram_jaccard_sample is a sample-bounded
     # measurement tool; it stays oracle-checked past the window)
     "packed_sequences",
@@ -204,46 +214,50 @@ _PRIORITY: list[str] = [
     # ann_ivf_topk — ann_topk stays as the ANN-family representative,
     # ann_ivf_topk remains oracle-checked past the window)
     "skew_similar_pairs",
-    # Round-7 window rotation (VERDICT r6 #3): the benched HEADLINE
-    # similarity families that had no driver CORRECTNESS row.  They take
-    # the slots of simhash_near_pairs (simhash keeps the family's
-    # driver row; the pairs variant stays registered and sweep-green),
-    # lsh_recall_probe (a measurement tool; pytest keeps it green), and
-    # events_pivot_daily (the window family is triply covered).  All
-    # three retirees remain registered and oracle-checked past the
-    # window — aliases-only rule, nothing renamed or dropped.
-    "weighted_similar_pairs",
+    # Similarity variants (round 11: weighted_similar_pairs,
+    # paragraph_near_dups, word_similar_pairs retired r7/r8-through-r10
+    # green; the family keeps oph + skew + the containment headliner)
     "containment_pairs_postings",
-    "paragraph_near_dups",
-    # Round-8 promotion (VERDICT r7 #3): the benched word-bigram flagship
-    # variant, never driver-checked before this round.
-    "word_similar_pairs",
-    # ANN / embeddings (round 9: embeddings_rp_project retired — the ANN
-    # family keeps ann_topk + embedding_near_dup; the promoted slot goes
-    # to the benched-never-checked containment headliner)
+    # ANN / embeddings (round 11: embedding_near_dup retired r9/r10
+    # green — ann_topk stays as the exact baseline, and the two new
+    # quantized paths below earn their driver rows)
     "ann_topk",
-    "embedding_near_dup",
-    # (round 10: containment_pairs retired — r9-green; the containment
-    # family keeps containment_pairs_postings in the window)
-    # Sampling / splits / PII / profiling (round 9: documents_profile
-    # retired — profiling redundantly covered; slot to a codec row)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # Winnowing / MOSS fingerprints (round 11 promotion: new r10
+    # operators)
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    # LM scoring + BPE (round 11 promotion: new r10 operators)
+    "ngram_lm_scores",
+    "ngram_lm_ref_scores",
+    "stupid_backoff_scores",
+    "bpe_token_counts",
+    # Quality filters / retrieval (round 11 promotion: new r10 operators)
+    "gopher_quality_flags",
+    "c4_line_filter",
+    "bm25_topk",
+    # Sampling / splits / PII (round 11: train_valid_test_split retired
+    # r9/r10-green — documents_hash_sample keeps the deterministic-
+    # sampling row, and the new quantizer-cell-balanced sampler joins)
     "documents_hash_sample",
-    "train_valid_test_split",
+    "cluster_balanced_sample",
     "redact_pii",
     # As-of / range joins
     "purchases_with_last_view",
     "parts_price_bands",
-    # Multimodal plumbing (round 8: + the full decode→NN-resample→
-    # re-encode chain, VERDICT r7 #3).  Round 9 promotion (VERDICT r8
-    # #1): the four real-codec rows — PNG (zlib + scanline filters),
-    # baseline JPEG (huffman + DCT), GIF (LZW), TIFF (IFD walk, and as
-    # of r9 LZW/PackBits strips) — each decodes real bytes and
-    # hash-checks pixels against the DuckDB-stored expected values.
+    # Multimodal plumbing + real codecs (round 11: jpeg/tiff retired
+    # r9/r10-green — png keeps the image-codec row, and the five new
+    # r10 codec families earn driver rows: VP8L-WebP, WAV/G.711/ADPCM
+    # audio, FLAC, AIFF/AU, MP4/ISO-BMFF container metadata)
     "multimodal_features",
     "multimodal_resize",
     "multimodal_png",
-    "multimodal_jpeg",
-    "multimodal_tiff",
+    "multimodal_webp",
+    "multimodal_audio",
+    "multimodal_flac",
+    "multimodal_aiff_au",
+    "multimodal_video_meta",
 ]
 
 

@@ -38,3 +38,17 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     that may live off-box."""
     hpath, fs = _hadoop_path_fs(spark, path)
     return bool(fs.delete(hpath, recursive))
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` on src's own filesystem — the
+    store-safe replacement for ``os.rename``.  Atomic on HDFS and local
+    filesystems; on object stores (s3a://) it is a copy+delete, so
+    callers doing swap commits must document the non-atomic window
+    (upsert_parquet already does).  Raises when the filesystem refuses
+    the rename (e.g. dst exists on a store that won't clobber)."""
+    hsrc, fs = _hadoop_path_fs(spark, src)
+    jvm = spark.sparkContext._jvm
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")

@@ -156,6 +156,43 @@ def test_upsert_parquet_unpartitioned_swap(spark, tmp_path):
     assert not os.path.exists(path + "__old")
 
 
+def test_upsert_remote_style_uri_merges_not_overwrites(spark, tmp_path):
+    """VERDICT r10 #3: the existence probe must resolve the path's own
+    scheme.  A ``file:`` URI is the locally-runnable stand-in for an
+    s3a://hdfs:// store path: ``os.path.exists('file:/...')`` is always
+    False, so the pre-fix probe would have routed this second upsert to
+    the create branch and silently overwritten the table — key 1 would
+    vanish."""
+    local = str(tmp_path / "remote_tbl")
+    uri = "file:" + local
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "x", 2)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, base, uri, ["k"])
+    updates = spark.createDataFrame([(2, "x", 22)], "k long, part string, v long")
+    upsert_parquet(spark, updates, uri, ["k"])
+    assert _rows(spark, local) == {(1, "x"): 1, (2, "x"): 22}
+    assert not os.path.exists(local + "__staging")
+    assert not os.path.exists(local + "__old")
+
+
+def test_delete_from_parquet_remote_style_uri_deletes(spark, tmp_path):
+    """Same scheme-resolution pin for the delete primitive: pre-fix the
+    probe saw False for a ``file:`` URI and the takedown silently became
+    a no-op."""
+    from mapreduce_minhash_lsh_spark.sources.tables import delete_from_parquet
+
+    local = str(tmp_path / "remote_del")
+    uri = "file:" + local
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "x", 2), (3, "x", 3)], "k long, part string, v long"
+    )
+    upsert_parquet(spark, base, uri, ["k"])
+    keys = spark.createDataFrame([(2,)], "k long")
+    delete_from_parquet(spark, uri, keys, ["k"])
+    assert _rows(spark, local) == {(1, "x"): 1, (3, "x"): 3}
+
+
 def test_orc_round_trip_with_pushdown(spark, tmp_path):
     from mapreduce_minhash_lsh_spark.sources.tables import read_orc, write_orc
 
