@@ -58,6 +58,19 @@ from mapreduce_minhash_lsh_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# Idle-box floor of the CPU sentinel on this 32-core container: stable
+# at 0.10-0.13 s across every builder run of rounds 7-10 (post-GC min
+# of 3).  The r10 driver bench ran on a UNIFORMLY ~2x loaded box
+# (sentinels 0.207-0.28 s, first==last) and was not flagged, because
+# the old rule only tested first-vs-last DRIFT — uniform load is
+# invisible to a relative comparison (VERDICT r10 #4).  Any attempt
+# whose BEST sentinel reading exceeds 1.5x this reference is therefore
+# load-suspect even with zero drift.  Override for a different box via
+# SPARK_GRAFT_CPU_SENTINEL_REF.
+CPU_SENTINEL_IDLE_REF = float(
+    os.environ.get("SPARK_GRAFT_CPU_SENTINEL_REF", "0.13")
+)
+
 # Headline set: the flagship pipeline + one representative per operator
 # family (relational agg, star join, window, sessionization, text, dedup,
 # similarity search, fingerprints).
@@ -256,8 +269,17 @@ def main() -> None:
         # contention doubles it (r6: 0.152 -> 0.319).  Require BOTH a
         # 1.5x ratio AND >= 0.1 s absolute drift, or any reading past an
         # absolute 0.5 s ceiling (contention already present at start).
+        # Three triggers: first-vs-last drift (load arrived mid-suite),
+        # an absolute 0.5 s ceiling, and — new in r11 — an absolute
+        # idle-reference guard that catches UNIFORM load the drift rule
+        # is blind to (the r10 driver record's motivating case: flat
+        # 0.207-0.28 s sentinels on a ~2x loaded box, unflagged).
         hi, lo = max(cpu_first, cpu_last), min(cpu_first, cpu_last)
-        load_suspect = (hi > 1.5 * lo and hi - lo > 0.1) or hi > 0.5
+        load_suspect = (
+            (hi > 1.5 * lo and hi - lo > 0.1)
+            or hi > 0.5
+            or lo > 1.5 * CPU_SENTINEL_IDLE_REF
+        )
         if not load_suspect:
             break
         print(
@@ -277,6 +299,7 @@ def main() -> None:
         "sentinel_sec": {
             "cpu_first": cpu_first, "cpu_last": cpu_last,
             "io_first": io_first, "io_last": io_last,
+            "cpu_idle_ref": CPU_SENTINEL_IDLE_REF,
         },
         "load_suspect": load_suspect,
         "attempts": attempt,

@@ -266,8 +266,22 @@ IVF_TRAIN_CAP = 4096
 def _dfmt(x: float) -> str:
     """SQL double literal with exact bit round-trip: Python repr() emits
     the shortest digits that uniquely identify the double, and Spark's
-    parser recovers it via Double.parseDouble (correctly rounded)."""
-    return repr(float(x)) + "D"
+    parser recovers it via Double.parseDouble (correctly rounded).
+
+    Non-finite values fail LOUDLY here: repr(nan) would render as the
+    unparseable SQL token 'nanD' (and upstream, numpy's NaN floor in
+    _centroids is undefined while Spark's double->long cast yields 0),
+    so a NaN/Inf-bearing quantizer must never reach literal emission —
+    clean the embedding column first (ADVICE r10)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"non-finite value {x!r} in a quantizer literal: embeddings "
+            "containing NaN/Inf must be filtered or imputed before "
+            "training (a NaN component would otherwise produce an "
+            "unparseable SQL literal and driver/engine divergence)"
+        )
+    return repr(x) + "D"
 
 
 def _dlit_array(vals: list[float]) -> F.Column:
@@ -422,7 +436,26 @@ def _centroids(
 
     from mapreduce_minhash_lsh_spark.functions.vectors import SCALE
 
-    del assign  # training arithmetic is strategy-independent (see above)
+    # Training arithmetic is strategy-independent since round 10 (see
+    # above).  MIGRATION NOTE (ADVICE r10): indexes built before that
+    # with assign='fast'/'auto' above ASSIGN_FAST_THRESHOLD trained
+    # through the float matmul and can yield DIFFERENT centroids than a
+    # re-derivation under this exact-quantized path — stored list
+    # assignments / PQ codes from such builds must be used with their
+    # PERSISTED quantizers (the cents= pin of ivf_index), never
+    # re-derived.  Warn in exactly that re-derivation scenario.
+    if assign in ("fast", "auto") and k > ASSIGN_FAST_THRESHOLD:
+        import warnings
+
+        warnings.warn(
+            "quantizer training is now always exact-quantized; a "
+            f"{assign!r}-mode index built before round 10 at k={k} > "
+            f"{ASSIGN_FAST_THRESHOLD} may not reproduce its original "
+            "centroids — pin the persisted quantizer (cents=/books=) "
+            "instead of re-deriving it",
+            stacklevel=3,
+        )
+    del assign
     if sample_mat is not None:
         # pre-collected (n, dim) float64 sample — multi-quantizer
         # builders (pq_codebooks, ivfpq_index) collect the sample ONCE

@@ -359,3 +359,41 @@ def test_ivfpq_codes_carry_list_and_codes(spark):
     assert 0 <= agg["llo"] and agg["lhi"] < 8
     for j in range(4):
         assert agg[f"hi{j}"] < 16
+
+
+def test_quantizer_literals_reject_non_finite():
+    """ADVICE r10: repr(nan)+'D' would emit the unparseable SQL token
+    'nanD' — a NaN/Inf quantizer component must fail loudly at literal
+    emission, naming the input-cleaning remedy."""
+    from mapreduce_minhash_lsh_spark.operators.ann import _cent_literal, _dfmt
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _dfmt(bad)
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        _cent_literal([(0, [1.0, float("nan")])])
+    # the finite path is unchanged: exact repr round-trip
+    assert _dfmt(0.1) == "0.1D"
+
+
+def test_centroids_warns_on_legacy_fast_rederivation(spark):
+    """ADVICE r10 migration note: re-deriving a pre-r10 'fast'/'auto'
+    quantizer at k above ASSIGN_FAST_THRESHOLD may not reproduce its
+    float-matmul-trained centroids — _centroids must say so."""
+    import warnings
+
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        ASSIGN_FAST_THRESHOLD,
+        _centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(64)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _centroids(emb, ASSIGN_FAST_THRESHOLD + 1, 1, "vec_id", "embedding",
+                   assign="fast")
+    assert any("pin the persisted quantizer" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _centroids(emb, 8, 1, "vec_id", "embedding", assign="exact")
+    assert not any("pin the persisted quantizer" in str(w.message) for w in rec)
