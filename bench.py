@@ -149,6 +149,12 @@ HEADLINE = [
     # winnowing family representatives.
     "stupid_backoff_scores",
     "winnow_fingerprints",
+    # Round-11 additions: the data-selection family — DSIR hashed-n-gram
+    # importance weights (two bucket-bounded count shuffles + broadcast
+    # scoring) and SemDeDup cluster-scoped embedding dedup (per-cell
+    # matmul + exact confirm).
+    "dsir_logweights",
+    "semdedup_drop_ids",
 ]
 
 

@@ -1,0 +1,152 @@
+"""DSIR importance weighting — hashed n-gram data selection.
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw document by how target-like it is: two bag-of-hashed-
+n-gram multinomials are fit — one on a small TARGET corpus (the
+distribution you want more of: wiki/books-quality text, a domain, a
+language) and one on the RAW/background corpus — and each document gets
+the log importance weight
+
+    log w(x) = sum_f c_f(x) * [ ln p_target(f) - ln p_background(f) ]
+
+over its hashed features f (word unigrams + bigrams folded into
+``n_buckets`` buckets).  Selection then keeps documents proportionally
+to w(x); the weight relation this module produces composes with the
+existing samplers (quality_weighted_sample-style) for that step.
+
+Spark shape (all DataFrame ops, zero UDFs):
+
+* feature extraction is map-side: split + n-gram transform + explode,
+  bucket = engine-portable md5 hash mod ``n_buckets``
+  (functions/hashing.md5_long — the repo-wide cross-engine hash);
+* each multinomial is ONE groupBy over the feature relation, bounded
+  by ``n_buckets`` rows regardless of corpus size (the hashing trick:
+  at 100 TB the model is still a few thousand rows);
+* the per-bucket log-ratio table (<= n_buckets rows) broadcasts, so
+  scoring is a map-side join + one per-document aggregation — a single
+  shuffle by doc_id with map-side partial sums.
+
+Determinism contract (repo-wide: no cross-row float accumulation):
+each bucket's two Laplace-smoothed log probabilities are floor-
+quantized to int64 at :data:`DSIR_LOG_SCALE` exactly like the n-gram
+LM (operators/lm.py), and the per-document sum of their differences is
+an exact integer sum — order-independent and engine-portable, so the
+DuckDB oracle reproduces every weight bit-for-bit.
+
+Reference anchor: the reference engine has no data selection (it is
+the MinHash pipeline, Main.java:1-89); this is part of the mandated
+LLM-pipeline extension surface, the importance-resampling counterpart
+of the perplexity filter in operators/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+from mapreduce_minhash_lsh_spark.functions.text import tokens, word_ngrams
+
+# Same quantization scale as the n-gram LM: 1e-4 nats per feature is
+# far finer than any selection threshold, and the worst-case cross-
+# engine ln ULP disagreement (~4e-15) is five orders below the cell.
+DSIR_LOG_SCALE = 10_000
+
+
+def doc_feature_buckets(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket) with multiplicity: hashed word unigrams plus
+    word bigrams, folded to ``n_buckets`` via the engine-portable md5
+    hash.  Map-side only (two explodes unioned); the bigram branch
+    guards ``>= 2`` tokens because word_ngrams' sequence() would
+    descend on shorter docs."""
+    text = F.col(text_col)
+    uni = docs.where(F.length(text) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text)).alias("feat"),
+    )
+    bi = docs.where(F.size(tokens(text)) >= 2).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text, 2)).alias("feat"),
+    )
+    return uni.unionByName(bi).select(
+        "doc_id", (md5_long(F.col("feat")) % F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight of ``docs`` (the raw /
+    background corpus) toward ``target`` (the quality/domain corpus).
+
+    Returns (doc_id, n_feats, logw_scaled, avg_logw):
+
+    * n_feats — hashed-feature token count (bigint);
+    * logw_scaled — exact int64 sum over the document's features of
+      ``floor(S*ln p_t(b)) - floor(S*ln p_b(b))`` at
+      S = :data:`DSIR_LOG_SCALE`;
+    * avg_logw — logw_scaled / S / n_feats (double, pinned op order) —
+      the length-normalized selection score (raw DSIR resamples on the
+      unnormalized weight; both are emitted).
+
+    Both multinomials are Laplace-smoothed over the ``n_buckets``
+    bucket space: p(b) = (c(b) + 1) / (N + n_buckets), so buckets the
+    target never saw still get a finite (negative) log-ratio instead of
+    -inf.  Scored buckets always appear in the background counts
+    because ``docs`` IS the background corpus; target counts are
+    left-joined with coalesce-to-0.
+    """
+    feats = doc_feature_buckets(docs, n_buckets, text_col, id_col)
+    tfeats = doc_feature_buckets(target, n_buckets, text_col, id_col)
+    c_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_t = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tg"))
+    totals = (
+        feats.agg(F.count(F.lit(1)).alias("n_bg"))
+        .crossJoin(tfeats.agg(F.count(F.lit(1)).alias("n_tg")))
+    )
+    s = F.lit(float(DSIR_LOG_SCALE))
+    bf = F.lit(float(n_buckets))
+    p_t = (F.coalesce(F.col("c_tg"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("n_tg").cast("double") + bf
+    )
+    p_b = (F.col("c_bg").cast("double") + F.lit(1.0)) / (
+        F.col("n_bg").cast("double") + bf
+    )
+    lam = (
+        c_b.join(c_t, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.floor(s * F.log(p_t)).cast("long")
+                - F.floor(s * F.log(p_b)).cast("long")
+            ).alias("lq"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lq").cast("long").alias("logw_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_scaled",
+            (
+                F.col("logw_scaled").cast("double")
+                / F.lit(float(DSIR_LOG_SCALE))
+                / F.col("n_feats")
+            ).alias("avg_logw"),
+        )
+    )

@@ -831,3 +831,44 @@ def q_cluster_balanced_sample(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     return cluster_balanced_sample(emb, per_cluster=20, n_lists=16, assign="exact")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 11)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = f"""WITH {_ivf_coarse_ctes(8, 2)},
+corpus_assign AS (SELECT vec_id, cid AS list_id FROM arank WHERE rn = 1),
+dots AS (
+  SELECT ca.list_id, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         {_DOT.format(x='a.v', y='b.v')} AS dot
+  FROM all_e a JOIN all_e b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN corpus_assign ca ON ca.vec_id = a.vec_id
+  JOIN corpus_assign cb ON cb.vec_id = b.vec_id AND cb.list_id = ca.list_id
+  GROUP BY ca.list_id, a.vec_id, b.vec_id
+)
+SELECT DISTINCT vec_id_b AS vec_id
+FROM dots
+JOIN norms na ON na.vec_id = vec_id_a
+JOIN norms nb ON nb.vec_id = vec_id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4"""
+
+
+@register("semdedup_drop_ids", _SEMDEDUP_SQL)
+def q_semdedup_drop_ids(spark, sf):
+    """SemDeDup drop list (round 11; Abbas et al. 2023): embeddings are
+    clustered by the deterministic exact-arithmetic coarse quantizer
+    (8 cells, 2 Lloyd rounds), pairs are compared ONLY within their
+    cell (one BLAS matmul per cell, exact scaled-int confirm), and
+    every vector with an above-threshold (0.4) neighbor of lower id is
+    dropped — each semantic-duplicate chain keeps exactly its lowest
+    id.  The clustering bounds pairwise work to O(sum c_i^2); with
+    n_lists ~ sqrt(n) at production scale that is O(n) expected, which
+    is what makes embedding-level dedup feasible at 100 TB where the
+    exact all-pairs embedding_near_dup is not.  Engine-bit-exact
+    oracle: the quantizer unrolls like every IVF oracle and the
+    confirmed cosines are scaled-int sums."""
+    from mapreduce_minhash_lsh_spark.operators.semdedup import semdedup_drop_ids
+
+    emb = load_table(spark, sf, "embeddings")
+    return semdedup_drop_ids(emb, threshold=0.4, n_lists=8, lloyd_iters=2)

@@ -1794,3 +1794,67 @@ def q_multimodal_flac(spark, sf):
     enforcement) are pinned by tests/test_flac.py."""
     docs = load_table(spark, sf, "documents")
     return _binary.extract_media_features(_binary.synth_flac_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 11)
+# ---------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.operators import dsir as _dsir  # noqa: E402
+
+_DSIR_B = 4096
+_DSIR_BUCKET = f"({_mp('feat')}) % {_DSIR_B}"
+_DSIR_SQL = f"""WITH uni AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS feat
+  FROM documents WHERE length(text) > 0
+),
+bi AS (
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2))
+),
+feats AS (
+  SELECT doc_id, lang, ({_DSIR_BUCKET}) AS bucket FROM uni
+  UNION ALL
+  SELECT doc_id, lang, ({_DSIR_BUCKET}) AS bucket FROM bi
+),
+cb AS (SELECT bucket, COUNT(*) AS c_bg FROM feats GROUP BY bucket),
+ct AS (SELECT bucket, COUNT(*) AS c_tg FROM feats WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT COUNT(*) FROM feats) AS n_bg,
+               (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS n_tg),
+lam AS (
+  SELECT cb.bucket,
+         CAST(floor(10000.0 * ln((COALESCE(ct.c_tg, 0) + 1.0)
+                                 / (tot.n_tg + {_DSIR_B}.0))) AS BIGINT)
+       - CAST(floor(10000.0 * ln((cb.c_bg + 1.0)
+                                 / (tot.n_bg + {_DSIR_B}.0))) AS BIGINT) AS lq
+  FROM cb LEFT JOIN ct USING (bucket) CROSS JOIN tot
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(l.lq) AS BIGINT) AS logw_scaled,
+       CAST(SUM(l.lq) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_logw
+FROM feats f JOIN lam l ON l.bucket = f.bucket
+GROUP BY f.doc_id"""
+
+
+@register("dsir_logweights", _DSIR_SQL)
+def q_dsir_logweights(spark, sf):
+    """DSIR importance weights (round 11; Xie et al. 2023): every
+    document scored by how 'en'-corpus-like its hashed uni+bigram bag
+    is — log w = sum over features of the quantized log-ratio between
+    the target (lang='en') and background (whole corpus) hashed-n-gram
+    multinomials.  The model is two groupBy counts bounded by 4096
+    buckets regardless of corpus size (the hashing trick), the
+    log-ratio table broadcasts, and scoring is a map-side join + one
+    per-doc integer aggregation — the importance-resampling
+    counterpart of the perplexity filter, composable with the
+    weighted samplers for the selection step.  Engine-bit-exact: the
+    bucket hash is the repo-wide md5, and every log-prob is floor-
+    quantized to int64 before the (exact) per-document sum."""
+    docs = load_table(spark, sf, "documents")
+    return _dsir.dsir_logweights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )

@@ -1,0 +1,127 @@
+"""Operator-level tests for the round-11 data-selection family:
+DSIR importance weights (operators/dsir.py) and SemDeDup
+(operators/semdedup.py).  Oracle parity is covered by the registry
+sweep (tests/test_oracle_parity.py); these pin the operators' own
+semantics and scale-shape contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.operators.dsir import (
+    DSIR_LOG_SCALE,
+    doc_feature_buckets,
+    dsir_logweights,
+)
+from mapreduce_minhash_lsh_spark.operators.semdedup import (
+    semdedup_drop_ids,
+    semdedup_pairs,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_dsir_targets_score_higher(spark):
+    """The semantic point of DSIR: documents FROM the target
+    distribution must average a higher importance weight than the
+    rest of the background corpus."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    w = dsir_logweights(docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+    rows = (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("avg_logw").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    feats = doc_feature_buckets(docs, 4096)
+    got = {r.doc_id: r.n for r in feats.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    toks = F.size(F.split(F.col("text"), " "))
+    expect = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.when(toks >= 2, toks * 2 - 1).otherwise(toks).alias("n"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_weights_are_quantized_int_sums(spark):
+    """logw_scaled is an exact int64; avg_logw is the pinned
+    re-derivation — no independent float accumulation."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(100)
+    w = dsir_logweights(docs, docs.where(F.col("lang") == "en")).collect()
+    assert w
+    for r in w:
+        assert isinstance(r.logw_scaled, int)
+        assert r.avg_logw == r.logw_scaled / DSIR_LOG_SCALE / r.n_feats
+
+
+def test_semdedup_pairs_subset_of_exact_pairs(spark):
+    """Cluster-scoping only PRUNES comparisons: every SemDeDup pair
+    must appear (with the identical exact cosine) in the exhaustive
+    cosine_pairs output at the same threshold."""
+    from mapreduce_minhash_lsh_spark.operators.ann import cosine_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sd = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in semdedup_pairs(emb, threshold=0.35, n_lists=4).collect()
+    }
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in cosine_pairs(emb, threshold=0.35).collect()
+    }
+    assert sd
+    assert set(sd) <= set(exact)
+    for k, v in sd.items():
+        assert exact[k] == v
+
+
+def test_semdedup_single_cluster_equals_exact(spark):
+    """n_lists=1 removes the pruning, so the pair set must equal the
+    exhaustive one exactly."""
+    from mapreduce_minhash_lsh_spark.operators.ann import cosine_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 200)
+    sd = sorted(
+        (r.vec_id_a, r.vec_id_b, r.cosine)
+        for r in semdedup_pairs(emb, threshold=0.3, n_lists=1).collect()
+    )
+    exact = sorted(
+        (r.vec_id_a, r.vec_id_b, r.cosine)
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    )
+    assert sd == exact
+
+
+def test_semdedup_drop_keeps_chain_minimum(spark):
+    """Every dropped id has an above-threshold lower-id neighbor in its
+    cluster, and no pair's LOWER id is ever dropped unless it is
+    itself someone's higher end."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pairs = semdedup_pairs(emb, threshold=0.35, n_lists=4).collect()
+    drops = {r.vec_id for r in semdedup_drop_ids(emb, threshold=0.35, n_lists=4).collect()}
+    assert drops == {r.vec_id_b for r in pairs}
+    higher_ends = {r.vec_id_b for r in pairs}
+    chain_minima = {r.vec_id_a for r in pairs} - higher_ends
+    assert chain_minima.isdisjoint(drops)
+
+
+def test_semdedup_plan_has_no_corpus_shuffle_join(spark):
+    """Scale shape: the candidate stage is one groupBy(list_id) over
+    the assigned corpus — cluster assignment itself must be map-side
+    (no join/exchange between the scan and the cell grouping)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = semdedup_pairs(emb, threshold=0.35, n_lists=4)._jdf.queryExecution().executedPlan().toString()
+    # exactly the expected exchanges: the applyInPandas groupBy, plus the
+    # confirm joins against the (tiny) candidate set; the assignment
+    # stage must not introduce a join against a centroid relation.
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "CartesianProduct" not in plan
