@@ -58,32 +58,41 @@ def doc_feature_buckets(
     n_buckets: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_id, bucket) with multiplicity: hashed word unigrams plus
-    word bigrams, folded to ``n_buckets`` via the engine-portable md5
-    hash.  Map-side only (two explodes unioned); the bigram branch
-    guards ``>= 2`` tokens because word_ngrams' sequence() would
-    descend on shorter docs."""
+    """(doc_id, [carry...], bucket) with multiplicity: hashed word
+    unigrams plus word bigrams, folded to ``n_buckets`` via the
+    engine-portable md5 hash.  Map-side only (two explodes unioned);
+    the bigram branch guards ``>= 2`` tokens because word_ngrams'
+    sequence() would descend on shorter docs.  ``carry`` columns ride
+    the explode unchanged (e.g. a target flag) so callers never need a
+    join to re-attach per-doc attributes."""
     text = F.col(text_col)
+    extras = [F.col(c) for c in (carry or [])]
     uni = docs.where(F.length(text) > 0).select(
         F.col(id_col).alias("doc_id"),
+        *extras,
         F.explode(tokens(text)).alias("feat"),
     )
     bi = docs.where(F.size(tokens(text)) >= 2).select(
         F.col(id_col).alias("doc_id"),
+        *extras,
         F.explode(word_ngrams(text, 2)).alias("feat"),
     )
     return uni.unionByName(bi).select(
-        "doc_id", (md5_long(F.col("feat")) % F.lit(n_buckets)).alias("bucket")
+        "doc_id",
+        *[F.col(c) for c in (carry or [])],
+        (md5_long(F.col("feat")) % F.lit(n_buckets)).alias("bucket"),
     )
 
 
 def dsir_logweights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_pred=None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight of ``docs`` (the raw /
     background corpus) toward ``target`` (the quality/domain corpus).
@@ -104,14 +113,52 @@ def dsir_logweights(
     -inf.  Scored buckets always appear in the background counts
     because ``docs`` IS the background corpus; target counts are
     left-joined with coalesce-to-0.
+
+    Pass the target as ``target_pred`` (a boolean Column over ``docs``)
+    when it is a SUBSET of the background corpus — the common
+    lang/domain/source selection case.  Both multinomials AND their
+    totals then come from ONE aggregation over a single feature
+    extraction (a conditional sum rides the same groupBy), so the whole
+    operator is two corpus passes: one for the model, one for scoring.
+    The general two-corpus form (``target`` a separate DataFrame, e.g.
+    held-out wiki against raw crawl) extracts target features
+    separately; the per-bucket arithmetic is identical either way, so
+    the two paths produce identical weights for target ==
+    docs.where(target_pred) (pinned by test).
     """
     feats = doc_feature_buckets(docs, n_buckets, text_col, id_col)
-    tfeats = doc_feature_buckets(target, n_buckets, text_col, id_col)
-    c_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_t = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tg"))
-    totals = (
-        feats.agg(F.count(F.lit(1)).alias("n_bg"))
-        .crossJoin(tfeats.agg(F.count(F.lit(1)).alias("n_tg")))
+    if target_pred is not None:
+        if target is not None:
+            raise ValueError("pass either target or target_pred, not both")
+        flagged = docs.select(
+            F.col(id_col), F.col(text_col), target_pred.alias("_is_t")
+        )
+        # the flag rides the explode, so ONE groupBy yields both counts
+        counts = (
+            doc_feature_buckets(
+                flagged, n_buckets, text_col, id_col, carry=["_is_t"]
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("c_bg"),
+                F.sum(F.col("_is_t").cast("long")).alias("c_tg"),
+            )
+        )
+    elif target is not None:
+        tfeats = doc_feature_buckets(target, n_buckets, text_col, id_col)
+        c_t = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tg"))
+        counts = (
+            feats.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c_bg"))
+            .join(c_t, "bucket", "left")
+        )
+    else:
+        raise ValueError("one of target / target_pred is required")
+    # totals derive from the bucket relation itself (<= n_buckets rows):
+    # no extra corpus pass.
+    totals = counts.agg(
+        F.sum("c_bg").alias("n_bg"),
+        F.sum(F.coalesce(F.col("c_tg"), F.lit(0))).alias("n_tg"),
     )
     s = F.lit(float(DSIR_LOG_SCALE))
     bf = F.lit(float(n_buckets))
@@ -121,16 +168,12 @@ def dsir_logweights(
     p_b = (F.col("c_bg").cast("double") + F.lit(1.0)) / (
         F.col("n_bg").cast("double") + bf
     )
-    lam = (
-        c_b.join(c_t, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.floor(s * F.log(p_t)).cast("long")
-                - F.floor(s * F.log(p_b)).cast("long")
-            ).alias("lq"),
-        )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.floor(s * F.log(p_t)).cast("long")
+            - F.floor(s * F.log(p_b)).cast("long")
+        ).alias("lq"),
     )
     return (
         feats.join(F.broadcast(lam), "bucket")

@@ -1856,5 +1856,103 @@ def q_dsir_logweights(spark, sf):
     quantized to int64 before the (exact) per-document sum."""
     docs = load_table(spark, sf, "documents")
     return _dsir.dsir_logweights(
-        docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_B
+        docs, n_buckets=_DSIR_B, target_pred=F.col("lang") == "en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 11)
+# ---------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.operators import bloom as _bloom  # noqa: E402
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+# md5-60bit(gram || '#i') % m — the same literal powers-of-16 parse
+# every md5 bucket in the repo uses.
+def _bpos(expr: str, i: int) -> str:
+    tagged = f"{expr} || '#{i}'"
+    return f"({_mp(tagged)}) % {_BLOOM_M}"
+
+
+_BLOOM_CONTAM_SQL = f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+bpos AS (
+  {' UNION ALL '.join(f'SELECT ({_bpos("gram", i)}) AS pos FROM bench' for i in range(_BLOOM_K))}
+),
+bloom AS (
+  SELECT pos // 60 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INTEGER)) AS bits
+  FROM bpos GROUP BY pos // 60
+),
+ppos AS (
+  {' UNION ALL '.join(f'SELECT doc_id, gram, ({_bpos("gram", i)}) AS pos FROM g WHERE doc_id % 97 != 0' for i in range(_BLOOM_K))}
+),
+phit AS (
+  SELECT p.doc_id, p.gram,
+         SUM(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 60 AS INTEGER))) != 0
+                  THEN 1 ELSE 0 END) AS nh
+  FROM ppos p LEFT JOIN bloom b ON b.word = p.pos // 60
+  GROUP BY p.doc_id, p.gram
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN nh = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN nh = {_BLOOM_K} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS contamination
+FROM phit GROUP BY doc_id"""
+
+
+@register("bloom_contamination", _BLOOM_CONTAM_SQL)
+def q_bloom_contamination(spark, sf):
+    """Sketch-based benchmark decontamination (round 11): the exact
+    benchmark_contamination check with the benchmark's distinct-3-gram
+    set replaced by a 2^16-bit / k=4 Bloom filter — ~9 KB at ANY
+    benchmark size, where the exact broadcast relation grows with the
+    eval suite.  The filter is built with one bounded aggregation
+    (<= 1093 words) and shipped as an array literal, so membership is
+    pure map-side codegen: no join at all on the corpus side.  Bloom
+    semantics: n_hit is an upper bound on the exact count (no false
+    negatives; deterministic md5 positions make the false positives
+    themselves reproducible, so the DuckDB oracle checks every value
+    bit-exactly — including the sketch's errors)."""
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        load_table(spark, sf, "documents")
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_text.word_ngrams(F.col("text"), 3))
+            ).alias("gram"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    words = _bloom.bloom_build(bench, "gram", m_bits=_BLOOM_M, k=_BLOOM_K)
+    maybe = _bloom.bloom_might_contain(
+        F.col("gram"), words, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(maybe.cast("long")).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
     )

@@ -37,6 +37,30 @@ def test_dsir_targets_score_higher(spark):
     assert means[True] > means[False]
 
 
+def test_dsir_predicate_path_equals_dataframe_path(spark):
+    """The single-aggregation subset fast path (target_pred) must
+    produce byte-identical weights to the general two-corpus form with
+    target = docs.where(pred)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = sorted(
+        map(
+            tuple,
+            dsir_logweights(
+                docs, docs.where(F.col("lang") == "en"), n_buckets=512
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dsir_logweights(
+                docs, n_buckets=512, target_pred=F.col("lang") == "en"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(50)
     feats = doc_feature_buckets(docs, 4096)
@@ -125,3 +149,52 @@ def test_semdedup_plan_has_no_corpus_shuffle_join(spark):
     # stage must not introduce a join against a centroid relation.
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    """Bloom axioms: every inserted value tests positive (no false
+    negatives), the word array is exactly ceil(m/60) longs regardless
+    of set size, and the false-positive rate on a disjoint probe set
+    stays near the (1 - e^(-kn/m))^k design point."""
+    from mapreduce_minhash_lsh_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 1 << 14, 4
+    vals = spark.range(2000).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    words = bloom_build(vals, "s", m_bits=m_bits, k=k)
+    assert len(words) == -(-m_bits // 60)
+    member = vals.where(
+        bloom_might_contain(F.col("s"), words, m_bits, k)
+    ).count()
+    assert member == 2000
+    probes = spark.range(20000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("s")
+    )
+    fp = probes.where(bloom_might_contain(F.col("s"), words, m_bits, k)).count()
+    import math
+
+    design = (1 - math.exp(-k * 2000 / m_bits)) ** k
+    assert fp / 20000 < 3 * design + 0.01
+
+
+def test_bloom_membership_is_map_side(spark):
+    """The 100 TB claim: scoring a corpus against the filter is pure
+    expression code — the plan between scan and aggregate must contain
+    no join and no extra exchange."""
+    from mapreduce_minhash_lsh_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 1 << 14, 4
+    vals = spark.range(500).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    words = bloom_build(vals, "s", m_bits=m_bits, k=k)
+    probe = spark.range(5000).select(F.concat(F.lit("p"), F.col("id")).alias("s"))
+    plan = (
+        probe.where(bloom_might_contain(F.col("s"), words, m_bits, k))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
