@@ -10,6 +10,12 @@ operator set composed end to end:
      lowest doc_id of each similar pair's group;
   4. bigram-LM perplexity (session 4) — drop the most corpus-atypical
      tail (the CCNet-style cut, self-trained here);
+  4b. DSIR importance selection (round 11) — keep the half of the
+     corpus most like the 'en' target by hashed-n-gram log-weight;
+  4c. SemDeDup (round 11) — drop semantic duplicates found by
+     cluster-scoped embedding comparison;
+  4d. Bloom decontamination (round 11) — drop documents whose 3-grams
+     mostly hit the held-out benchmark sketch (map-side bitmap test);
   5. BPE token accounting (the shipped merge asset) — the budget unit;
   6. a BM25 spot check that the surviving corpus still answers a
      relevance query.
@@ -18,7 +24,9 @@ operator set composed end to end:
 
 Every stage is an operator with its own oracle-checked registry entry
 (gopher_quality_flags, c4_line_filter, similar_pairs, ngram_lm_scores,
-bpe_token_counts, bm25_topk) — this script is the composition, not new logic.
+dsir_logweights, semdedup_drop_ids, bloom_contamination,
+bpe_token_counts, bm25_topk) — this script is the composition, not new
+logic.
 """
 
 from __future__ import annotations
@@ -33,7 +41,14 @@ from pyspark.sql import functions as F
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.functions import quality as q
 from mapreduce_minhash_lsh_spark.functions.bpe import count_text_tokens
+from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+from mapreduce_minhash_lsh_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+)
+from mapreduce_minhash_lsh_spark.operators.dsir import dsir_logweights
 from mapreduce_minhash_lsh_spark.operators.lm import bigram_lm_scores
+from mapreduce_minhash_lsh_spark.operators.semdedup import semdedup_drop_ids
 from mapreduce_minhash_lsh_spark.operators.search import bm25_topk
 from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
 from mapreduce_minhash_lsh_spark.session import get_spark
@@ -99,6 +114,56 @@ def main() -> None:
     )
     n4 = docs.count()
 
+    # 4b. DSIR importance selection (round 11): weight every survivor
+    #     toward the 'en' target distribution and keep the top half by
+    #     hashed-n-gram importance (median cut = one bounded action;
+    #     the paper samples proportionally — a threshold is the
+    #     deterministic equivalent).
+    with_lang = docs.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+    )
+    w = dsir_logweights(with_lang, target_pred=F.col("lang") == "en")
+    cut = w.agg(F.expr("percentile(avg_logw, 0.5)")).first()[0]
+    docs = docs.join(
+        w.where(F.col("avg_logw") >= cut).select("doc_id"), "doc_id"
+    )
+    n5 = docs.count()
+
+    # 4c. SemDeDup (round 11): semantic near-dups in embedding space
+    #     (vec_id == doc_id in the testdata), cluster-scoped compare.
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_drop = semdedup_drop_ids(emb, threshold=0.4, n_lists=8).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    docs = docs.join(sem_drop, "doc_id", "left_anti")
+    n6 = docs.count()
+
+    # 4d. Bloom decontamination (round 11): drop any document whose
+    #     3-grams mostly hit the held-out benchmark sketch (~9 KB
+    #     bitmap, membership fully map-side).
+    toks3 = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks3) >= 3).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bloom_words = bloom_build(bench, "gram", m_bits=1 << 16, k=4)
+    contaminated = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                bloom_might_contain(F.col("gram"), bloom_words, 1 << 16, 4)
+                .cast("double")
+            ).alias("hit_frac")
+        )
+        .where(F.col("hit_frac") > 0.5)
+        .select("doc_id")
+    )
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+    n7 = docs.count()
+
     # 5. token budget under the shipped BPE asset
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -118,6 +183,9 @@ def main() -> None:
     print(f"after c4 cleanup    {n2}")
     print(f"after near-dup drop {n3}")
     print(f"after LM-ppl cut    {n4}")
+    print(f"after DSIR cut      {n5}")
+    print(f"after SemDeDup      {n6}")
+    print(f"after bloom decon   {n7}")
     print(f"BPE token budget    {budget}")
     print("top-5 bm25:", [(r['doc_id'], round(r['bm25'], 3)) for r in top])
     spark.stop()

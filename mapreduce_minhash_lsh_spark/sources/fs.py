@@ -40,6 +40,32 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(hpath, recursive))
 
 
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (manifests, specs) through the
+    scheme-resolved FileSystem API — works on hdfs://s3a:// store paths
+    where a plain open() would write to a local path that doesn't
+    exist.  Overwrites."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file written by :func:`fs_write_text`."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Rename ``src`` to ``dst`` on src's own filesystem — the
     store-safe replacement for ``os.rename``.  Atomic on HDFS and local
