@@ -1926,8 +1926,17 @@ def q_bloom_contamination(spark, sf):
     negatives; deterministic md5 positions make the false positives
     themselves reproducible, so the DuckDB oracle checks every value
     bit-exactly — including the sketch's errors)."""
+    grams = _contam_grams(spark, sf)
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    words = _bloom.bloom_build(bench, "gram", m_bits=_BLOOM_M, k=_BLOOM_K)
+    return _bloom_score(grams, words)
+
+
+def _contam_grams(spark, sf):
+    """(doc_id, distinct word-3-gram) — the shared probe relation of
+    every contamination query."""
     toks = F.split(F.col("text"), " ")
-    grams = (
+    return (
         load_table(spark, sf, "documents")
         .where(F.size(toks) >= 3)
         .select(
@@ -1937,8 +1946,9 @@ def q_bloom_contamination(spark, sf):
             ).alias("gram"),
         )
     )
-    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
-    words = _bloom.bloom_build(bench, "gram", m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+def _bloom_score(grams, words):
     maybe = _bloom.bloom_might_contain(
         F.col("gram"), words, m_bits=_BLOOM_M, k=_BLOOM_K
     )
@@ -1956,3 +1966,22 @@ def q_bloom_contamination(spark, sf):
             (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
         )
     )
+
+
+@register("streaming_bloom_contamination", _BLOOM_CONTAM_SQL)
+def q_streaming_bloom_contamination(spark, sf):
+    """bloom_contamination with the filter built INCREMENTALLY: the
+    benchmark split streams in micro-batches and each batch ORs its
+    Bloom contributions into a partitioned bit log
+    (streaming/jobs.streaming_bloom_words) — the continuous-ingest
+    shape of a decontamination filter that absorbs new benchmark
+    releases without rebuilds.  Bitwise OR is associative, commutative
+    and IDEMPOTENT, so the accumulated filter equals the batch-built
+    one exactly under any micro-batching, duplicate grams across
+    batches, or checkpoint replay — which is why the oracle is
+    bloom_contamination's SQL verbatim (batch equivalence, the
+    streaming family's standard check)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_bloom_words
+
+    words = streaming_bloom_words(spark, sf, m_bits=_BLOOM_M, k=_BLOOM_K)
+    return _bloom_score(_contam_grams(spark, sf), words)

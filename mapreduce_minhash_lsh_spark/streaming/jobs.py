@@ -708,3 +708,124 @@ def streaming_lm_scores(
         if own_state:
             shutil.rmtree(state_dir, ignore_errors=True)
     return result
+
+
+def streaming_bloom_words(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> list[int]:
+    """Build the benchmark-decontamination Bloom filter INCREMENTALLY:
+    stream the documents table in micro-batches, extract each batch's
+    benchmark 3-grams (doc_id % 97 == 0 — the same held-out split as
+    the batch query), and append the batch's (word, bits) Bloom
+    contributions to a partitioned parquet bit log.  The filter is
+    compacted ON READ with one groupBy bit_or — OR is associative,
+    commutative AND idempotent, so the accumulated filter is EXACTLY
+    the batch-built one regardless of micro-batching, duplicate grams
+    across batches, or checkpoint replay (a replayed batch overwrites
+    its own ``batch_id=`` partition via dynamic partition overwrite,
+    and re-ORing identical bits is a no-op anyway — the strongest
+    idempotency in the streaming family).
+
+    Returns the dense word array (ceil(m_bits/60) longs), ready for
+    :func:`operators.bloom.bloom_might_contain` — the production shape:
+    the filter updates continuously as new benchmark releases land,
+    scoring jobs read the compacted bitmap.
+
+    STATE-REUSE CONTRACT: same as streaming_ivf_index /
+    streaming_lm_scores — a caller state_dir means "resume THIS
+    corpus's bit log"; the input is fingerprinted on first build and
+    mismatching reuse fails fast.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.bloom import (
+        BLOOM_WORD_BITS,
+        bloom_positions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="bloom_stream_")
+    split_dir = os.path.join(state_dir, "docs_split")
+    bits_path = os.path.join(state_dir, "bloom_bits")
+    meta_path = os.path.join(state_dir, "source_meta")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = F.split(F.col("text"), " ")
+        grams = (
+            batch_df.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+            .select(
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("text"), 3))
+                ).alias("gram")
+            )
+        )
+        pos = grams.select(
+            F.explode(
+                F.array(*bloom_positions(F.col("gram"), m_bits, k))
+            ).alias("pos")
+        )
+        (
+            pos.select(
+                (F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+                (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bits_path)
+        )
+
+    try:
+        fingerprint = f"{sf_dir}|bloom|{m_bits}|{k}"
+        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
+            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+            spark.createDataFrame(
+                [(fingerprint,)], ["fingerprint"]
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        elif fs_exists(spark, meta_path):
+            row = spark.read.parquet(meta_path).first()
+            if row is not None and row.fingerprint != fingerprint:
+                raise ValueError(
+                    f"state_dir {state_dir!r} holds a Bloom bit log built "
+                    f"from {row.fingerprint!r}; refusing to resume it as "
+                    f"{fingerprint!r} — use a fresh state_dir per corpus"
+                )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        n_words = -(-m_bits // BLOOM_WORD_BITS)
+        words = [0] * n_words
+        if fs_exists(spark, bits_path):
+            rows = (
+                spark.read.parquet(bits_path)
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+                .collect()
+            )
+            for r in rows:
+                words[r["word"]] = r["bits"]
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return words

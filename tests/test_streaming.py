@@ -343,3 +343,42 @@ def test_streaming_ivf_index_state_fingerprint(spark, tmp_path):
     assert again == first  # replay over committed offsets is idempotent
     with pytest.raises(ValueError, match="fresh state_dir"):
         streaming_ivf_index(spark, SF_SMALL, n_lists=4, state_dir=state)
+
+
+def test_streaming_bloom_words_equal_batch_filter(spark):
+    """The incrementally accumulated Bloom bitmap must equal the
+    batch-built one word for word (OR is associative/commutative/
+    idempotent — micro-batching cannot change a single bit)."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.bloom import bloom_build
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_bloom_words
+
+    m_bits, k = 1 << 16, 4
+    streamed = streaming_bloom_words(spark, SF_SMALL, m_bits=m_bits, k=k)
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.split(F.col("text"), " ")
+    bench = (
+        docs.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("gram")
+        )
+        .distinct()
+    )
+    assert streamed == bloom_build(bench, "gram", m_bits=m_bits, k=k)
+
+
+def test_streaming_bloom_state_reuse_and_fingerprint(spark, tmp_path):
+    """Same state_dir re-run -> identical words (replay overwrites its
+    own batch partitions; re-ORing is a no-op).  A different corpus or
+    filter geometry against the same state dir fails fast."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_bloom_words
+
+    state = str(tmp_path / "bloom_state")
+    w1 = streaming_bloom_words(spark, SF_SMALL, state_dir=state)
+    w2 = streaming_bloom_words(spark, SF_SMALL, state_dir=state)
+    assert w1 == w2
+    with pytest.raises(ValueError, match="refusing to resume"):
+        streaming_bloom_words(spark, SF_SMALL, state_dir=state, m_bits=1 << 14)
