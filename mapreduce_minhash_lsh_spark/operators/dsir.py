@@ -147,6 +147,12 @@ def dsir_logweights(
     elif target is not None:
         tfeats = doc_feature_buckets(target, n_buckets, text_col, id_col)
         c_t = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tg"))
+        # N_t must count ALL target features: a general two-corpus
+        # target can hold buckets the background never produces, and
+        # those rows vanish from the left join below — summing c_tg
+        # post-join would silently shrink the smoothing denominator.
+        # (In the subset/target_pred case the two are provably equal.)
+        n_tg_from = c_t.agg(F.sum("c_tg").alias("n_tg"))
         counts = (
             feats.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("c_bg"))
@@ -154,12 +160,15 @@ def dsir_logweights(
         )
     else:
         raise ValueError("one of target / target_pred is required")
-    # totals derive from the bucket relation itself (<= n_buckets rows):
-    # no extra corpus pass.
-    totals = counts.agg(
-        F.sum("c_bg").alias("n_bg"),
-        F.sum(F.coalesce(F.col("c_tg"), F.lit(0))).alias("n_tg"),
-    )
+    if target_pred is not None:
+        # subset case: both totals derive from the one bucket relation
+        # (<= n_buckets rows) — no extra corpus pass.
+        totals = counts.agg(
+            F.sum("c_bg").alias("n_bg"),
+            F.sum(F.coalesce(F.col("c_tg"), F.lit(0))).alias("n_tg"),
+        )
+    else:
+        totals = counts.agg(F.sum("c_bg").alias("n_bg")).crossJoin(n_tg_from)
     s = F.lit(float(DSIR_LOG_SCALE))
     bf = F.lit(float(n_buckets))
     p_t = (F.coalesce(F.col("c_tg"), F.lit(0)).cast("double") + F.lit(1.0)) / (

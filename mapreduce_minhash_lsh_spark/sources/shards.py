@@ -54,6 +54,11 @@ def write_training_shards(
     the manifest dict.  ``key_col`` must be unique per row (the usual
     doc/sequence id) — it drives both shard assignment and the
     integrity fingerprint."""
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — rename it; the sink "
+            "owns that name for the partition layout"
+        )
     n_rows = df.count()
     n_shards = max(1, math.ceil(n_rows / rows_per_shard))
     shard = (md5_long(F.col(key_col).cast("string")) % n_shards).cast("int")

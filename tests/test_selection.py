@@ -198,3 +198,55 @@ def test_bloom_membership_is_map_side(spark):
     )
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_dsir_general_two_corpus_counts_all_target_features(spark):
+    """Regression (r11 self-review): with a TRUE two-corpus target,
+    buckets the background never produces must still count toward N_t
+    — a post-join sum would shrink the smoothing denominator.  Expected
+    weights computed independently in Python with the same md5 bucket
+    function, exact integer compare."""
+    import hashlib
+    import math
+
+    B = 4096
+    S = DSIR_LOG_SCALE
+    doc_rows = [(0, "aa bb"), (1, "bb cc aa")]
+    tgt_rows = [(10, "zz qq"), (11, "zz")]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    def feats(text):
+        toks = text.split(" ")
+        out = list(toks)
+        if len(toks) >= 2:
+            out += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        return out
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    bg: dict[int, int] = {}
+    tg: dict[int, int] = {}
+    for _i, text in doc_rows:
+        for f in feats(text):
+            bg[bucket(f)] = bg.get(bucket(f), 0) + 1
+    for _i, text in tgt_rows:
+        for f in feats(text):
+            tg[bucket(f)] = tg.get(bucket(f), 0) + 1
+    n_bg, n_tg = sum(bg.values()), sum(tg.values())
+
+    def lq(b):
+        pt = (tg.get(b, 0) + 1.0) / (n_tg + float(B))
+        pb = (bg[b] + 1.0) / (n_bg + float(B))
+        return math.floor(S * math.log(pt)) - math.floor(S * math.log(pb))
+
+    expected = {}
+    for i, text in doc_rows:
+        bs = [bucket(f) for f in feats(text)]
+        expected[i] = (len(bs), sum(lq(b) for b in bs))
+    got = {
+        r.doc_id: (r.n_feats, r.logw_scaled)
+        for r in dsir_logweights(docs, target, n_buckets=B).collect()
+    }
+    assert got == expected
