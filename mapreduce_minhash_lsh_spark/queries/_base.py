@@ -133,10 +133,10 @@ def register(name: str, sql: str | None = None):
 #      windows, events_trailing_hour_stats, events_debounce, concurrent_
 #      sessions, user_lifetime_profile, user_first_last_event, events_
 #      hourly_anomalies, customer_rfm_segments, customer_balance_ranks)
-#      PLUS the four new r11 registrations (dsir_logweights,
-#      semdedup_drop_ids, bloom_contamination,
+#      PLUS the five new r11 registrations (dsir_logweights,
+#      dsir_ref_logweights, semdedup_drop_ids, bloom_contamination,
 #      streaming_bloom_contamination — new operators earn a driver row
-#      within a round); 14 swaps, backlog -> 22.
+#      within a round); 15 swaps, backlog -> 22.
 #   r13: sampling/scoring block (stratified_sample, quality_weighted_
 #      sample, lang_rebalanced_sample, repetition_scores, benchmark_
 #      contamination, distinctive_terms, token_length_histogram,

@@ -1804,7 +1804,14 @@ from mapreduce_minhash_lsh_spark.operators import dsir as _dsir  # noqa: E402
 
 _DSIR_B = 4096
 _DSIR_BUCKET = f"({_mp('feat')}) % {_DSIR_B}"
-_DSIR_SQL = f"""WITH uni AS (
+
+
+def _dsir_sql(target_where: str) -> str:
+    """DuckDB twin of operators.dsir.dsir_logweights, parameterized by
+    the target-subset predicate.  N_t is counted over ALL target
+    features (the model's definition), matching the engine's general
+    two-corpus path."""
+    return f"""WITH uni AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS feat
   FROM documents WHERE length(text) > 0
 ),
@@ -1821,9 +1828,9 @@ feats AS (
   SELECT doc_id, lang, ({_DSIR_BUCKET}) AS bucket FROM bi
 ),
 cb AS (SELECT bucket, COUNT(*) AS c_bg FROM feats GROUP BY bucket),
-ct AS (SELECT bucket, COUNT(*) AS c_tg FROM feats WHERE lang = 'en' GROUP BY bucket),
+ct AS (SELECT bucket, COUNT(*) AS c_tg FROM feats WHERE {target_where} GROUP BY bucket),
 tot AS (SELECT (SELECT COUNT(*) FROM feats) AS n_bg,
-               (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS n_tg),
+               (SELECT COUNT(*) FROM feats WHERE {target_where}) AS n_tg),
 lam AS (
   SELECT cb.bucket,
          CAST(floor(10000.0 * ln((COALESCE(ct.c_tg, 0) + 1.0)
@@ -1840,7 +1847,7 @@ FROM feats f JOIN lam l ON l.bucket = f.bucket
 GROUP BY f.doc_id"""
 
 
-@register("dsir_logweights", _DSIR_SQL)
+@register("dsir_logweights", _dsir_sql("lang = 'en'"))
 def q_dsir_logweights(spark, sf):
     """DSIR importance weights (round 11; Xie et al. 2023): every
     document scored by how 'en'-corpus-like its hashed uni+bigram bag
@@ -1985,3 +1992,19 @@ def q_streaming_bloom_contamination(spark, sf):
 
     words = streaming_bloom_words(spark, sf, m_bits=_BLOOM_M, k=_BLOOM_K)
     return _bloom_score(_contam_grams(spark, sf), words)
+
+
+@register("dsir_ref_logweights", _dsir_sql("doc_id % 97 = 0"))
+def q_dsir_ref_logweights(spark, sf):
+    """DSIR with a SEPARATE reference corpus (round 11): the held-out
+    doc_id % 97 == 0 split plays the curated target (the
+    ngram_lm_ref_scores convention), passed as its own DataFrame —
+    this exercises the general two-corpus path where N_t is counted
+    over all target features independently of the background join
+    (the r11 regression), not the single-aggregation subset shortcut.
+    Same bucket space, same quantized-log arithmetic, bit-exact
+    oracle."""
+    docs = load_table(spark, sf, "documents")
+    return _dsir.dsir_logweights(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n_buckets=_DSIR_B
+    )
