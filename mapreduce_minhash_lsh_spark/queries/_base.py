@@ -129,19 +129,36 @@ def register(name: str, sql: str | None = None):
 #      (+ new streaming_lm_scores) while streaming_events_hourly
 #      retires; ANN keeps ann_topk exact (+ new pq/ivfpq) while
 #      embedding_near_dup retires.  backlog 53 -> 32.
-#   r12: analytics/events block (events_session_window, events_sliding_
-#      windows, events_trailing_hour_stats, events_debounce, concurrent_
-#      sessions, user_lifetime_profile, user_first_last_event, events_
-#      hourly_anomalies, customer_rfm_segments, customer_balance_ranks)
-#      PLUS the five new r11 registrations (dsir_logweights,
-#      dsir_ref_logweights, semdedup_drop_ids, bloom_contamination,
+#   r12 (done below): analytics/events block (events_session_window,
+#      events_sliding_windows, events_trailing_hour_stats,
+#      events_debounce, concurrent_sessions, user_lifetime_profile,
+#      user_first_last_event, events_hourly_anomalies,
+#      customer_rfm_segments, customer_balance_ranks) PLUS the five new
+#      r11 registrations (dsir_logweights, dsir_ref_logweights,
+#      semdedup_drop_ids, bloom_contamination,
 #      streaming_bloom_contamination — new operators earn a driver row
-#      within a round); 15 swaps, backlog -> 22.
+#      within a round); 15 swaps, backlog -> 22.  The 15 retirees are
+#      all r11-driver-green, stay registered, stay sweep-green, and
+#      every family keeps a window representative: TPC-H keeps
+#      q7/q15/q22 while q11/q16/q20 retire; LM keeps ngram_lm_scores +
+#      stupid_backoff_scores while ngram_lm_ref_scores retires; winnow
+#      keeps winnow_fingerprints while winnow_match_pairs retires;
+#      quality keeps gopher_quality_flags + bm25_topk while
+#      c4_line_filter retires; multimodal keeps features (plumbing) +
+#      png (image codec) + audio (audio codec) while resize/webp/flac/
+#      aiff_au/video_meta retire; ANN keeps ann_topk (exact) +
+#      ann_ivfpq_topk (quantized scale path) while ann_pq_topk retires;
+#      similarity variants keep skew + containment while
+#      oph_similar_pairs retires (OPH stays registered + sweep-green);
+#      streaming keeps view_clicks + incremental_similar_pairs + the
+#      new Bloom ingest while streaming_lm_scores/streaming_ivf_index
+#      retire.
 #   r13: sampling/scoring block (stratified_sample, quality_weighted_
 #      sample, lang_rebalanced_sample, repetition_scores, benchmark_
 #      contamination, distinctive_terms, token_length_histogram,
-#      embeddings_profile, quantity_quantiles_approx, vocab_coverage);
-#      backlog -> 12.
+#      embeddings_profile, quantity_quantiles_approx, vocab_coverage)
+#      PLUS any new r12 registrations (dsir_selected_sample,
+#      training_shard_manifest — new-operator rule); backlog -> 12.
 #   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
 #      packed_sequences_greedy, purchases_with_next_view, quantity_price_
 #      correlation, edit_distance_pairs, quantity_grouping_sets,
@@ -157,38 +174,40 @@ _PRIORITY: list[str] = [
     "lsh_bands",
     "candidate_pairs",
     "similar_pairs",
-    # Relational / TPC-H — round-11 rotation: keep the three most
-    # structurally distinct r10-green shapes (q7 multi-join trade
-    # volume, q15 view+top-k, q22 anti-join/semi-join) and promote the
-    # three never-checked r10 registrations; q4/q8/q12/q13/q14/q17/q19
-    # retire r10-green (aliases-only rule, all stay sweep-green).
+    # Relational / TPC-H — round-12 rotation: keep the three most
+    # structurally distinct shapes (q7 multi-join trade volume, q15
+    # view+top-k, q22 anti-join/semi-join); q11/q16/q20 retire r11-green
+    # (aliases-only rule, all stay sweep-green).
     "q7_nation_trade_volume",
-    "q11_important_parts",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
     "q22_idle_rich_customers",
-    # Window / analytic (round 10: sessionize keeps the family's driver
-    # row; the other window shapes are sweep-green retirees)
+    # Window / analytic — round-12 rotation: the full never-checked
+    # analytics/events block earns its driver rows (VERDICT r11 #1;
+    # slid from r11 when the 21 new-operator promotions took priority).
     "events_sessionize",
-    # Events / streaming / semi-structured (round 11:
-    # streaming_events_hourly retired r2-r10-green — the streaming
-    # family keeps the interval join, the incremental ingest jobs, and
-    # the new LM-scoring stream below)
+    "events_session_window",
+    "events_sliding_windows",
+    "events_trailing_hour_stats",
+    "events_debounce",
+    "concurrent_sessions",
+    "user_lifetime_profile",
+    "user_first_last_event",
+    "events_hourly_anomalies",
+    "customer_rfm_segments",
+    "customer_balance_ranks",
+    # Events / streaming (round 12: streaming_lm_scores and
+    # streaming_ivf_index retired r11-green — the streaming family
+    # keeps the interval join, the incremental band-store ingest, and
+    # the new Bloom-ingest row below)
     "streaming_view_clicks",
     # Incremental near-dup ingest (round 8 promotion, VERDICT r7 #3: the
     # 100 TB continuous-ingest story — micro-batched minhash against an
     # accumulated band store, batch-equivalence oracle)
     "incremental_similar_pairs",
-    # Streaming IVF ingest (round 10 pull-forward, VERDICT r9 #1: new
-    # r9 operators earn a driver row within a round; multimodal_gif
-    # retired — the codec family keeps png/jpeg/tiff, gif stays
-    # registered and sweep-green)
-    "streaming_ivf_index",
-    # Streaming LM scoring (round 11 promotion: new r10 operator earns
-    # its driver row — idempotent count-delta log, batch-equivalence
-    # oracle)
-    "streaming_lm_scores",
+    # Streaming Bloom decontamination ingest (round 12 promotion: new
+    # r11 operator earns its driver row — per-batch OR into a
+    # batch_id-partitioned bit log, idempotent under replay)
+    "streaming_bloom_contamination",
     # Group-level flagship (round 5: Borůvka verified components)
     "similar_groups",
     # Text analysis (round 11: doc_fingerprint retired r2-r10-green —
@@ -206,40 +225,38 @@ _PRIORITY: list[str] = [
     # measurement tool; it stays oracle-checked past the window)
     "packed_sequences",
     "simhash",
-    # Second signature scheme (round 5, VERDICT r4 #5: carries driver-
-    # board evidence for OPH + optimal densification; ann_lsh_topk moved
-    # past the window — still registered and pytest-oracle-green, the
-    # ANN family keeps ann_topk exact + ann_ivf_topk as hash-green
-    # representatives)
-    "oph_similar_pairs",
     # Capped+auto-split flagship on a boilerplate-clique corpus (round
-    # 5: the skew-policy regression guard; takes the window slot of
-    # ann_ivf_topk — ann_topk stays as the ANN-family representative,
-    # ann_ivf_topk remains oracle-checked past the window)
+    # 5: the skew-policy regression guard).  Round 12:
+    # oph_similar_pairs retired r11-green — the OPH + optimal-
+    # densification scheme stays registered and sweep-green; the
+    # similarity-variant family keeps skew + containment.
     "skew_similar_pairs",
-    # Similarity variants (round 11: weighted_similar_pairs,
-    # paragraph_near_dups, word_similar_pairs retired r7/r8-through-r10
-    # green; the family keeps oph + skew + the containment headliner)
     "containment_pairs_postings",
-    # ANN / embeddings (round 11: embedding_near_dup retired r9/r10
-    # green — ann_topk stays as the exact baseline, and the two new
-    # quantized paths below earn their driver rows)
+    # ANN / embeddings (round 12: ann_pq_topk retired r11-green —
+    # ann_topk stays as the exact baseline and ann_ivfpq_topk as the
+    # quantized scale path)
     "ann_topk",
-    "ann_pq_topk",
     "ann_ivfpq_topk",
-    # Winnowing / MOSS fingerprints (round 11 promotion: new r10
-    # operators)
+    # Winnowing / MOSS fingerprints (round 12: winnow_match_pairs
+    # retired r11-green; selection keeps the family's driver row)
     "winnow_fingerprints",
-    "winnow_match_pairs",
-    # LM scoring + BPE (round 11 promotion: new r10 operators)
+    # LM scoring + BPE (round 12: ngram_lm_ref_scores retired r11-green
+    # — the family keeps the base LM + the backoff variant)
     "ngram_lm_scores",
-    "ngram_lm_ref_scores",
     "stupid_backoff_scores",
     "bpe_token_counts",
-    # Quality filters / retrieval (round 11 promotion: new r10 operators)
+    # Quality filters / retrieval (round 12: c4_line_filter retired
+    # r11-green — gopher keeps the quality row, bm25 the retrieval row)
     "gopher_quality_flags",
-    "c4_line_filter",
     "bm25_topk",
+    # Data-selection operators (round 12 promotion: the four new r11
+    # registrations earn their driver rows — DSIR hashed-ngram
+    # importance weights in both corpus forms, SemDeDup embedding-cell
+    # dedup, Bloom-filter benchmark decontamination)
+    "dsir_logweights",
+    "dsir_ref_logweights",
+    "semdedup_drop_ids",
+    "bloom_contamination",
     # Sampling / splits / PII (round 11: train_valid_test_split retired
     # r9/r10-green — documents_hash_sample keeps the deterministic-
     # sampling row, and the new quantizer-cell-balanced sampler joins)
@@ -249,18 +266,12 @@ _PRIORITY: list[str] = [
     # As-of / range joins
     "purchases_with_last_view",
     "parts_price_bands",
-    # Multimodal plumbing + real codecs (round 11: jpeg/tiff retired
-    # r9/r10-green — png keeps the image-codec row, and the five new
-    # r10 codec families earn driver rows: VP8L-WebP, WAV/G.711/ADPCM
-    # audio, FLAC, AIFF/AU, MP4/ISO-BMFF container metadata)
+    # Multimodal plumbing + real codecs (round 12: resize/webp/flac/
+    # aiff_au/video_meta retired r11-green — the family keeps features
+    # (plumbing), png (image codec), and audio (WAV/G.711/ADPCM))
     "multimodal_features",
-    "multimodal_resize",
     "multimodal_png",
-    "multimodal_webp",
     "multimodal_audio",
-    "multimodal_flac",
-    "multimodal_aiff_au",
-    "multimodal_video_meta",
 ]
 
 
