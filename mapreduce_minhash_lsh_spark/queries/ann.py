@@ -744,22 +744,29 @@ def q_ann_pq_topk(spark, sf):
 # Deterministic-transparent: training is seeded and exact, so the
 # memoized index is bit-identical to a fresh build and the oracle row
 # is unchanged.  Keyed by applicationId so a new session (or process)
-# always rebuilds; the parquet lives in a per-build mkdtemp.
+# always rebuilds; the parquet lives in the per-application scratch
+# root (sources/fs.scratch_dir — atexit-cleaned, ADVICE r11 fix for
+# the per-build mkdtemp leak), and memo entries for other application
+# ids are evicted on access so the dict can't grow across sessions.
 _IVFPQ_INDEX_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 def _ivfpq_session_index(spark, sf):
-    key = (spark.sparkContext.applicationId, sf)
+    from mapreduce_minhash_lsh_spark.sources.fs import scratch_dir
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _IVFPQ_INDEX_MEMO if k[0] != app]:
+        del _IVFPQ_INDEX_MEMO[stale]
+    key = (app, sf)
     if key not in _IVFPQ_INDEX_MEMO:
         emb = load_table(spark, sf, "embeddings")
         cents, books, codes = _ann.ivfpq_index(
             emb, dim=64, n_lists=16, m=8, n_codes=16, lloyd_iters=2,
             pq_iters=2, assign="exact",
         )
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="ivfpq_codes_") + "/codes"
-        codes.write.partitionBy("list_id").parquet(path)
+        tag = sf.strip("/").replace("/", "_")
+        path = scratch_dir(spark, "ivfpq_codes", tag) + "/codes"
+        codes.write.mode("overwrite").partitionBy("list_id").parquet(path)
         _IVFPQ_INDEX_MEMO[key] = (cents, books, path)
     cents, books, path = _IVFPQ_INDEX_MEMO[key]
     return cents, books, spark.read.parquet(path)
@@ -851,7 +858,12 @@ SELECT DISTINCT vec_id_b AS vec_id
 FROM dots
 JOIN norms na ON na.vec_id = vec_id_a
 JOIN norms nb ON nb.vec_id = vec_id_b
-WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4"""
+WHERE na.n2 > 0 AND nb.n2 > 0
+  AND dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4"""
+# ^ n2 > 0 guards (ADVICE r11): a zero-norm embedding makes 0/0 = NaN,
+# which DuckDB orders ABOVE every number (so it would pass >= 0.4)
+# while the engine's prefilter maps zero-norm rows to cosine 0 and can
+# never emit them — same NaN-ordering class the rank CTEs already pin.
 
 
 @register("semdedup_drop_ids", _SEMDEDUP_SQL)

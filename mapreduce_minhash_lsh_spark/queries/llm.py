@@ -2048,3 +2048,79 @@ def q_dsir_ref_logweights(spark, sf):
     return _dsir.dsir_logweights(
         docs, docs.where(F.col("doc_id") % 97 == 0), n_buckets=_DSIR_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard sink manifest (round 12)
+# ---------------------------------------------------------------------------
+
+_SHARD_ROWS_PER = 64
+
+_SHARD_MANIFEST_SQL = f"""WITH n AS (
+  SELECT CAST(ceil(count(*) / {_SHARD_ROWS_PER}.0) AS BIGINT) AS n_shards
+  FROM documents
+)
+SELECT CAST(({_mp("CAST(doc_id AS VARCHAR)")}) % n.n_shards AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS rows,
+       MIN(doc_id) AS key_min,
+       MAX(doc_id) AS key_max,
+       bit_xor({_mp("CAST(doc_id AS VARCHAR)")}) AS fingerprint_md5
+FROM documents CROSS JOIN n
+GROUP BY 1"""
+
+# One written store per (application, sf): the registered query must be
+# idempotent within a session (the parity sweep calls it repeatedly) and
+# the scratch root is atexit-cleaned, so nothing leaks across sessions.
+_SHARD_STORE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _shard_session_store(spark, sf):
+    from mapreduce_minhash_lsh_spark.sources.fs import scratch_dir
+    from mapreduce_minhash_lsh_spark.sources.shards import write_training_shards
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _SHARD_STORE_MEMO if k[0] != app]:
+        del _SHARD_STORE_MEMO[stale]
+    key = (app, sf)
+    if key not in _SHARD_STORE_MEMO:
+        tag = sf.strip("/").replace("/", "_")
+        path = scratch_dir(spark, "training_shards", tag)
+        docs = load_table(spark, sf, "documents")
+        write_training_shards(
+            spark, docs, path, key_col="doc_id", rows_per_shard=_SHARD_ROWS_PER
+        )
+        _SHARD_STORE_MEMO[key] = path
+    return _SHARD_STORE_MEMO[key]
+
+
+@register("training_shard_manifest", _SHARD_MANIFEST_SQL)
+def q_training_shard_manifest(spark, sf):
+    """The training-shard sink's driver-checkable row (round 12,
+    VERDICT r11 #4): write the documents table through
+    sources/shards.write_training_shards (deterministic md5 shard
+    assignment, manifest with order-independent fingerprints), then
+    RECOMPUTE the per-shard manifest relation — rows, key range, and
+    the engine-portable md5 fingerprint twin — from the written store
+    itself.  The oracle derives the same relation straight from the
+    source table, so a green row proves the sink moved every row to
+    its assigned shard and nothing else: assignment, layout, and
+    fingerprint algebra all get a DuckDB check like every other
+    operator (the xxhash64 fingerprint stays in the manifest file for
+    fast JVM-side loader checks; md5 is the cross-engine twin).  The
+    store is written once per session (scratch_dir, atexit-cleaned)
+    and the relation is bounded by n_shards rows at any corpus size."""
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_long as _md5l
+
+    path = _shard_session_store(spark, sf)
+    store = spark.read.parquet(path + "/data")
+    return (
+        store.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.min("doc_id").alias("key_min"),
+            F.max("doc_id").alias("key_max"),
+            F.bit_xor(_md5l(F.col("doc_id").cast("string")))
+            .cast("long")
+            .alias("fingerprint_md5"),
+        )
+    )

@@ -14,11 +14,17 @@ and verify integrity.  This sink writes that layout from any DataFrame:
   shard — a loader maps shard i to its file list with no index scan,
   and a 1000-GPU job assigns directories round-robin);
 * ``<path>/manifest.json`` records, per shard: row count, key range,
-  and an ORDER-INDEPENDENT content fingerprint (bit_xor of xxhash64
-  over the key column — associative, commutative, and overflow-free
-  under ANSI mode, so any partitioning computes the same value;
-  key_col is unique per row, so XOR cancellation cannot occur).  The loader checks it before training; the fingerprint
-  changing means the corpus changed.
+  and TWO order-independent content fingerprints (bit_xor over the key
+  column of xxhash64 — the fast JVM hash — and of the engine-portable
+  md5_long twin that external tools / the DuckDB oracle can recompute;
+  both associative, commutative, and overflow-free under ANSI mode, so
+  any partitioning computes the same values).  key_col uniqueness is
+  ENFORCED at write time (ADVICE r11: a duplicated key XOR-cancels to
+  the same fingerprint as its absence when paired, silently blinding
+  the integrity check) — the distinct count rides the existing
+  per-shard aggregation, so the assert costs no extra pass.  The
+  loader checks fingerprints before training; a change means the
+  corpus changed.
 
 Scale: one count action sizes the shard count, one partitionBy write
 moves the data (single shuffle), and the manifest aggregation is
@@ -68,13 +74,27 @@ def write_training_shards(
         sharded.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows"),
+            F.countDistinct(key_col).cast("long").alias("distinct_keys"),
             F.min(key_col).alias("key_min"),
             F.max(key_col).alias("key_max"),
             F.bit_xor(F.xxhash64(F.col(key_col))).cast("long").alias("fingerprint"),
+            F.bit_xor(md5_long(F.col(key_col).cast("string")))
+            .cast("long")
+            .alias("fingerprint_md5"),
         )
         .orderBy("shard")
         .collect()
     )
+    dup_shards = {r["shard"]: r for r in stats if r["rows"] != r["distinct_keys"]}
+    if dup_shards:
+        worst = next(iter(dup_shards.values()))
+        raise ValueError(
+            f"key_col '{key_col}' is not unique: shard {worst['shard']} has "
+            f"{worst['rows']} rows but {worst['distinct_keys']} distinct keys "
+            f"({len(dup_shards)} shard(s) affected) — a duplicated key "
+            "XOR-cancels out of the fingerprint, blinding the integrity "
+            "check. Deduplicate or pick a unique key column."
+        )
     manifest = {
         "format": "parquet",
         "version": 1,
@@ -89,6 +109,7 @@ def write_training_shards(
                 "key_min": r["key_min"],
                 "key_max": r["key_max"],
                 "fingerprint": r["fingerprint"],
+                "fingerprint_md5": r["fingerprint_md5"],
             }
             for r in stats
         ],
@@ -124,14 +145,18 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
             F.min(key_col).alias("key_min"),
             F.max(key_col).alias("key_max"),
             F.bit_xor(F.xxhash64(F.col(key_col))).cast("long").alias("fingerprint"),
+            F.bit_xor(md5_long(F.col(key_col).cast("string")))
+            .cast("long")
+            .alias("fingerprint_md5"),
         )
         .collect()
     }
+    checked = ("rows", "key_min", "key_max", "fingerprint", "fingerprint_md5")
     bad = []
     for entry in manifest["shards"]:
         got = actual.get(entry["shard"])
         if got is None or any(
-            got[k] != entry[k] for k in ("rows", "key_min", "key_max", "fingerprint")
+            got[k] != entry[k] for k in checked if k in entry
         ):
             bad.append(entry["shard"])
     if len(actual) != len(manifest["shards"]):

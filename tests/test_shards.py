@@ -71,3 +71,32 @@ def test_shards_tamper_detection(spark, tmp_path):
     res = verify_training_shards(spark, path)
     assert not res["ok"]
     assert 1 in res["mismatched_shards"]
+
+
+def test_shards_refuse_duplicate_keys(spark, tmp_path):
+    """ADVICE r11: a duplicated key XOR-cancels out of the fingerprint
+    (pairing it is indistinguishable from absence), so non-unique
+    key_col must fail LOUDLY at write time, not blind the integrity
+    check."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.sources.shards import write_training_shards
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    dup = docs.unionByName(docs.limit(5))
+    with pytest.raises(ValueError, match="not unique"):
+        write_training_shards(spark, dup, str(tmp_path / "dup"), rows_per_shard=100)
+
+
+def test_shards_manifest_has_md5_twin(spark, tmp_path):
+    """The engine-portable md5 fingerprint twin rides the manifest next
+    to the xxhash64 one, and verify checks both."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(spark, docs, path, rows_per_shard=200)
+    for entry in manifest["shards"]:
+        assert "fingerprint_md5" in entry and "fingerprint" in entry
+        assert 0 <= entry["fingerprint_md5"] < (1 << 60)
+    from mapreduce_minhash_lsh_spark.sources.shards import verify_training_shards
+
+    assert verify_training_shards(spark, path)["ok"]
