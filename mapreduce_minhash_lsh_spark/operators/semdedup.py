@@ -34,6 +34,14 @@ shuffle is the groupBy(list_id).  Incremental ingest pins the trained
 quantizer exactly like ivf_index (pass ``cents=``) so cluster
 membership is stable across batches.
 
+Recall trade, MEASURED (r12 boundary probe,
+experiments/semdedup_recall_probe.py → results_r12.json): pairs that
+straddle a cell boundary are lost by hard assignment — 0.68-0.81
+recall on planted cosine≈threshold pairs, worse at finer grids — but
+near-identical duplicates (cosine → 1, the regime SemDeDup targets)
+are essentially immune, and ``soft_assign=2`` recovers ≥ 0.995
+borderline recall at ~2x pairwise work.
+
 Reference anchor: the reference engine has no embedding operators
 (Main.java:1-89); this extends the mandated LLM-pipeline surface —
 the embedding-space counterpart of the MinHash near-dup chain.
@@ -62,22 +70,48 @@ def semdedup_pairs(
     assign: str = "exact",
     prefilter_margin: float = 1e-6,
     cents: list[tuple[int, list[float]]] | None = None,
+    soft_assign: int = 1,
 ) -> DataFrame:
     """(vec_id_a, vec_id_b, list_id, cosine) for every within-cluster
     pair (a < b) with exact cosine >= threshold.  The margin on the
     float prefilter exceeds the ~1e-11 double-vs-scaled-int gap by five
-    orders, so no true pair is lost to the fast path."""
+    orders, so no true pair is lost to the fast path.
+
+    ``soft_assign`` is the recall knob for pairs that STRADDLE a cell
+    boundary (the loss mode of hard clustering).  Measured on planted
+    BORDERLINE pairs (cosine within ±0.02 of a 0.95 threshold, random
+    directions; experiments/semdedup_recall_probe.py, results_r12.json):
+    hard assignment recalls 0.81 / 0.77 / 0.68 of true pairs at
+    n_lists = sqrt(n) / 2*sqrt(n) / 4*sqrt(n) — finer grids cut more
+    boundaries — while ``soft_assign=2`` (each vector joins its 2
+    nearest cells, so a pair is compared whenever the two share ANY
+    cell) recovers >= 0.995 at every grid, at ~2x the pairwise work
+    (sum c_i^2 scales with the copies).  Near-identical duplicates
+    (cosine -> 1, the classic SemDeDup regime) are essentially immune
+    either way — their straddle probability vanishes.  Pairs found in
+    two shared cells are deduplicated to their lowest shared list_id
+    before the exact confirm, so output semantics are unchanged.  The
+    registered query keeps soft_assign=1 (hard assignment) for oracle
+    parity."""
     import numpy as np
     import pandas as pd
 
+    if soft_assign < 1:
+        raise ValueError(f"soft_assign must be >= 1, got {soft_assign}")
     if cents is None:
         cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    if soft_assign == 1:
+        cell = F.element_at(
+            _assign_col(cents, F.col(vec_col), 1, assign), 1
+        ).alias("list_id")
+    else:
+        cell = F.explode(
+            _assign_col(cents, F.col(vec_col), soft_assign, assign)
+        ).alias("list_id")
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        F.element_at(_assign_col(cents, F.col(vec_col), 1, assign), 1).alias(
-            "list_id"
-        ),
+        cell,
     )
     cut = threshold - prefilter_margin
 
@@ -85,24 +119,32 @@ def semdedup_pairs(
         ids = np.asarray(pdf["vec_id"].values, dtype=np.int64)
         if len(ids) < 2:
             e = np.empty(0, dtype=np.int64)
-            return pd.DataFrame({"vec_id_a": e, "vec_id_b": e})
+            return pd.DataFrame({"vec_id_a": e, "vec_id_b": e, "list_id": e})
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         nrm = np.sqrt((mat * mat).sum(axis=1))
         nrm[nrm == 0] = np.inf
         unit = mat / nrm[:, None]
         cos = unit @ unit.T
         ai, bi = np.nonzero((cos >= cut) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"vec_id_a": ids[ai], "vec_id_b": ids[bi]})
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ai],
+                "vec_id_b": ids[bi],
+                "list_id": np.full(len(ai), key[0], dtype=np.int64),
+            }
+        )
 
     cand = assigned.groupBy("list_id").applyInPandas(
-        score_cluster, schema="vec_id_a long, vec_id_b long"
+        score_cluster, schema="vec_id_a long, vec_id_b long, list_id long"
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("vec").alias("va"),
-        F.col("list_id"),
-    )
-    b = assigned.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
+    if soft_assign > 1:
+        # a pair sharing two cells surfaces twice — keep one row, at
+        # the lowest shared cell, before paying the exact confirm
+        cand = cand.groupBy("vec_id_a", "vec_id_b").agg(
+            F.min("list_id").alias("list_id")
+        )
+    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
     return (
         cand.join(a, "vec_id_a")
         .join(b, "vec_id_b")
@@ -129,6 +171,7 @@ def semdedup_drop_ids(
     vec_col: str = "embedding",
     assign: str = "exact",
     cents: list[tuple[int, list[float]]] | None = None,
+    soft_assign: int = 1,
 ) -> DataFrame:
     """One-column (vec_id) drop list: every vector with an
     above-threshold within-cluster neighbor of LOWER id — each
@@ -136,6 +179,6 @@ def semdedup_drop_ids(
     against the corpus to materialize the deduplicated table."""
     pairs = semdedup_pairs(
         emb, threshold, n_lists, lloyd_iters, id_col, vec_col, assign,
-        cents=cents,
+        cents=cents, soft_assign=soft_assign,
     )
     return pairs.select(F.col("vec_id_b").alias("vec_id")).distinct()

@@ -357,3 +357,21 @@ def test_bloom_auto_sized_build_stays_sound(spark):
         ~bloom_might_contain(F.col("v"), words, m_bits=m, k=4)
     ).count()
     assert misses == 0
+
+
+def test_semdedup_soft_assign_superset_and_same_semantics(spark):
+    """soft_assign=2 must find every hard-assignment pair (superset —
+    each vector's top-1 cell is among its top-2) and keep exact-confirm
+    semantics (all emitted cosines >= threshold)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    hard = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in semdedup_pairs(emb, 0.4, n_lists=8, lloyd_iters=2).collect()
+    }
+    soft_rows = semdedup_pairs(
+        emb, 0.4, n_lists=8, lloyd_iters=2, soft_assign=2
+    ).collect()
+    soft = {(r.vec_id_a, r.vec_id_b) for r in soft_rows}
+    assert hard <= soft
+    assert len(soft_rows) == len(soft)  # lowest-cell dedup: one row per pair
+    assert all(r.cosine >= 0.4 for r in soft_rows)
