@@ -155,6 +155,16 @@ HEADLINE = [
     # matmul + exact confirm).
     "dsir_logweights",
     "semdedup_drop_ids",
+    # Round-12 additions: the DSIR selection closed loop (map-side
+    # grid-exponential resampling over the weight relation) and the
+    # training-shard sink's manifest recompute (store written once per
+    # session — min-of-N times the loader-side aggregation, the same
+    # amortized convention as ann_ivfpq_topk's session index).
+    "dsir_selected_sample",
+    "training_shard_manifest",
+    # Round-12 addition: Count-Min heavy-hitter estimation (one bounded
+    # sketch aggregation + map-side literal probe).
+    "cms_heavy_grams",
 ]
 
 

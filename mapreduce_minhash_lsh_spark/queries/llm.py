@@ -2124,3 +2124,72 @@ def q_training_shard_manifest(spark, sf):
             .alias("fingerprint_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (round 12)
+# ---------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.operators import cms as _cms  # noqa: E402
+
+_CMS_W = 2048
+_CMS_D = 4
+_CMS_MIN_EST = 4
+
+
+def _cms_pos_sql(i: int) -> str:
+    tagged = "gram || '#cms" + str(i) + "'"
+    return f"({_mp(tagged)}) % {_CMS_W}"
+
+
+_CMS_HEAVY_SQL = f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+pos AS (
+  {' UNION ALL '.join(f'SELECT {i} AS row, ({_cms_pos_sql(i)}) AS bucket FROM g' for i in range(_CMS_D))}
+),
+cnt AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY row, bucket),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+bpos AS (
+  {' UNION ALL '.join(f'SELECT gram, {i} AS row, ({_cms_pos_sql(i)}) AS bucket FROM bench' for i in range(_CMS_D))}
+),
+est AS (
+  SELECT p.gram, MIN(COALESCE(c.c, 0)) AS est_count
+  FROM bpos p LEFT JOIN cnt c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.gram
+)
+SELECT gram, est_count FROM est WHERE est_count >= {_CMS_MIN_EST}"""
+
+
+@register("cms_heavy_grams", _CMS_HEAVY_SQL)
+def q_cms_heavy_grams(spark, sf):
+    """Count-Min Sketch heavy hitters (round 12): estimate the global
+    corpus frequency of every benchmark-split word bigram from a
+    4x2048 int64 sketch (64 KB at ANY corpus size) instead of an exact
+    gram-keyed shuffle of the whole corpus — the constant-memory
+    frequency query next to Bloom's constant-memory membership query,
+    and the boilerplate-detection primitive at 100 TB (the sketch is
+    one bounded map-side-combining aggregation; the estimate is pure
+    map-side codegen against broadcast literals, no join).  CMS error
+    is ONE-SIDED: estimates never undercount, and overshoot is bounded
+    by e*N/width per query w.h.p.  Deterministic md5 row-hashes make
+    even the overcounts reproducible, so the DuckDB oracle checks
+    every estimate bit-for-bit — including the sketch's errors."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 2).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    grid = _cms.cms_build(grams, "gram", width=_CMS_W, depth=_CMS_D)
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return bench.select(
+        "gram",
+        _cms.cms_estimate(F.col("gram"), grid, width=_CMS_W).alias("est_count"),
+    ).where(F.col("est_count") >= _CMS_MIN_EST)
