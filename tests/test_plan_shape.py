@@ -218,3 +218,20 @@ def test_lm_scores_aggregates_before_driver(spark):
     # the per-doc rollup — at least 4 HashAggregate pairs
     assert len(re.findall(r"HashAggregate", p)) >= 8, p[:2000]
     assert "CollectLimit" not in p
+
+
+def test_dsir_select_adds_no_exchange(spark):
+    """The selection step must be a pure map-side filter on the weight
+    relation: the dsir_selected_sample plan has EXACTLY the same
+    Exchange count as the weight computation it filters (zero added
+    shuffles — at 100 TB the selection is free)."""
+    from mapreduce_minhash_lsh_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    w = dsir_logweights(docs, n_buckets=512, target_pred=F.col("lang") == "en")
+    base = plan(w).count("Exchange")
+    sel = plan(dsir_select(w)).count("Exchange")
+    assert sel == base
