@@ -171,6 +171,17 @@ def dsir_logweights(
         )
     else:
         totals = counts.agg(F.sum("c_bg").alias("n_bg")).crossJoin(n_tg_from)
+    return _score_against_counts(feats, counts, totals, n_buckets)
+
+
+def _score_against_counts(
+    feats: DataFrame, counts: DataFrame, totals: DataFrame, n_buckets: int
+) -> DataFrame:
+    """The shared scoring tail of every DSIR path: quantized log-ratio
+    table from (bucket, c_bg, c_tg) + totals, broadcast, one
+    per-document integer aggregation.  Factored out so the batch
+    subset path, the general two-corpus path, and the streaming
+    count-log path can never drift apart."""
     s = F.lit(float(DSIR_LOG_SCALE))
     bf = F.lit(float(n_buckets))
     p_t = (F.coalesce(F.col("c_tg"), F.lit(0)).cast("double") + F.lit(1.0)) / (
@@ -204,6 +215,29 @@ def dsir_logweights(
             ).alias("avg_logw"),
         )
     )
+
+
+def dsir_score_from_counts(
+    docs: DataFrame,
+    counts: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``docs`` against a PREBUILT per-bucket count relation
+    (bucket, c_bg, c_tg-nullable) with subset-target semantics (totals
+    derive from the counts themselves) — the entry point for count
+    stores maintained elsewhere, e.g. the streaming count log
+    (streaming/jobs.streaming_dsir_logweights).  Bit-identical to
+    :func:`dsir_logweights`'s target_pred path given equal counts
+    (integer count sums are associative, so ANY micro-batching of the
+    count aggregation produces the same model)."""
+    feats = doc_feature_buckets(docs, n_buckets, text_col, id_col)
+    totals = counts.agg(
+        F.sum("c_bg").alias("n_bg"),
+        F.sum(F.coalesce(F.col("c_tg"), F.lit(0))).alias("n_tg"),
+    )
+    return _score_against_counts(feats, counts, totals, n_buckets)
 
 
 # Selection grid: the deterministic "uniform draw" for importance

@@ -2193,3 +2193,24 @@ def q_cms_heavy_grams(spark, sf):
         "gram",
         _cms.cms_estimate(F.col("gram"), grid, width=_CMS_W).alias("est_count"),
     ).where(F.col("est_count") >= _CMS_MIN_EST)
+
+
+@register("streaming_dsir_logweights", _dsir_sql("lang = 'en'"))
+def q_streaming_dsir_logweights(spark, sf):
+    """dsir_logweights with the hashed-n-gram model maintained
+    INCREMENTALLY (round 12): the corpus streams in micro-batches and
+    each batch appends its per-bucket (background, target) count
+    deltas to a batch_id-partitioned log, compacted on read with one
+    groupBy SUM (streaming/jobs.streaming_dsir_logweights).  Integer
+    count sums are associative and a replayed batch overwrites its own
+    partition, so the accumulated model equals the batch-trained one
+    exactly under any micro-batching or checkpoint replay — which is
+    why the oracle is dsir_logweights' SQL verbatim (batch
+    equivalence, the streaming family's standard check).  Completes
+    the selection family's continuous-ingest story: as new crawl
+    lands, the model absorbs it and re-scoring needs no rebuild."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_dsir_logweights,
+    )
+
+    return streaming_dsir_logweights(spark, sf, n_buckets=_DSIR_B)

@@ -866,3 +866,109 @@ def streaming_bloom_words(
         if own_state:
             shutil.rmtree(state_dir, ignore_errors=True)
     return words
+
+
+def streaming_dsir_logweights(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights with the two hashed-n-gram multinomials
+    maintained INCREMENTALLY: stream the documents table in
+    micro-batches, append each batch's per-bucket (background count,
+    target count) DELTAS to a batch_id-partitioned parquet count log,
+    then score the corpus against the accumulated model — the
+    continuous-crawl shape of operators/dsir.py, completing the
+    selection family's streaming story next to streaming_lm_scores
+    (count-delta log) and streaming_bloom_words (bit log).
+
+    The log is compacted ON READ with one groupBy SUM; integer count
+    sums are associative, so the accumulated model is EXACTLY the
+    batch-trained one under any micro-batching, and a checkpoint
+    replay overwrites its own ``batch_id=`` partition instead of
+    double-counting (dynamic partition overwrite — the family's
+    idempotency contract).  Scoring goes through
+    operators/dsir.dsir_score_from_counts, the same code path the
+    batch operator uses, so the oracle is dsir_logweights' SQL
+    verbatim (batch equivalence).  At 100 TB each batch's delta
+    relation is bounded by n_buckets rows regardless of batch size —
+    the count log grows with BATCH COUNT, not corpus size, and a
+    periodic compaction (the read-side groupBy, materialized) bounds
+    that too.
+
+    STATE-REUSE CONTRACT: same as the other fingerprinted jobs —
+    a caller state_dir means "resume THIS corpus's count log";
+    mismatching corpus/geometry fails fast, and a committed split
+    with missing meta is corrupt state.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.operators.dsir import (
+        doc_feature_buckets,
+        dsir_score_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="dsir_stream_")
+    split_dir = fs_join(state_dir, "docs_split")
+    cnt_path = fs_join(state_dir, "counts_bucket")
+    meta_path = fs_join(state_dir, "source_meta")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.select(
+            F.col("doc_id"),
+            F.col("text"),
+            (F.col("lang") == "en").alias("_is_t"),
+        )
+        deltas = (
+            doc_feature_buckets(flagged, n_buckets, carry=["_is_t"])
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("c_bg"),
+                F.sum(F.col("_is_t").cast("long")).alias("c_tg"),
+            )
+        )
+        (
+            deltas.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cnt_path)
+        )
+
+    try:
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|dsir|{n_buckets}",
+            lambda: docs.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="DSIR count log",
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        counts = (
+            spark.read.parquet(cnt_path)
+            .groupBy("bucket")
+            .agg(F.sum("c_bg").alias("c_bg"), F.sum("c_tg").alias("c_tg"))
+        )
+        result = dsir_score_from_counts(
+            docs, counts, n_buckets
+        ).localCheckpoint(eager=True)
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result

@@ -413,3 +413,53 @@ def test_streaming_state_empty_meta_fails_fast(spark, tmp_path):
     meta.limit(0).write.mode("overwrite").parquet(state + "/source_meta")
     with pytest.raises(ValueError, match="corrupt"):
         streaming_lm_scores(spark, SF_SMALL, state_dir=state)
+
+
+def test_streaming_dsir_equals_batch_model(spark):
+    """The incrementally accumulated DSIR model must score every
+    document exactly like the batch-trained one (count sums are
+    associative — micro-batching cannot move a single weight)."""
+    from mapreduce_minhash_lsh_spark.operators.dsir import dsir_logweights
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_dsir_logweights,
+    )
+
+    streamed = sorted(
+        map(tuple, streaming_dsir_logweights(spark, SF_SMALL, n_buckets=512).collect())
+    )
+    docs = load_table(spark, SF_SMALL, "documents")
+    batch = sorted(
+        map(
+            tuple,
+            dsir_logweights(
+                docs, n_buckets=512, target_pred=F.col("lang") == "en"
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+
+
+def test_streaming_dsir_state_reuse_and_fingerprint(spark, tmp_path):
+    """Replay over committed offsets is idempotent; a different
+    geometry against the same state dir fails fast."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_dsir_logweights,
+    )
+
+    state = str(tmp_path / "dsir_state")
+    a = sorted(
+        map(tuple, streaming_dsir_logweights(
+            spark, SF_SMALL, state_dir=state, n_buckets=512
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, streaming_dsir_logweights(
+            spark, SF_SMALL, state_dir=state, n_buckets=512
+        ).collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="refusing to resume"):
+        streaming_dsir_logweights(spark, SF_SMALL, state_dir=state, n_buckets=256)
