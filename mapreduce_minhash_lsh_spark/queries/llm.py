@@ -2214,3 +2214,51 @@ def q_streaming_dsir_logweights(spark, sf):
     )
 
     return streaming_dsir_logweights(spark, sf, n_buckets=_DSIR_B)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (text + embedding) dedup drop list (round 12)
+# ---------------------------------------------------------------------------
+
+from mapreduce_minhash_lsh_spark.queries._base import _ORACLES as _ORC  # noqa: E402
+
+_HYBRID_DROP_SQL = f"""WITH t AS ({_ORC["near_dup_drop_ids"]}),
+s AS ({_ORC["semdedup_drop_ids"]})
+SELECT COALESCE(t.drop_id, s.vec_id) AS doc_id,
+       (t.drop_id IS NOT NULL) AS by_text,
+       (s.vec_id IS NOT NULL) AS by_embedding
+FROM t FULL OUTER JOIN s ON s.vec_id = t.drop_id"""
+
+
+@register("hybrid_dedup_drop_ids", _HYBRID_DROP_SQL)
+def q_hybrid_dedup_drop_ids(spark, sf):
+    """The production dedup composition (round 12): drop a document if
+    its TEXT is a MinHash/LSH near-duplicate (connected-component min-id
+    policy, the near_dup_drop_ids chain) OR its EMBEDDING is a semantic
+    duplicate (SemDeDup cell-scoped cosine, the semdedup_drop_ids
+    chain) — real pipelines run both, because templated text evades
+    embedding dedup and paraphrased semantics evade shingle Jaccard.
+    The two drop lists join on the shared doc/vec id space with reason
+    flags (by_text, by_embedding), so downstream audits can attribute
+    every removal.  Plan: the two chains are independent (no cross
+    shuffle) and meet in one full outer join on bounded drop lists; the
+    oracle composes the two registered oracles verbatim, so the hybrid
+    is exactly as checkable as its parts."""
+    from mapreduce_minhash_lsh_spark.operators.semdedup import semdedup_drop_ids
+
+    docs = load_table(spark, sf, "documents")
+    pairs = similar_pairs(docs, _CFG)
+    groups = _dedup.near_dup_groups(pairs)
+    t = (
+        groups.where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id", F.lit(True).alias("by_text"))
+    )
+    emb = load_table(spark, sf, "embeddings")
+    s = semdedup_drop_ids(emb, threshold=0.4, n_lists=8, lloyd_iters=2).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("by_embedding")
+    )
+    return t.join(s, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("by_text"), F.lit(False)).alias("by_text"),
+        F.coalesce(F.col("by_embedding"), F.lit(False)).alias("by_embedding"),
+    )
