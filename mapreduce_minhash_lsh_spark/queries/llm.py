@@ -2262,3 +2262,80 @@ def q_hybrid_dedup_drop_ids(spark, sf):
         F.coalesce(F.col("by_text"), F.lit(False)).alias("by_text"),
         F.coalesce(F.col("by_embedding"), F.lit(False)).alias("by_embedding"),
     )
+
+
+_CMS_TOPK = 50
+_CMS_SAMPLE_NUM = 200_000  # 20% of the 1e6 bucket space
+
+
+@register(
+    "cms_topk_grams",
+    f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+pos AS (
+  {' UNION ALL '.join(f'SELECT {i} AS row, ({_cms_pos_sql(i)}) AS bucket FROM g' for i in range(_CMS_D))}
+),
+cnt AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY row, bucket),
+cand AS (
+  SELECT DISTINCT gram FROM g
+  WHERE ({_BUCKET_SQL}) < {_CMS_SAMPLE_NUM}
+),
+cpos AS (
+  {' UNION ALL '.join(f'SELECT gram, {i} AS row, ({_cms_pos_sql(i)}) AS bucket FROM cand' for i in range(_CMS_D))}
+),
+est AS (
+  SELECT p.gram, MIN(COALESCE(c.c, 0)) AS est_count
+  FROM cpos p LEFT JOIN cnt c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.gram
+),
+ranked AS (
+  SELECT gram, est_count,
+         CAST(row_number() OVER (ORDER BY est_count DESC, gram) AS BIGINT) AS rank
+  FROM est
+)
+SELECT gram, est_count, rank FROM ranked WHERE rank <= {_CMS_TOPK}""",
+)
+def q_cms_topk_grams(spark, sf):
+    """Top-k heavy hitters WITHOUT a watchlist (round 12): the standard
+    sample-then-sketch recipe — candidates are the distinct bigrams of
+    a deterministic 20% document sample (any gram frequent enough to
+    matter appears in a 20% sample w.h.p.; a gram with corpus count f
+    is missed with probability 0.8^d(f) over its d distinct docs), and
+    the full-corpus sketch ranks them.  Neither side shuffles the
+    corpus by gram: the sketch is the bounded 4x2048 aggregation, the
+    candidate set is sample-bounded, and the rank is a top-k over the
+    candidate relation.  Deterministic end to end (md5 sample buckets,
+    md5 sketch rows, est-then-gram total order), so the oracle checks
+    every rank bit-for-bit."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 2).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    grid = _cms.cms_build(grams, "gram", width=_CMS_W, depth=_CMS_D)
+    cand = (
+        hash_sample(grams, "doc_id", _CMS_SAMPLE_NUM)
+        .select("gram")
+        .distinct()
+    )
+    est = cand.select(
+        "gram",
+        _cms.cms_estimate(F.col("gram"), grid, width=_CMS_W).alias("est_count"),
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # partial top-k, no single-partition window over the unbounded
+    # candidate vocabulary), THEN the rank column over the k rows.
+    top = est.orderBy(F.col("est_count").desc(), "gram").limit(_CMS_TOPK)
+    w = Window.orderBy(F.col("est_count").desc(), F.col("gram"))
+    return top.select(
+        "gram", "est_count", F.row_number().over(w).cast("long").alias("rank")
+    )
