@@ -1,0 +1,101 @@
+"""Linear-counting cardinality sketch — distinct counts without a
+distinct shuffle.
+
+Completes the deterministic sketch trio next to Bloom membership
+(operators/bloom.py) and Count-Min frequencies (operators/cms.py):
+linear / probabilistic counting (Whang et al. 1990) estimates the
+number of DISTINCT values from an m-bit bitmap — hash every value to a
+bit, count the zero bits Z, estimate n ≈ -m·ln(Z/m).  Standard error
+is O(sqrt(m)/m·e^(n/m)); at load n/m ≤ 2 it is a ~1% estimator, which
+is what corpus profiling needs (vocabulary growth per language/source,
+dedup-rate monitoring) at a fraction of an exact count's cost.
+
+Why not approx_count_distinct?  Spark's HLL is neither engine-portable
+nor seeded — its estimates cannot be oracle-checked.  This sketch is
+deterministic end to end: md5 bit positions (the repo-wide cross-engine
+hash), exact int64 zero-bit counts, and a FLOOR-QUANTIZED estimate
+(1e-4 cells, the DSIR/LM convention — the worst-case cross-engine
+ln ULP disagreement ~4e-15 is eleven orders below the cell), so the
+DuckDB oracle reproduces every estimate bit-for-bit INCLUDING the
+sketch's errors.
+
+Fully distributed — unlike Bloom/CMS there is NO driver
+materialization at all: bitmap words build with one groupBy bit_or
+(<= groups x ceil(m/60) rows), zero bits reduce with one groupBy
+sum(bit_count), and the estimate is a map-side expression.  At 100 TB
+the plan is two bounded aggregations with map-side partial combine.
+
+Reference anchor: the reference engine has no sketches (Main.java:
+1-89); mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
+
+LC_WORD_BITS = 60  # positive-int64 packing, the Bloom convention
+LC_EST_SCALE = 10_000
+
+
+def lc_bit_position(col: Column, m_bits: int) -> Column:
+    """The value's bit — md5-derived, engine-portable, salted apart
+    from the Bloom/CMS position spaces."""
+    return md5_long(F.concat(col, F.lit("#lc"))) % F.lit(m_bits)
+
+
+def linear_count(
+    items: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Per-group distinct-count estimates: (group_cols...,
+    n_set_bits, est_scaled, est_distinct).
+
+    * n_set_bits — exact int64 count of occupied bitmap bits;
+    * est_scaled — floor(S * m * -ln(Z/m)) at S=1e-4 cells (int64,
+      engine-bit-exact); NULL when the bitmap saturates (Z = 0 —
+      linear counting's documented failure mode: size m at or above
+      the expected distinct count, load <= ~2 for ~1% error);
+    * est_distinct — est_scaled / S / m-independent double (exactly
+      rounded division of the same int64, so bit-identical too).
+
+    Plan: groupBy(group, word) bit_or -> groupBy(group)
+    sum(bit_count) -> map-side estimate.  No collect, no literals, no
+    UDF — the only fully-distributed sketch in the repo."""
+    groups = list(group_cols or [])
+    pos = items.select(
+        *groups, lc_bit_position(F.col(col), m_bits).alias("_pos")
+    )
+    words = (
+        pos.select(
+            *groups,
+            (F.col("_pos") / LC_WORD_BITS).cast("long").alias("_word"),
+            (F.col("_pos") % LC_WORD_BITS).cast("int").alias("_bit"),
+        )
+        .groupBy(*groups, "_word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_bits"))
+    )
+    set_bits = (
+        words.groupBy(*groups)
+        .agg(F.sum(F.bit_count("_bits")).cast("long").alias("n_set_bits"))
+    )
+    m = F.lit(float(m_bits))
+    z = F.lit(m_bits) - F.col("n_set_bits")
+    est_scaled = F.when(
+        z > 0,
+        F.floor(
+            F.lit(float(LC_EST_SCALE))
+            * m
+            * -F.log(z.cast("double") / m)
+        ).cast("long"),
+    )
+    return set_bits.select(
+        *groups, "n_set_bits", est_scaled.alias("est_scaled")
+    ).withColumn(
+        "est_distinct",
+        F.col("est_scaled").cast("double") / F.lit(float(LC_EST_SCALE)),
+    )

@@ -2339,3 +2339,73 @@ def q_cms_topk_grams(spark, sf):
     return top.select(
         "gram", "est_count", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-counting cardinality sketch (round 12)
+# ---------------------------------------------------------------------------
+
+_LC_M = 1 << 14
+_LC_POS = None
+
+
+def _lc_pos_sql() -> str:
+    tagged = "gram || '#lc'"
+    return f"({_mp(tagged)}) % {_LC_M}"
+
+
+_LC_SKETCH_SQL = f"""WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT lang, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (SELECT lang, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)
+),
+pos AS (SELECT lang, ({_lc_pos_sql()}) AS p FROM g),
+w AS (
+  SELECT lang, p // {60} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS bits
+  FROM pos GROUP BY lang, p // 60
+),
+sb AS (
+  SELECT lang, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits
+  FROM w GROUP BY lang
+),
+est AS (
+  SELECT lang, n_set_bits,
+         CASE WHEN {_LC_M} - n_set_bits > 0 THEN
+           CAST(floor(10000.0 * {_LC_M}.0
+                * -ln(CAST({_LC_M} - n_set_bits AS DOUBLE) / {_LC_M}.0))
+                AS BIGINT)
+         END AS est_scaled
+  FROM sb
+)
+SELECT lang, n_set_bits, est_scaled,
+       CAST(est_scaled AS DOUBLE) / 10000.0 AS est_distinct
+FROM est"""
+
+
+@register("lang_vocab_sketch", _LC_SKETCH_SQL)
+def q_lang_vocab_sketch(spark, sf):
+    """Per-language distinct word-3-gram cardinality via LINEAR
+    COUNTING (round 12; Whang et al. 1990) — vocabulary-growth
+    profiling without a distinct shuffle, completing the deterministic
+    sketch trio (Bloom membership, CMS frequency, LC cardinality).
+    Unlike approx_count_distinct's HLL (neither seeded nor
+    engine-portable, so never oracle-checkable), this sketch is
+    deterministic end to end: md5 bit positions, exact int64
+    zero-bit counts, floor-quantized ln estimate — the DuckDB oracle
+    reproduces every estimate bit-for-bit including the sketch's
+    errors.  The only fully-distributed sketch in the repo: two
+    bounded aggregations (groups x 274 words, then groups), map-side
+    estimate, no driver materialization, no literals, no UDF."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cardinality import linear_count
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 3).select(
+        "lang", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    return linear_count(grams, "gram", group_cols=["lang"], m_bits=_LC_M)

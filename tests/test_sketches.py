@@ -105,3 +105,56 @@ def test_cms_weighted_build_matches_replication(spark):
     )
     assert weighted == replicated
     grams.unpersist()
+
+
+def test_linear_count_within_error_envelope(spark):
+    """The LC estimate must land within the analytical standard-error
+    envelope of the exact distinct count per language (load n/m < 2
+    here, so ~a few % — allow 5 sigma ~ 10%)."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cardinality import linear_count
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 3).select(
+        "lang", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    ).cache()
+    est = {
+        r.lang: r.est_distinct
+        for r in linear_count(grams, "gram", ["lang"]).collect()
+    }
+    exact = {
+        r.lang: r.c
+        for r in grams.groupBy("lang")
+        .agg(F.countDistinct("gram").alias("c"))
+        .collect()
+    }
+    for lang, n in exact.items():
+        assert est[lang] is not None
+        assert abs(est[lang] - n) / n < 0.10, (lang, est[lang], n)
+    grams.unpersist()
+
+
+def test_linear_count_saturation_yields_null(spark):
+    """A bitmap smaller than the value set must saturate to NULL (the
+    documented failure mode), not emit a bogus estimate."""
+    from mapreduce_minhash_lsh_spark.operators.cardinality import linear_count
+
+    vals = spark.range(5_000).select(F.col("id").cast("string").alias("v"))
+    rows = linear_count(vals, "v", m_bits=60).collect()
+    assert len(rows) == 1 and rows[0].est_scaled is None
+
+
+def test_linear_count_is_fully_distributed(spark):
+    """No collect, no literals: the plan is two aggregations and a
+    projection — assert there is no Python UDF and no broadcast of
+    corpus data (the sketch never touches the driver)."""
+    from mapreduce_minhash_lsh_spark.operators.cardinality import linear_count
+
+    vals = spark.range(10_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    df = linear_count(vals, "v", ["g"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "HashAggregate" in plan
