@@ -752,3 +752,51 @@ def q_events_hourly_anomalies(spark, sf):
         .select("event_type", "hour_bucket", "n", z.alias("z"))
         .where(F.abs(F.col("z")) >= 2.0)
     )
+
+
+@register(
+    "stateful_closed_sessions",
+    f"""WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_events.SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(us) AS start_us, MAX(us) AS end_us,
+         MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, start_us, end_us, n_events
+FROM agg WHERE session_id < last_sid""",
+)
+def q_stateful_closed_sessions(spark, sf):
+    """The CUSTOM stateful streaming operator's driver row (round 12):
+    gap-based sessionization via applyInPandasWithState
+    (streaming/sessions.py) — per-user open-session state carried
+    across micro-batches, closed sessions emitted in append mode, the
+    shape the built-in session_window cannot express when the state
+    transition is bespoke.  Batch-equivalence oracle: the streamed
+    drain emits exactly the batch sessions MINUS each user's final
+    (still-open-in-state) session — SQL-expressible, so this member of
+    the streaming family is hash-checked like the rest.  sum_value is
+    excluded from the checked relation: the stateful operator
+    accumulates it in float64 event order while the exact oracle sums
+    in DECIMAL, an ULP-class divergence the integer columns don't
+    have."""
+    from mapreduce_minhash_lsh_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    return streaming_sessionize(spark, sf).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )

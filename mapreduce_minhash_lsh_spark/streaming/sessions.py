@@ -76,6 +76,12 @@ def _close_sessions(
         )
 
 
+# Memory-sink names must be unique per start within a session (a
+# repeated registered-query call would otherwise collide or read a
+# stale table); the counter keeps them unique without any randomness.
+_SINK_SEQ = [0]
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events stream with AvailableNow, emitting every CLOSED
     session (each user's final session stays open in state)."""
@@ -92,12 +98,14 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    _SINK_SEQ[0] += 1
+    name = f"streaming_sessions_{_SINK_SEQ[0]}"
     query = (
         sessions.writeStream.format("memory")
-        .queryName("streaming_sessions")
+        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.table("streaming_sessions")
+    return spark.table(name).localCheckpoint(eager=True)
