@@ -2346,7 +2346,6 @@ def q_cms_topk_grams(spark, sf):
 # ---------------------------------------------------------------------------
 
 _LC_M = 1 << 14
-_LC_POS = None
 
 
 def _lc_pos_sql() -> str:
