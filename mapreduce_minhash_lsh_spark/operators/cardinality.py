@@ -83,6 +83,18 @@ def linear_count(
         words.groupBy(*groups)
         .agg(F.sum(F.bit_count("_bits")).cast("long").alias("n_set_bits"))
     )
+    return lc_estimate_from_set_bits(set_bits, m_bits, groups)
+
+
+def lc_estimate_from_set_bits(
+    set_bits: DataFrame, m_bits: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The shared estimate tail: (group..., n_set_bits) -> (group...,
+    n_set_bits, est_scaled, est_distinct).  Factored out so the batch
+    operator and the streaming bit-log job
+    (streaming/jobs.streaming_lang_vocab_sketch) compute the estimate
+    through ONE expression and can never drift apart."""
+    groups = list(group_cols or [])
     m = F.lit(float(m_bits))
     z = F.lit(m_bits) - F.col("n_set_bits")
     est_scaled = F.when(

@@ -160,8 +160,8 @@ def register(name: str, sql: str | None = None):
 #      PLUS any new r12 registrations (dsir_selected_sample,
 #      training_shard_manifest, cms_heavy_grams,
 #      streaming_dsir_logweights, hybrid_dedup_drop_ids,
-#      cms_topk_grams, lang_vocab_sketch, stateful_closed_sessions —
-#      new-operator rule); backlog -> 12.
+#      cms_topk_grams, lang_vocab_sketch, stateful_closed_sessions,
+#      streaming_lang_vocab_sketch — new-operator rule); backlog -> 12.
 #   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
 #      packed_sequences_greedy, purchases_with_next_view, quantity_price_
 #      correlation, edit_distance_pairs, quantity_grouping_sets,

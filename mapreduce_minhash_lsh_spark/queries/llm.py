@@ -2408,3 +2408,24 @@ def q_lang_vocab_sketch(spark, sf):
         "lang", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
     )
     return linear_count(grams, "gram", group_cols=["lang"], m_bits=_LC_M)
+
+
+@register("streaming_lang_vocab_sketch", _LC_SKETCH_SQL)
+def q_streaming_lang_vocab_sketch(spark, sf):
+    """lang_vocab_sketch with the linear-counting bitmaps maintained
+    INCREMENTALLY (round 12): per-batch (lang, word, bits)
+    contributions OR'd into a batch_id-partitioned bit log, compacted
+    on read, estimated through the same shared expression as the batch
+    operator (operators/cardinality.lc_estimate_from_set_bits).  OR is
+    associative/commutative/idempotent, so the accumulated bitmaps —
+    and therefore every estimate — equal the batch-built ones exactly
+    under any micro-batching or checkpoint replay: the oracle is
+    lang_vocab_sketch's SQL verbatim (batch equivalence).  The
+    continuous-crawl vocabulary-growth monitor, completing the
+    streaming x sketch matrix (Bloom membership log, DSIR count log,
+    cardinality bit log)."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_lang_vocab_sketch,
+    )
+
+    return streaming_lang_vocab_sketch(spark, sf, m_bits=_LC_M)

@@ -972,3 +972,116 @@ def streaming_dsir_logweights(
         if own_state:
             shutil.rmtree(state_dir, ignore_errors=True)
     return result
+
+
+def streaming_lang_vocab_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Per-language vocabulary cardinality with the linear-counting
+    bitmaps maintained INCREMENTALLY: stream the documents table in
+    micro-batches, OR each batch's (lang, word, bits) contributions
+    into a batch_id-partitioned bit log, compact on read, estimate —
+    the continuous-crawl vocabulary-growth monitor, completing the
+    streaming x sketch matrix (Bloom bit log: membership; DSIR count
+    log: frequencies; this: cardinality).
+
+    Bitwise OR is associative, commutative and IDEMPOTENT, so the
+    accumulated bitmaps equal the batch-built ones exactly under any
+    micro-batching, duplicate grams across batches, or checkpoint
+    replay (a replayed batch also overwrites its own partition — two
+    independent idempotency layers, the Bloom job's contract).  The
+    estimate is computed by the same quantized expression the batch
+    operator uses, so the oracle is lang_vocab_sketch's SQL verbatim
+    (batch equivalence).  Fully distributed end to end: the bit log
+    is bounded by batches x langs x ceil(m/60) rows and never touches
+    the driver.
+
+    STATE-REUSE CONTRACT: same as the other fingerprinted jobs.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cardinality import (
+        LC_WORD_BITS,
+        lc_bit_position,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="lc_stream_")
+    split_dir = fs_join(state_dir, "docs_split")
+    bits_path = fs_join(state_dir, "lc_bits")
+    meta_path = fs_join(state_dir, "source_meta")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = F.split(F.col("text"), " ")
+        pos = (
+            batch_df.where(F.size(toks) >= 3)
+            .select(
+                "lang",
+                F.explode(word_ngrams(F.col("text"), 3)).alias("gram"),
+            )
+            .select(
+                "lang",
+                lc_bit_position(F.col("gram"), m_bits).alias("pos"),
+            )
+        )
+        (
+            pos.select(
+                "lang",
+                (F.col("pos") / LC_WORD_BITS).cast("long").alias("word"),
+                (F.col("pos") % LC_WORD_BITS).cast("int").alias("bit"),
+            )
+            .groupBy("lang", "word")
+            .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bits_path)
+        )
+
+    try:
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|lc|{m_bits}",
+            lambda: docs.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="cardinality bit log",
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        words = (
+            spark.read.parquet(bits_path)
+            .groupBy("lang", "word")
+            .agg(F.bit_or("bits").alias("_bits"))
+        )
+        from mapreduce_minhash_lsh_spark.operators.cardinality import (
+            lc_estimate_from_set_bits,
+        )
+
+        set_bits = words.groupBy("lang").agg(
+            F.sum(F.bit_count("_bits")).cast("long").alias("n_set_bits")
+        )
+        result = lc_estimate_from_set_bits(
+            set_bits, m_bits, ["lang"]
+        ).localCheckpoint(eager=True)
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result

@@ -463,3 +463,24 @@ def test_streaming_dsir_state_reuse_and_fingerprint(spark, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="refusing to resume"):
         streaming_dsir_logweights(spark, SF_SMALL, state_dir=state, n_buckets=256)
+
+
+def test_streaming_lc_state_reuse_and_fingerprint(spark, tmp_path):
+    """Bit-log replay is idempotent (OR algebra + partition overwrite);
+    a different bitmap geometry against the same state fails fast."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_lang_vocab_sketch,
+    )
+
+    state = str(tmp_path / "lc_state")
+    a = sorted(map(tuple, streaming_lang_vocab_sketch(
+        spark, SF_SMALL, state_dir=state).collect()))
+    b = sorted(map(tuple, streaming_lang_vocab_sketch(
+        spark, SF_SMALL, state_dir=state).collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="refusing to resume"):
+        streaming_lang_vocab_sketch(
+            spark, SF_SMALL, state_dir=state, m_bits=1 << 12
+        )
