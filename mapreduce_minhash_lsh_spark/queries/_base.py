@@ -153,15 +153,51 @@ def register(name: str, sql: str | None = None):
 #      streaming keeps view_clicks + incremental_similar_pairs + the
 #      new Bloom ingest while streaming_lm_scores/streaming_ivf_index
 #      retire.
-#   r13: sampling/scoring block (stratified_sample, quality_weighted_
-#      sample, lang_rebalanced_sample, repetition_scores, benchmark_
-#      contamination, distinctive_terms, token_length_histogram,
-#      embeddings_profile, quantity_quantiles_approx, vocab_coverage)
-#      PLUS any new r12 registrations (dsir_selected_sample,
-#      training_shard_manifest, cms_heavy_grams,
-#      streaming_dsir_logweights, hybrid_dedup_drop_ids,
+#   r13 (done below): sampling/scoring block (stratified_sample,
+#      quality_weighted_sample, lang_rebalanced_sample,
+#      repetition_scores, benchmark_contamination, distinctive_terms,
+#      token_length_histogram, embeddings_profile,
+#      quantity_quantiles_approx, vocab_coverage) PLUS all 9 new r12
+#      registrations (dsir_selected_sample, training_shard_manifest,
+#      cms_heavy_grams, streaming_dsir_logweights, hybrid_dedup_drop_ids,
 #      cms_topk_grams, lang_vocab_sketch, stateful_closed_sessions,
-#      streaming_lang_vocab_sketch — new-operator rule); backlog -> 12.
+#      streaming_lang_vocab_sketch — new-operator rule); 19 swaps,
+#      backlog 31 -> 12.  The 19 retirees are all r12-driver-green,
+#      stay registered, stay sweep-green, and every family keeps a
+#      window representative: the events/analytics block retires 10
+#      (events_session_window, events_sliding_windows,
+#      events_trailing_hour_stats, events_debounce, concurrent_sessions,
+#      user_lifetime_profile, user_first_last_event,
+#      events_hourly_anomalies, customer_rfm_segments,
+#      customer_balance_ranks) while events_sessionize keeps the batch
+#      sessionization row and stateful_closed_sessions joins as the
+#      stateful-streaming sessionization row; DSIR retires the two
+#      weight-only forms (dsir_logweights, dsir_ref_logweights) while
+#      the closed selection loop (dsir_selected_sample) and the
+#      streaming count-log (streaming_dsir_logweights) keep the family;
+#      embedding dedup retires semdedup_drop_ids while
+#      hybrid_dedup_drop_ids (which composes the identical SemDeDup
+#      chain) keeps it; Bloom retires the batch form
+#      (bloom_contamination) while streaming_bloom_contamination keeps
+#      it; text keeps text_stats while lang_id retires (the language
+#      dimension stays driver-checked via lang_rebalanced_sample +
+#      lang_vocab_sketch); fingerprints keep winnow_fingerprints while
+#      simhash retires; LM keeps ngram_lm_scores + bpe_token_counts
+#      while stupid_backoff_scores retires; sampling retires
+#      documents_hash_sample + cluster_balanced_sample as three fresh
+#      sampler rows (stratified, quality-weighted, lang-rebalanced)
+#      promote.
+#   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
+#      packed_sequences_greedy, purchases_with_next_view, quantity_price_
+#      correlation, edit_distance_pairs, quantity_grouping_sets,
+#      cheapest_supplier_per_part, partkeys_both_years, oph_signatures,
+#      embedding_dedup_drop_ids, near_dup_group_sizes); backlog -> 0.
+#      12 swaps; natural retirees (all multi-round-green by r13): the
+#      TPC-H trio q7/q15/q22 can thin to q7, the flagship chain can
+#      thin to shingling+similar_pairs, and redact_pii /
+#      purchases_with_last_view / parts_price_bands /
+#      multimodal_features rotate out — final picks at r14 per the
+#      same family-representative rule.
 #   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
 #      packed_sequences_greedy, purchases_with_next_view, quantity_price_
 #      correlation, edit_distance_pairs, quantity_grouping_sets,
@@ -184,24 +220,19 @@ _PRIORITY: list[str] = [
     "q7_nation_trade_volume",
     "q15_top_supplier",
     "q22_idle_rich_customers",
-    # Window / analytic — round-12 rotation: the full never-checked
-    # analytics/events block earns its driver rows (VERDICT r11 #1;
-    # slid from r11 when the 21 new-operator promotions took priority).
+    # Window / analytic — round-13 rotation: the 10-row events/analytics
+    # block retires r12-green; batch sessionization keeps the family's
+    # driver row and the new stateful-streaming sessionizer joins it.
     "events_sessionize",
-    "events_session_window",
-    "events_sliding_windows",
-    "events_trailing_hour_stats",
-    "events_debounce",
-    "concurrent_sessions",
-    "user_lifetime_profile",
-    "user_first_last_event",
-    "events_hourly_anomalies",
-    "customer_rfm_segments",
-    "customer_balance_ranks",
+    # Custom stateful sessionization (round 13 promotion: new r12
+    # operator earns its driver row — applyInPandasWithState per-user
+    # open-session state, batch-equivalence oracle minus the final open
+    # session)
+    "stateful_closed_sessions",
     # Events / streaming (round 12: streaming_lm_scores and
     # streaming_ivf_index retired r11-green — the streaming family
     # keeps the interval join, the incremental band-store ingest, and
-    # the new Bloom-ingest row below)
+    # the Bloom-ingest row below)
     "streaming_view_clicks",
     # Incremental near-dup ingest (round 8 promotion, VERDICT r7 #3: the
     # 100 TB continuous-ingest story — micro-batched minhash against an
@@ -211,12 +242,17 @@ _PRIORITY: list[str] = [
     # r11 operator earns its driver row — per-batch OR into a
     # batch_id-partitioned bit log, idempotent under replay)
     "streaming_bloom_contamination",
+    # Streaming sketch ingests (round 13 promotion: new r12 operators —
+    # the DSIR count-delta log and the linear-counting bit log, both
+    # idempotent under replay, both oracle = batch SQL verbatim)
+    "streaming_dsir_logweights",
+    "streaming_lang_vocab_sketch",
     # Group-level flagship (round 5: Borůvka verified components)
     "similar_groups",
-    # Text analysis (round 11: doc_fingerprint retired r2-r10-green —
-    # simhash keeps the fingerprint family's driver row)
+    # Text analysis (round 13: lang_id retired r12-green — the language
+    # dimension stays driver-checked via lang_rebalanced_sample and
+    # lang_vocab_sketch below; text_stats keeps the text-feature row)
     "text_stats",
-    "lang_id",
     # Passage-level dedup (round 11: strip_repeated_spans retired
     # r10-green; repeated_spans keeps the span family's driver row)
     "repeated_spans",
@@ -226,8 +262,9 @@ _PRIORITY: list[str] = [
     "dedup_by_lang_source",
     # Sequence packing (ngram_jaccard_sample is a sample-bounded
     # measurement tool; it stays oracle-checked past the window)
+    # (round 13: simhash retired r12-green — winnow_fingerprints keeps
+    # the fingerprint family's driver row)
     "packed_sequences",
-    "simhash",
     # Capped+auto-split flagship on a boilerplate-clique corpus (round
     # 5: the skew-policy regression guard).  Round 12:
     # oph_similar_pairs retired r11-green — the OPH + optimal-
@@ -243,28 +280,43 @@ _PRIORITY: list[str] = [
     # Winnowing / MOSS fingerprints (round 12: winnow_match_pairs
     # retired r11-green; selection keeps the family's driver row)
     "winnow_fingerprints",
-    # LM scoring + BPE (round 12: ngram_lm_ref_scores retired r11-green
-    # — the family keeps the base LM + the backoff variant)
+    # LM scoring + BPE (round 13: stupid_backoff_scores retired
+    # r12-green — the family keeps the base LM + the BPE tokenizer)
     "ngram_lm_scores",
-    "stupid_backoff_scores",
     "bpe_token_counts",
     # Quality filters / retrieval (round 12: c4_line_filter retired
     # r11-green — gopher keeps the quality row, bm25 the retrieval row)
     "gopher_quality_flags",
     "bm25_topk",
-    # Data-selection operators (round 12 promotion: the four new r11
-    # registrations earn their driver rows — DSIR hashed-ngram
-    # importance weights in both corpus forms, SemDeDup embedding-cell
-    # dedup, Bloom-filter benchmark decontamination)
-    "dsir_logweights",
-    "dsir_ref_logweights",
-    "semdedup_drop_ids",
-    "bloom_contamination",
-    # Sampling / splits / PII (round 11: train_valid_test_split retired
-    # r9/r10-green — documents_hash_sample keeps the deterministic-
-    # sampling row, and the new quantizer-cell-balanced sampler joins)
-    "documents_hash_sample",
-    "cluster_balanced_sample",
+    # Data-selection operators (round 13 rotation: the weight-only DSIR
+    # forms and the standalone SemDeDup/Bloom rows retired r12-green —
+    # the closed selection loop keeps DSIR's driver row, the hybrid
+    # composition keeps SemDeDup's, streaming_bloom_contamination keeps
+    # Bloom's)
+    "dsir_selected_sample",
+    "hybrid_dedup_drop_ids",
+    # Sampling / scoring block (round 13 promotion — VERDICT r12 #1:
+    # stratified/quality-weighted/lang-rebalanced samplers, repetition
+    # and contamination scoring, TF-IDF distinctive terms, token-length
+    # histogram, embedding profile, approx quantiles, OOV coverage;
+    # documents_hash_sample + cluster_balanced_sample retire r12-green)
+    "stratified_sample",
+    "quality_weighted_sample",
+    "lang_rebalanced_sample",
+    "repetition_scores",
+    "benchmark_contamination",
+    "distinctive_terms",
+    "token_length_histogram",
+    "embeddings_profile",
+    "quantity_quantiles_approx",
+    "vocab_coverage",
+    # Deterministic sketches + shard sink (round 13 promotion: new r12
+    # operators — Count-Min heavy hitters + sampled top-k, linear-
+    # counting vocabulary cardinality, training-shard manifest recompute)
+    "training_shard_manifest",
+    "cms_heavy_grams",
+    "cms_topk_grams",
+    "lang_vocab_sketch",
     "redact_pii",
     # As-of / range joins
     "purchases_with_last_view",
