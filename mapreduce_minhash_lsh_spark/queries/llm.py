@@ -2220,6 +2220,13 @@ def q_streaming_dsir_logweights(spark, sf):
 # Hybrid (text + embedding) dedup drop list (round 12)
 # ---------------------------------------------------------------------------
 
+# The hybrid oracle composes two REGISTERED oracles verbatim.
+# near_dup_drop_ids is registered above in this module, but
+# semdedup_drop_ids lives in queries/ann.py — import it explicitly so
+# this module is import-order independent (ADVICE r12: it previously
+# worked only because registry.py happens to import ann before llm).
+import mapreduce_minhash_lsh_spark.queries.ann  # noqa: E402,F401
+
 from mapreduce_minhash_lsh_spark.queries._base import _ORACLES as _ORC  # noqa: E402
 
 _HYBRID_DROP_SQL = f"""WITH t AS ({_ORC["near_dup_drop_ids"]}),

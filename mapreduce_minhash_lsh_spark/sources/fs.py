@@ -118,8 +118,30 @@ def scratch_dir(spark: SparkSession, *tag: str) -> str:
     import shutil
     import tempfile
 
+    import stat
+
     app = spark.sparkContext.applicationId
     root = os.path.join(tempfile.gettempdir(), f"mmlsh-scratch-{app}")
+    # The path is predictable, so on a shared host another user could
+    # pre-create (or symlink away) the root and read/redirect the
+    # memoized index parquet (ADVICE r12).  Create it 0700 and verify
+    # via lstat that it is a real directory we own with no group/other
+    # access before trusting it.
+    try:
+        os.mkdir(root, mode=0o700)
+    except FileExistsError:
+        pass
+    st = os.lstat(root)
+    if (
+        not stat.S_ISDIR(st.st_mode)  # symlink or non-dir squatting
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077)
+    ):
+        raise RuntimeError(
+            f"scratch root {root} is not a private directory owned by "
+            f"uid {os.getuid()} (mode {oct(st.st_mode)}, uid {st.st_uid})"
+            " — refusing to use a pre-existing/foreign scratch path"
+        )
     if app not in _SCRATCH_CLEANUP_REGISTERED:
         _SCRATCH_CLEANUP_REGISTERED.add(app)
         atexit.register(shutil.rmtree, root, ignore_errors=True)

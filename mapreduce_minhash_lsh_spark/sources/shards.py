@@ -19,18 +19,21 @@ and verify integrity.  This sink writes that layout from any DataFrame:
   md5_long twin that external tools / the DuckDB oracle can recompute;
   both associative, commutative, and overflow-free under ANSI mode, so
   any partitioning computes the same values).  key_col uniqueness is
-  ENFORCED at write time (ADVICE r11: a duplicated key XOR-cancels to
-  the same fingerprint as its absence when paired, silently blinding
-  the integrity check) — the distinct count rides the existing
-  per-shard aggregation, so the assert costs no extra pass.  The
-  loader checks fingerprints before training; a change means the
-  corpus changed.
+  ENFORCED before anything is written (ADVICE r11: a duplicated key
+  XOR-cancels to the same fingerprint as its absence when paired,
+  silently blinding the integrity check; ADVICE r12: validating after
+  the write left a committed-but-manifestless shard store behind on
+  failure) — the distinct count shares the per-shard aggregation pass
+  over the source (countDistinct does expand that aggregation into a
+  two-phase plan, so it isn't free, but it is one scan and it runs
+  BEFORE the store exists).  The loader checks fingerprints before
+  training; a change means the corpus changed.
 
-Scale: one count action sizes the shard count, one partitionBy write
-moves the data (single shuffle), and the manifest aggregation is
-bounded by n_shards rows.  The manifest itself goes through the
-scheme-resolved FileSystem API (sources/fs.py) so remote store paths
-work.
+Scale: one count action sizes the shard count, one aggregation pass
+validates keys and builds the manifest (bounded by n_shards rows), and
+one partitionBy write moves the data (single shuffle).  The manifest
+itself goes through the scheme-resolved FileSystem API (sources/fs.py)
+so remote store paths work.
 
 Reference anchor: the reference engine's only sink is a CSV directory
 (Main.java:47-81); this is part of the mandated LLM-pipeline extension
@@ -69,7 +72,9 @@ def write_training_shards(
     n_shards = max(1, math.ceil(n_rows / rows_per_shard))
     shard = (md5_long(F.col(key_col).cast("string")) % n_shards).cast("int")
     sharded = df.withColumn("shard", shard)
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(path + "/data")
+    # Validate + build the manifest stats from the SOURCE first: raising
+    # on duplicate keys must happen before any bytes land, or a failed
+    # write leaves a committed shard store with no manifest (ADVICE r12).
     stats = (
         sharded.groupBy("shard")
         .agg(
@@ -95,6 +100,7 @@ def write_training_shards(
             "XOR-cancels out of the fingerprint, blinding the integrity "
             "check. Deduplicate or pick a unique key column."
         )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path + "/data")
     manifest = {
         "format": "parquet",
         "version": 1,

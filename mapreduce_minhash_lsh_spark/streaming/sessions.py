@@ -68,7 +68,16 @@ def _close_sessions(
             closed.append((user_id, start_us, end_us, n, total))
             start_us, end_us, n, total = us, us, 1, float(value)
         else:
-            end_us, n, total = us, n + 1, total + float(value)
+            # Late data across micro-batches: an event with us <= end_us
+            # (or even us < start_us) folds into the open session without
+            # rewinding its bounds — a bare `end_us = us` would move the
+            # session end BACKWARD and corrupt gap detection for every
+            # subsequent event.  (Events late enough to belong to an
+            # already-CLOSED session are irrecoverable by design, the
+            # same trade-off as watermarked windows.)
+            start_us = min(start_us, us)
+            end_us = max(end_us, us)
+            n, total = n + 1, total + float(value)
     state.update((start_us, end_us, n, total))
     if closed:
         yield pd.DataFrame(
@@ -108,4 +117,11 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).localCheckpoint(eager=True)
+    # Copy the result out of the memory sink, then DROP the sink table:
+    # each call registers a fresh streaming_sessions_N temp view holding
+    # the full closed-session result set in driver memory, so repeated
+    # invocations (bench loops, parity sweeps) would otherwise accumulate
+    # result sets for the life of the session.
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result

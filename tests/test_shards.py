@@ -86,6 +86,10 @@ def test_shards_refuse_duplicate_keys(spark, tmp_path):
     dup = docs.unionByName(docs.limit(5))
     with pytest.raises(ValueError, match="not unique"):
         write_training_shards(spark, dup, str(tmp_path / "dup"), rows_per_shard=100)
+    # ADVICE r12: validation must run BEFORE the write — a refused sink
+    # must not leave a committed-but-manifestless shard store behind.
+    assert not (tmp_path / "dup" / "data").exists()
+    assert not (tmp_path / "dup" / "manifest.json").exists()
 
 
 def test_shards_manifest_has_md5_twin(spark, tmp_path):

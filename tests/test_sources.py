@@ -335,3 +335,37 @@ def test_fs_helpers_scheme_resolved(spark, tmp_path):
     assert fs_delete(spark, p)
     assert not fs_exists(spark, p)
     assert not fs_delete(spark, p)  # deleting a missing path is False, not an error
+
+
+def test_scratch_dir_refuses_squatted_root(spark, monkeypatch, tmp_path):
+    """ADVICE r12: the scratch root path is predictable, so a
+    pre-existing symlink or a group/other-accessible directory there
+    must be refused, not silently reused."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.sources import fs as fsmod
+
+    fake_tmp = tmp_path / "t"
+    fake_tmp.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(fake_tmp))
+    app = spark.sparkContext.applicationId
+    root = fake_tmp / f"mmlsh-scratch-{app}"
+
+    # Symlink squatting: redirecting the root elsewhere is refused.
+    elsewhere = tmp_path / "elsewhere"
+    elsewhere.mkdir()
+    root.symlink_to(elsewhere)
+    with pytest.raises(RuntimeError, match="refusing"):
+        fsmod.scratch_dir(spark, "x")
+    root.unlink()
+
+    # Loose permissions: a pre-created 0755 root is refused.
+    root.mkdir(mode=0o755)
+    with pytest.raises(RuntimeError, match="refusing"):
+        fsmod.scratch_dir(spark, "x")
+    root.rmdir()
+
+    # Fresh creation works and is private.
+    p = fsmod.scratch_dir(spark, "x")
+    assert os.path.isdir(p)
+    assert (os.lstat(root).st_mode & 0o777) == 0o700

@@ -484,3 +484,56 @@ def test_streaming_lc_state_reuse_and_fingerprint(spark, tmp_path):
         streaming_lang_vocab_sketch(
             spark, SF_SMALL, state_dir=state, m_bits=1 << 12
         )
+
+
+def test_stateful_sessionizer_late_data_does_not_rewind(spark):
+    """ADVICE r12: an event arriving in a LATER micro-batch with
+    us <= the open session's end_us must fold in without rewinding the
+    session bounds — a bare ``end_us = us`` would move the end backward
+    and corrupt gap detection for every subsequent event."""
+    import pandas as pd
+
+    from mapreduce_minhash_lsh_spark.plans.events import SESSION_GAP_US
+    from mapreduce_minhash_lsh_spark.streaming.sessions import _close_sessions
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["us", "event_id", "value"])]
+
+    state = FakeState()
+    # Batch 1: open session spanning [1000, 2000].
+    assert list(_close_sessions((7,), batch([(1000, 1, 1.0), (2000, 2, 1.0)]), state)) == []
+    assert state.get == (1000, 2000, 2, 2.0)
+    # Batch 2: late arrivals inside (and before) the open session.
+    assert list(_close_sessions((7,), batch([(500, 3, 1.0), (1500, 4, 1.0)]), state)) == []
+    assert state.get == (500, 2000, 4, 4.0)  # start extended, end NOT rewound
+    # Batch 3: a gap-exceeding event closes the session with the TRUE end.
+    out = list(_close_sessions(
+        (7,), batch([(2000 + SESSION_GAP_US + 1, 5, 1.0)]), state))
+    closed = out[0].values.tolist()
+    assert closed == [[7, 500, 2000, 4, 4.0]]
+
+
+def test_streaming_sessionize_drops_its_memory_sink(spark):
+    """ADVICE r12: each call must drop its memory-sink temp view after
+    copying the result, or repeated invocations accumulate full result
+    sets in driver memory for the life of the session."""
+    from mapreduce_minhash_lsh_spark.streaming.sessions import streaming_sessionize
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df = streaming_sessionize(spark, SF_SMALL)
+    assert df.count() > 0  # result survives the drop (localCheckpoint copy)
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("streaming_sessions_")}
