@@ -80,6 +80,17 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"filesystem rename failed: {src} -> {dst}")
 
 
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Names (last path component) of ``path``'s direct children on its
+    own filesystem; empty when the path does not exist.  The store-safe
+    replacement for ``os.listdir`` (used for checkpoint commit probes
+    and partition counting on state dirs that may live off-box)."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def fs_join(base: str, *parts: str) -> str:
     """Scheme-safe path composition — the replacement for
     ``os.path.join`` on paths that may be store URIs (VERDICT r11 #6).

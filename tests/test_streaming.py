@@ -537,3 +537,120 @@ def test_streaming_sessionize_drops_its_memory_sink(spark):
     assert df.count() > 0  # result survives the drop (localCheckpoint copy)
     after = {t.name for t in spark.catalog.listTables()}
     assert not {t for t in after - before if t.startswith("streaming_sessions_")}
+
+
+# --- log compaction (round 13 — VERDICT r12 missing #2) --------------------
+
+
+def _extra_docs(spark):
+    """Deterministic NEW documents to emulate a later crawl landing in
+    the split: fresh ids (multiples of 97, so the Bloom job's held-out
+    filter also sees them) and fresh text so every log's deltas are
+    non-trivially changed (for the SUM log, double-counting would show;
+    for the OR logs, new bits must appear)."""
+    return (
+        load_table(spark, SF_SMALL, "documents")
+        .limit(30)
+        .withColumn("doc_id", F.col("doc_id") * 97)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zyxq qvast wubrn")))
+    )
+
+
+def _append_split(spark, state_dir):
+    _extra_docs(spark).coalesce(1).write.mode("append").parquet(
+        f"{state_dir}/docs_split"
+    )
+
+
+def _compact_equivalence(spark, tmp_path, run, collect):
+    """ingest -> compact -> ingest more == never compacted, exactly."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import compact_state
+
+    plain, compacted = str(tmp_path / "plain"), str(tmp_path / "compacted")
+    run(plain)
+    run(compacted)
+    stats = compact_state(spark, compacted)
+    assert stats, "nothing compacted"
+    for log, s in stats.items():
+        assert s["partitions_after"] == 1, log
+        assert s["rows_after"] <= s["rows_before"], log
+    _append_split(spark, plain)
+    _append_split(spark, compacted)
+    assert collect(run(plain)) == collect(run(compacted))
+    return stats
+
+
+def test_compact_state_dsir_sum_log(spark, tmp_path):
+    """The SUM log is the one compaction can actually corrupt (OR/SET are
+    idempotent): fold-then-ingest-more must equal never-compacted."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_dsir_logweights
+
+    def run(state):
+        return streaming_dsir_logweights(spark, SF_SMALL, state_dir=state)
+
+    stats = _compact_equivalence(
+        spark, tmp_path, run, lambda df: sorted(map(tuple, df.collect()))
+    )
+    assert "counts_bucket" in stats
+
+
+def test_compact_state_lc_bit_log(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_lang_vocab_sketch
+
+    def run(state):
+        return streaming_lang_vocab_sketch(spark, SF_SMALL, state_dir=state)
+
+    stats = _compact_equivalence(
+        spark, tmp_path, run, lambda df: sorted(map(tuple, df.collect()))
+    )
+    assert "lc_bits" in stats
+
+
+def test_compact_state_bloom_bit_log(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.streaming.jobs import streaming_bloom_words
+
+    def run(state):
+        return streaming_bloom_words(spark, SF_SMALL, state_dir=state)
+
+    stats = _compact_equivalence(spark, tmp_path, run, lambda words: words)
+    assert "bloom_bits" in stats
+
+
+def test_compact_state_refuses_pending_replay(spark, tmp_path):
+    """A micro-batch with a committed offset but no commit marker will be
+    replayed on restart; folding its partition away first would
+    double-count a SUM log — compaction must refuse."""
+    import os
+
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        compact_state,
+        streaming_dsir_logweights,
+    )
+
+    state = str(tmp_path / "state")
+    streaming_dsir_logweights(spark, SF_SMALL, state_dir=state)
+    commits = os.path.join(state, "_checkpoint", "commits")
+    newest = max(int(n) for n in os.listdir(commits) if n.isdigit())
+    os.remove(os.path.join(commits, str(newest)))
+    with pytest.raises(RuntimeError, match="REPLAYED"):
+        compact_state(spark, state)
+
+
+def test_compact_state_is_idempotent(spark, tmp_path):
+    """Compacting twice is a no-op fold of the single -1 partition."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        compact_state,
+        streaming_lang_vocab_sketch,
+    )
+
+    state = str(tmp_path / "state")
+    base = sorted(map(tuple, streaming_lang_vocab_sketch(
+        spark, SF_SMALL, state_dir=state).collect()))
+    compact_state(spark, state)
+    s2 = compact_state(spark, state)
+    assert all(v["partitions_before"] == 1 for v in s2.values())
+    again = sorted(map(tuple, streaming_lang_vocab_sketch(
+        spark, SF_SMALL, state_dir=state).collect()))
+    assert base == again
