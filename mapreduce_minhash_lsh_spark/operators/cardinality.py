@@ -40,6 +40,37 @@ LC_WORD_BITS = 60  # positive-int64 packing, the Bloom convention
 LC_EST_SCALE = 10_000
 
 
+def lc_sized_m_bits(n_expected: int, rel_err: float = 0.01) -> int:
+    """Size the bitmap for an expected distinct count — the
+    :func:`operators.bloom.bloom_sized_m_bits` twin (round 13, VERDICT
+    r12 #6): smallest power-of-two m whose predicted relative standard
+    error at ``n_expected`` distinct values is <= ``rel_err`` AND whose
+    load n/m <= 2 (past that the zero-bit count collapses toward
+    saturation and the estimator degrades much faster than the error
+    formula suggests; Z = 0 returns NULL outright).
+
+    Whang et al.'s asymptotic error at load t = n/m is
+    StdErr(n̂)/n = sqrt(e^t - t - 1) / (t * sqrt(m)); the loop doubles m
+    until both constraints hold (convergent: as t -> 0 the expression
+    tends to 1/sqrt(2m)).  Power-of-2 m keeps the modulo cheap, the
+    floor at 2^10 keeps degenerate inputs on a sane geometry.  Like the
+    Bloom twin, this sizes from an ESTIMATE — when only the stream
+    knows n, size from a cheap approx_count_distinct pass or a prior
+    round's estimate and re-sketch on growth."""
+    if n_expected <= 0:
+        raise ValueError(f"n_expected must be positive, got {n_expected}")
+    if not 0.0 < rel_err < 1.0:
+        raise ValueError(f"rel_err must be in (0, 1), got {rel_err}")
+    import math
+
+    m = 1 << 10
+    while True:
+        t = n_expected / m
+        if t <= 2.0 and math.sqrt(math.exp(t) - t - 1.0) / (t * math.sqrt(m)) <= rel_err:
+            return m
+        m <<= 1
+
+
 def lc_bit_position(col: Column, m_bits: int) -> Column:
     """The value's bit — md5-derived, engine-portable, salted apart
     from the Bloom/CMS position spaces."""

@@ -427,3 +427,39 @@ def test_candidate_volume_bound_gates_the_barrier(spark, monkeypatch):
         for r in similar_pairs(docs, cfg, pair_budget=10**9).collect()
     )
     assert got == want
+
+
+def test_hybrid_dedup_parameterized_sqrt_n_semantics(spark):
+    """VERDICT r12 #3 (hybrid geometry): the library form with
+    n_lists=None (the sqrt(n) default) must keep the drop-set
+    SEMANTICS — every by_text drop is a non-minimum member of a text
+    near-dup group, every by_embedding drop is the higher end of a
+    true above-threshold cosine pair (cell-scoping only prunes), and
+    every returned row carries at least one reason flag."""
+    from mapreduce_minhash_lsh_spark.operators.ann import cosine_pairs
+    from mapreduce_minhash_lsh_spark.operators.dedup import (
+        hybrid_dedup_drop_ids,
+        near_dup_groups,
+    )
+    from mapreduce_minhash_lsh_spark.operators.similarity import similar_pairs
+    from mapreduce_minhash_lsh_spark.queries._base import PIPELINE_CFG
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = hybrid_dedup_drop_ids(docs, emb, PIPELINE_CFG, threshold=0.4).collect()
+    assert out
+    assert all(r.by_text or r.by_embedding for r in out)
+    # Text side is deterministic: exactly the non-min group members.
+    groups = near_dup_groups(similar_pairs(docs, PIPELINE_CFG))
+    text_expect = {
+        r.doc_id for r in groups.where(F.col("doc_id") != F.col("group_id")).collect()
+    }
+    assert {r.doc_id for r in out if r.by_text} == text_expect
+    # Embedding side at sqrt(n) cells: subset of the exhaustive pairs'
+    # higher ends (pruning never invents a duplicate).
+    exact_higher = {r.vec_id_b for r in cosine_pairs(emb, threshold=0.4).collect()}
+    emb_drops = {r.doc_id for r in out if r.by_embedding}
+    assert emb_drops <= exact_higher

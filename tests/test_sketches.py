@@ -158,3 +158,85 @@ def test_linear_count_is_fully_distributed(spark):
     df = linear_count(vals, "v", ["g"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "HashAggregate" in plan
+
+
+def test_cms_topk_absolute_budget_and_one_sidedness(spark):
+    """The scale-safe top-k (VERDICT r12 #3): the candidate sample must
+    shrink to the absolute budget regardless of corpus size, estimates
+    never undercount, and the clear #1 heavy hitter survives sampling."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cms import cms_topk
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 2).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    # Budget >= corpus: fraction clamps to 1, candidates = full vocab,
+    # so top-k == the exact-candidate sketch ranking.
+    full = cms_topk(grams, "gram", "doc_id", k=10, candidate_budget=10**9)
+    rows = full.collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    exact = {
+        r.gram: r.c
+        for r in grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in rows:
+        assert r.est_count >= exact[r.gram]  # CMS is one-sided
+    # Small absolute budget: still k deterministic rows, and the #1
+    # gram (carried by a large share of docs) survives the sample.
+    small = cms_topk(grams, "gram", "doc_id", k=10, candidate_budget=2_000).collect()
+    assert len(small) == 10
+    assert small[0].gram == rows[0].gram
+    # Determinism: identical rerun.
+    again = cms_topk(grams, "gram", "doc_id", k=10, candidate_budget=2_000).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in small]
+
+
+def test_lc_sized_m_bits_meets_error_and_load(spark):
+    """The sizing helper (VERDICT r12 #6, the bloom_sized_m_bits twin):
+    power-of-two m, load <= 2, predicted error <= target, monotone in
+    n, and the registered default 2^14 really is the ~32k/1% point."""
+    import math
+
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.operators.cardinality import lc_sized_m_bits
+
+    for n in (10, 1_000, 32_000, 10**6, 10**8):
+        m = lc_sized_m_bits(n, 0.01)
+        assert m & (m - 1) == 0  # power of two
+        t = n / m
+        assert t <= 2.0
+        assert math.sqrt(math.exp(t) - t - 1.0) / (t * math.sqrt(m)) <= 0.01
+    assert lc_sized_m_bits(32_000, 0.01) == 1 << 14  # the registered literal
+    assert lc_sized_m_bits(33_000, 0.01) == 1 << 15  # ...and its edge
+    sizes = [lc_sized_m_bits(n, 0.01) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert sizes == sorted(sizes)
+    # Tighter error → larger bitmap at the same n.
+    assert lc_sized_m_bits(10**4, 0.001) > lc_sized_m_bits(10**4, 0.01)
+    with pytest.raises(ValueError):
+        lc_sized_m_bits(0)
+    with pytest.raises(ValueError):
+        lc_sized_m_bits(100, 1.5)
+
+
+def test_lc_sized_m_bits_estimator_accuracy_end_to_end(spark):
+    """A sketch sized by the helper actually hits its error target on
+    real data: distinct grams counted exactly vs the LC estimate."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cardinality import (
+        lc_sized_m_bits,
+        linear_count,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 3).select(
+        F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    exact = grams.distinct().count()
+    m = lc_sized_m_bits(exact, 0.01)
+    row = linear_count(grams, "gram", m_bits=m).collect()[0]
+    assert row.est_distinct is not None
+    assert abs(row.est_distinct - exact) / exact < 0.05  # 5 sigma headroom
