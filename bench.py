@@ -93,6 +93,18 @@ CPU_SENTINEL_IDLE_REF = float(
     os.environ.get("SPARK_GRAFT_CPU_SENTINEL_REF", "0.13")
 )
 
+# Best sentinel floor ever observed on this box class (builder
+# calibration, 2026-08-16: post-GC min-of-3 readings of 0.061-0.08 s in
+# fast epochs).  NOT a gate — the box demonstrably has host-level slow
+# epochs (same code, zero guest load, floors 0.14-0.19 s for 30-60 min
+# at a time), and gating on the best-ever floor would refuse forever on
+# a genuinely slower driver box.  The record instead carries
+# cpu_floor_vs_best_known so an adjudicator can see a moderate-epoch
+# elevation even when it passes the idle-reference rule.
+CPU_SENTINEL_BEST_KNOWN = float(
+    os.environ.get("SPARK_GRAFT_CPU_SENTINEL_BEST", "0.061")
+)
+
 # Headline set: the flagship pipeline + one representative per operator
 # family (relational agg, star join, window, sessionization, text, dedup,
 # similarity search, fingerprints).
@@ -422,6 +434,12 @@ def main() -> None:
             "cpu_probe_max": max(probes_flat),
             "io_first": source[0]["io_first"], "io_last": source[-1]["io_last"],
             "cpu_idle_ref": CPU_SENTINEL_IDLE_REF,
+            # diagnostic only (see CPU_SENTINEL_BEST_KNOWN): >1.3 means
+            # this record was taken in one of the box's slow epochs even
+            # if every gating rule passed
+            "cpu_floor_vs_best_known": round(
+                min(probes_flat) / CPU_SENTINEL_BEST_KNOWN, 2
+            ),
         },
         "load_suspect": load_suspect,
         "attempts": attempt,
