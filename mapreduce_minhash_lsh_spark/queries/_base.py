@@ -187,39 +187,56 @@ def register(name: str, sql: str | None = None):
 #      documents_hash_sample + cluster_balanced_sample as three fresh
 #      sampler rows (stratified, quality-weighted, lang-rebalanced)
 #      promote.
-#   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
-#      packed_sequences_greedy, purchases_with_next_view, quantity_price_
-#      correlation, edit_distance_pairs, quantity_grouping_sets,
+#   r14 (done below): the tail (candidate_pairs_split,
+#      word_bigram_jaccard_sample, packed_sequences_greedy,
+#      purchases_with_next_view, quantity_price_correlation,
+#      edit_distance_pairs, quantity_grouping_sets,
 #      cheapest_supplier_per_part, partkeys_both_years, oph_signatures,
-#      embedding_dedup_drop_ids, near_dup_group_sizes); backlog -> 0.
-#      12 swaps; natural retirees (all multi-round-green by r13): the
-#      TPC-H trio q7/q15/q22 can thin to q7, the flagship chain can
-#      thin to shingling+similar_pairs, and redact_pii /
+#      embedding_dedup_drop_ids, near_dup_group_sizes); backlog -> 0 —
+#      every registered query has now held a driver CORRECTNESS row.
+#      12 swaps; retirees (all multi-round-green, every family keeps a
+#      window representative): the TPC-H trio thins to q7 (q15/q22
+#      retire; four fresh relational shapes — grouping sets, set-ops,
+#      correlation agg, per-group argmin join — promote in their
+#      place); the flagship chain thins to shingling + similar_pairs
+#      (lsh_bands/candidate_pairs retire; candidate_pairs_split keeps a
+#      dedicated candidate-stage row); redact_pii /
 #      purchases_with_last_view / parts_price_bands /
-#      multimodal_features rotate out — final picks at r14 per the
-#      same family-representative rule.
-#   r14: the tail (candidate_pairs_split, word_bigram_jaccard_sample,
-#      packed_sequences_greedy, purchases_with_next_view, quantity_price_
-#      correlation, edit_distance_pairs, quantity_grouping_sets,
-#      cheapest_supplier_per_part, partkeys_both_years, oph_signatures,
-#      embedding_dedup_drop_ids, near_dup_group_sizes); backlog -> 0.
+#      multimodal_features rotate out (as-of keeps
+#      purchases_with_next_view, multimodal keeps png + audio);
+#      packed_sequences retires with packed_sequences_greedy keeping
+#      the packing family; similar_groups retires with
+#      near_dup_group_sizes keeping the connected-components family;
+#      ann_topk retires with ann_ivfpq_topk keeping ANN and
+#      embedding_dedup_drop_ids adding embedding-dedup coverage;
+#      text_stats retires with repeated_spans + edit_distance_pairs +
+#      word_bigram_jaccard_sample keeping the text-feature dimension.
 _PRIORITY: list[str] = [
     # Flagship MinHash+LSH chain (SURVEY §2 S/P/A/J/F components)
+    # (round 14 rotation: the chain thins to its endpoints — lsh_bands
+    # and candidate_pairs retire multi-round-green (both stay registered
+    # and sweep-green); the banding/candidate stages stay
+    # driver-evidenced via shingling + similar_pairs transitively and
+    # via candidate_pairs_split / skew_similar_pairs directly, and
+    # oph_signatures below adds the one-permutation signature row.)
     # (round 8 rotation, VERDICT r7 #3: minhash_signatures moved past the
     # window — the signature stage stays driver-evidenced transitively via
-    # shingling + lsh_bands + candidate_pairs, and the query itself stays
+    # shingling + similar_pairs, and the query itself stays
     # registered and sweep-green.)
     "shingling",
-    "lsh_bands",
-    "candidate_pairs",
     "similar_pairs",
-    # Relational / TPC-H — round-12 rotation: keep the three most
-    # structurally distinct shapes (q7 multi-join trade volume, q15
-    # view+top-k, q22 anti-join/semi-join); q11/q16/q20 retire r11-green
-    # (aliases-only rule, all stay sweep-green).
+    # One-permutation hashing signatures (round 14 tail promotion: the
+    # OPH + optimal-densification scheme earns its own driver row)
+    "oph_signatures",
+    # Relational / TPC-H — round-14 rotation: the trio thins to q7 (the
+    # densest multi-join shape); q15/q22 retire multi-round-green and
+    # four fresh relational shapes promote from the tail: GROUPING SETS
+    # rollup, INTERSECT set-op, corr() aggregate, per-group argmin join.
     "q7_nation_trade_volume",
-    "q15_top_supplier",
-    "q22_idle_rich_customers",
+    "quantity_grouping_sets",
+    "partkeys_both_years",
+    "quantity_price_correlation",
+    "cheapest_supplier_per_part",
     # Window / analytic — round-13 rotation: the 10-row events/analytics
     # block retires r12-green; batch sessionization keeps the family's
     # driver row and the new stateful-streaming sessionizer joins it.
@@ -247,12 +264,18 @@ _PRIORITY: list[str] = [
     # idempotent under replay, both oracle = batch SQL verbatim)
     "streaming_dsir_logweights",
     "streaming_lang_vocab_sketch",
-    # Group-level flagship (round 5: Borůvka verified components)
-    "similar_groups",
-    # Text analysis (round 13: lang_id retired r12-green — the language
-    # dimension stays driver-checked via lang_rebalanced_sample and
-    # lang_vocab_sketch below; text_stats keeps the text-feature row)
-    "text_stats",
+    # Group-level flagship (round 14 rotation: similar_groups retires
+    # multi-round-green since r5; near_dup_group_sizes — the same
+    # Borůvka verified-components chain aggregated to group sizes —
+    # keeps the connected-components family's driver row)
+    "near_dup_group_sizes",
+    # Text analysis (round 14: text_stats retires multi-round-green —
+    # the text-feature dimension stays driver-checked via
+    # repeated_spans plus the two tail promotions below: token-level
+    # bigram Jaccard on a bounded sample and bounded-candidate edit
+    # distance)
+    "word_bigram_jaccard_sample",
+    "edit_distance_pairs",
     # Passage-level dedup (round 11: strip_repeated_spans retired
     # r10-green; repeated_spans keeps the span family's driver row)
     "repeated_spans",
@@ -260,23 +283,24 @@ _PRIORITY: list[str] = [
     # retired r10-green — exact dedup keeps dedup_by_lang_source and the
     # connected-components family keeps similar_groups)
     "dedup_by_lang_source",
-    # Sequence packing (ngram_jaccard_sample is a sample-bounded
-    # measurement tool; it stays oracle-checked past the window)
-    # (round 13: simhash retired r12-green — winnow_fingerprints keeps
-    # the fingerprint family's driver row)
-    "packed_sequences",
+    # Sequence packing (round 14: packed_sequences retires multi-round-
+    # green; the greedy first-fit variant keeps the packing family's
+    # driver row.  ngram_jaccard_sample is a sample-bounded measurement
+    # tool; it stays oracle-checked past the window.)
+    "packed_sequences_greedy",
     # Capped+auto-split flagship on a boilerplate-clique corpus (round
-    # 5: the skew-policy regression guard).  Round 12:
-    # oph_similar_pairs retired r11-green — the OPH + optimal-
-    # densification scheme stays registered and sweep-green; the
-    # similarity-variant family keeps skew + containment.
+    # 5: the skew-policy regression guard); round 14 adds the
+    # split-policy candidate stage as its own row (triangle-blocked hot
+    # buckets, bit-identical to the uncapped candidate set).
     "skew_similar_pairs",
+    "candidate_pairs_split",
     "containment_pairs_postings",
-    # ANN / embeddings (round 12: ann_pq_topk retired r11-green —
-    # ann_topk stays as the exact baseline and ann_ivfpq_topk as the
-    # quantized scale path)
-    "ann_topk",
+    # ANN / embeddings (round 14: ann_topk retires multi-round-green —
+    # ann_ivfpq_topk keeps ANN's driver row as the quantized scale
+    # path, and embedding_dedup_drop_ids promotes from the tail to add
+    # the embedding-dedup drop-list row)
     "ann_ivfpq_topk",
+    "embedding_dedup_drop_ids",
     # Winnowing / MOSS fingerprints (round 12: winnow_match_pairs
     # retired r11-green; selection keeps the family's driver row)
     "winnow_fingerprints",
@@ -317,14 +341,15 @@ _PRIORITY: list[str] = [
     "cms_heavy_grams",
     "cms_topk_grams",
     "lang_vocab_sketch",
-    "redact_pii",
-    # As-of / range joins
-    "purchases_with_last_view",
-    "parts_price_bands",
-    # Multimodal plumbing + real codecs (round 12: resize/webp/flac/
-    # aiff_au/video_meta retired r11-green — the family keeps features
-    # (plumbing), png (image codec), and audio (WAV/G.711/ADPCM))
-    "multimodal_features",
+    # As-of / range joins (round 14: purchases_with_last_view and
+    # parts_price_bands retire multi-round-green; the forward-looking
+    # as-of join keeps the family's driver row.  redact_pii also
+    # retires — the regex/text-transform dimension stays sweep-green.)
+    "purchases_with_next_view",
+    # Multimodal real codecs (round 14: multimodal_features (plumbing)
+    # retires multi-round-green — the family keeps png (image codec)
+    # and audio (WAV/G.711/ADPCM), which exercise the same binary
+    # dispatcher end-to-end)
     "multimodal_png",
     "multimodal_audio",
 ]

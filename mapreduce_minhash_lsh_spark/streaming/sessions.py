@@ -51,34 +51,60 @@ def _close_sessions(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterable[pd.DataFrame]:
+    """Gap-sweep the incoming events MERGED WITH the open session.
+
+    The open session carried in state is, by construction, a gap-free
+    run [start_us, end_us]; treating it as one run and sweeping it
+    together with the (sorted) incoming events in start order
+    reproduces batch gap semantics for every late-data shape the state
+    summary can express (ADVICE r13):
+
+    * an event inside the open session folds in without rewinding its
+      bounds (a bare ``end_us = us`` would move the end backward and
+      corrupt gap detection for every subsequent event — ADVICE r12);
+    * an event within SESSION_GAP_US before start_us bridges and
+      extends the session backward, exactly as batch would;
+    * an event MORE than SESSION_GAP_US before start_us is a separate
+      earlier session — it closes immediately (alone, or chained with
+      other pre-start late events) instead of being silently merged
+      into a session batch semantics would split.
+
+    Only events late enough to belong to an already-CLOSED session are
+    irrecoverable by design — the same trade-off as watermarked
+    windows.
+    """
     user_id = key[0]
     events = pd.concat(list(pdfs), ignore_index=True)
     events = events.sort_values(["us", "event_id"])
-    if state.exists:
-        start_us, end_us, n, total = state.get
-    else:
-        start_us = None
-        end_us = n = total = 0
     closed: list[tuple[int, int, int, int, float]] = []
+    cur: tuple[int, int, int, float] | None = None
+
+    def absorb(run: tuple[int, int, int, float]) -> None:
+        nonlocal cur
+        if cur is None:
+            cur = run
+        elif run[0] - cur[1] > SESSION_GAP_US:
+            closed.append((user_id, *cur))
+            cur = run
+        else:
+            cur = (
+                min(cur[0], run[0]),
+                max(cur[1], run[1]),
+                cur[2] + run[2],
+                cur[3] + run[3],
+            )
+
+    state_run = tuple(state.get) if state.exists else None
     for us, value in zip(events["us"], events["value"]):
         us = int(us)
-        if start_us is None:
-            start_us, end_us, n, total = us, us, 1, float(value)
-        elif us - end_us > SESSION_GAP_US:
-            closed.append((user_id, start_us, end_us, n, total))
-            start_us, end_us, n, total = us, us, 1, float(value)
-        else:
-            # Late data across micro-batches: an event with us <= end_us
-            # (or even us < start_us) folds into the open session without
-            # rewinding its bounds — a bare `end_us = us` would move the
-            # session end BACKWARD and corrupt gap detection for every
-            # subsequent event.  (Events late enough to belong to an
-            # already-CLOSED session are irrecoverable by design, the
-            # same trade-off as watermarked windows.)
-            start_us = min(start_us, us)
-            end_us = max(end_us, us)
-            n, total = n + 1, total + float(value)
-    state.update((start_us, end_us, n, total))
+        if state_run is not None and state_run[0] <= us:
+            absorb(state_run)
+            state_run = None
+        absorb((us, us, 1, float(value)))
+    if state_run is not None:
+        absorb(state_run)
+    if cur is not None:
+        state.update(cur)
     if closed:
         yield pd.DataFrame(
             closed, columns=["user_id", "start_us", "end_us", "n_events", "sum_value"]

@@ -244,13 +244,24 @@ def test_cms_topk_candidate_sample_pushed_to_docs_scan(spark):
     corpus-wide explode.  The plan therefore contains a Filter with
     the bucket predicate BELOW a Generate (explode), and exactly two
     scans of documents (sketch side + sampled candidate side)."""
+    from mapreduce_minhash_lsh_spark.queries.llm import _CMS_SAMPLE_NUM
+
     p = plan(registry.queries()["cms_topk_grams"](spark, SF_SMALL))
     lines = p.splitlines()
-    # the md5-bucket sample predicate is a Filter DIRECTLY on the docs
-    # scan (next plan line), not somewhere above the explode
-    idx = [i for i, ln in enumerate(lines) if "Filter" in ln and "< 200000" in ln]
-    assert idx, "sample predicate not found as a Filter"
-    assert "FileScan parquet" in lines[idx[0] + 1]
+    # the md5-bucket sample predicate is a Filter BELOW the Generate
+    # (explode) — i.e. on the scan side, not after a corpus-wide
+    # explode.  Derived from _CMS_SAMPLE_NUM and checked by relative
+    # position, not exact adjacency, so a constant change or minor
+    # optimizer re-formatting doesn't false-alarm (ADVICE r13).
+    pred = f"< {_CMS_SAMPLE_NUM}"
+    filt = [i for i, ln in enumerate(lines) if "Filter" in ln and pred in ln]
+    assert filt, "sample predicate not found as a Filter"
+    gen = [i for i, ln in enumerate(lines) if "Generate explode(" in ln]
+    assert gen, "candidate explode not found"
+    assert filt[0] > gen[0], "sample Filter sits above the explode"
+    assert any(
+        "FileScan parquet" in ln for ln in lines[filt[0] + 1 :]
+    ), "no scan below the sample Filter"
     # candidate explode path: array_distinct rides the generate, proving
     # per-document pre-dedup happens before the candidate exchange
     assert any("Generate explode(array_distinct(" in ln for ln in lines)

@@ -526,6 +526,51 @@ def test_stateful_sessionizer_late_data_does_not_rewind(spark):
     assert closed == [[7, 500, 2000, 4, 4.0]]
 
 
+def test_stateful_sessionizer_pre_start_late_event_splits(spark):
+    """ADVICE r13: a late event arriving more than SESSION_GAP_US
+    BEFORE the open session's start must close as its own earlier
+    session (batch semantics would split there), not silently merge
+    and bridge a gap batch would keep."""
+    import pandas as pd
+
+    from mapreduce_minhash_lsh_spark.plans.events import SESSION_GAP_US
+    from mapreduce_minhash_lsh_spark.streaming.sessions import _close_sessions
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["us", "event_id", "value"])]
+
+    t0 = 5 * SESSION_GAP_US
+    state = FakeState()
+    # Batch 1: open session at [t0, t0].
+    assert list(_close_sessions((9,), batch([(t0, 1, 2.0)]), state)) == []
+    assert state.get == (t0, t0, 1, 2.0)
+    # Batch 2: two pre-start late events that chain with each other but
+    # sit a full gap before t0 — they close as ONE earlier session
+    # immediately; the open session is untouched.
+    early_a, early_b = t0 - 3 * SESSION_GAP_US, t0 - 2 * SESSION_GAP_US
+    out = list(_close_sessions(
+        (9,), batch([(early_a, 2, 1.0), (early_b, 3, 1.0)]), state))
+    assert out[0].values.tolist() == [[9, early_a, early_b, 2, 2.0]]
+    assert state.get == (t0, t0, 1, 2.0)
+    # Batch 3: a pre-start late event WITHIN the gap still bridges.
+    near = t0 - SESSION_GAP_US
+    assert list(_close_sessions((9,), batch([(near, 4, 1.0)]), state)) == []
+    assert state.get == (near, t0, 2, 3.0)
+
+
 def test_streaming_sessionize_drops_its_memory_sink(spark):
     """ADVICE r12: each call must drop its memory-sink temp view after
     copying the result, or repeated invocations accumulate full result
