@@ -145,6 +145,29 @@ def test_linear_count_saturation_yields_null(spark):
     assert len(rows) == 1 and rows[0].est_scaled is None
 
 
+def test_lang_vocab_sketch_saturation_surfaces_null(spark):
+    """VERDICT r13 #6: lang_vocab_sketch's fixed m = 2^14 is a
+    bench-scale literal (docstring cap ~32k distinct grams/language at
+    1% error); a caller pointing the same pipeline at a vocabulary past
+    saturation must see NULL estimates surface loudly, never a bogus
+    number.  Rehearse with the registered query's own gram pipeline on
+    a deliberately tiny bitmap, then confirm the registered geometry
+    does NOT saturate at this SF."""
+    from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+    from mapreduce_minhash_lsh_spark.operators.cardinality import linear_count
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= 3).select(
+        "lang", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    sat = linear_count(grams, "gram", group_cols=["lang"], m_bits=60).collect()
+    assert sat and all(r.est_scaled is None and r.est_distinct is None for r in sat)
+    ok = linear_count(grams, "gram", group_cols=["lang"], m_bits=1 << 14).collect()
+    assert ok and all(r.est_scaled is not None for r in ok)
+
+
 def test_linear_count_is_fully_distributed(spark):
     """No collect, no literals: the plan is two aggregations and a
     projection — assert there is no Python UDF and no broadcast of

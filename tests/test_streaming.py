@@ -661,6 +661,36 @@ def test_compact_state_bloom_bit_log(spark, tmp_path):
     assert "bloom_bits" in stats
 
 
+def test_compact_state_incremental_row_stores(spark, tmp_path):
+    """VERDICT r13 #3: the incremental band/shingle/pairs row stores
+    (disjoint rows per batch) compact to a single batch_id=-1 partition
+    via an identity rewrite, and ingest -> compact -> ingest more
+    yields the exact pair set of a never-compacted run."""
+    import os
+
+    cfg = MinHashLSHConfig(num_hashes=32, num_bands=4)
+
+    def run(state):
+        return incremental_similar_pairs(spark, SF_SMALL, cfg, state_dir=state)
+
+    stats = _compact_equivalence(
+        spark, tmp_path, run,
+        lambda df: sorted((r.doc_id_a, r.doc_id_b) for r in df.collect()),
+    )
+    for log in ("bands", "shingles", "pairs"):
+        assert log in stats, stats
+        # identity rewrite: no rows lost
+        assert stats[log]["rows_after"] == stats[log]["rows_before"], log
+    # the compacted store really is one partition on disk (plus later
+    # real-batch partitions from the post-compaction ingest)
+    bands = os.path.join(str(tmp_path / "compacted"), "bands")
+    parts = {n for n in os.listdir(bands) if n.startswith("batch_id=")}
+    assert "batch_id=-1" in parts
+    real = {p for p in parts if p != "batch_id=-1"}
+    # exactly the post-compaction batches (the 1-file append => 1 batch)
+    assert len(real) == 1, parts
+
+
 def test_compact_state_refuses_pending_replay(spark, tmp_path):
     """A micro-batch with a committed offset but no commit marker will be
     replayed on restart; folding its partition away first would
