@@ -216,3 +216,109 @@ def cluster_balanced_sample(
             F.col("rn").cast("integer").alias("rn"),
         )
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per ``key_col``
+    value, chosen deterministically by md5 bucket (tie-broken on id) —
+    the CCNet/RefinedWeb "domain cap" that stops a single prolific
+    source from dominating the training mix no matter how the crawl is
+    partitioned.  Adds a ``key_rank`` column (1-based rank within the
+    key) so callers can audit how deep each source's quota went.
+
+    Scale: one shuffle on ``key_col``; the per-key top-``cap`` is a
+    rank over each key's partition.  A pathologically hot key (one
+    domain with 1e9 docs) concentrates its rank in one task — for that
+    regime pre-thin hot keys with ``hash_sample`` at a rate that still
+    clears ``cap`` survivors per key (the md5 rank makes the two-stage
+    cut identical to the one-stage one whenever the pre-thin keeps
+    >= cap rows, the cluster_balanced_sample argument), or relax to
+    expected-count capping with a per-key bucket threshold.  Exact rank
+    is the default because it is deterministic and oracle-exact.
+
+    Reference anchor: no sampling/capping surface in the reference
+    (Main.java:1-89); mandated LLM-pipeline extension.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(key_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("key_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("key_rank") <= cap)
+    )
+
+
+def budget_prefix_select(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_col: str,
+    budget: int | float,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The maximal prefix of ``df`` under ``order_cols`` whose running
+    sum of ``weight_col`` stays <= ``budget`` — "take the best
+    documents until the token budget is spent", the selection step a
+    training run applies after scoring.  Returns the input columns
+    plus ``running`` (the inclusive running sum, so callers can see
+    how much budget each kept row consumed).
+
+    A single ``sum() OVER (ORDER BY ...)`` window would move the whole
+    corpus to ONE partition (Spark's no-partition window) — the
+    classic 100 TB trap.  This is the distributed two-pass cumulative
+    sum instead:
+
+    1. range-partition on the order key (so bucket boundaries respect
+       the global order) and freeze the assignment with an eager
+       localCheckpoint — bucket ids must not be recomputed differently
+       by the two downstream subtrees;
+    2. per-bucket totals (one bounded row per bucket) come to the
+       driver, where the exclusive prefix offsets are a trivial scan of
+       <= ``n_buckets`` values — bounded by construction, like the
+       sketch grids;
+    3. buckets whose OFFSET already exceeds the budget are dropped
+       wholesale before any window runs (at 100 TB with a 1% budget,
+       ~99% of the corpus never reaches the rank), and the survivors
+       get offset + within-bucket running sum from a PER-BUCKET window
+       (parallel across buckets, never a global one).
+
+    The kept set is a pure function of the global order and weights —
+    bucketing only changes the execution plan, never the result — so
+    the DuckDB oracle is the plain one-window SQL.
+    """
+    spark = df.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_bucket", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum(weight_col).alias("_total"))
+        .orderBy("_bucket")
+        .collect()  # bounded: one row per bucket (<= n_buckets)
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_bucket"], acc))
+        acc += r["_total"]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_off"])
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_bucket")
+        .where(F.col("_off") <= F.lit(budget))
+        .withColumn(
+            "running", (F.sum(weight_col).over(w) + F.col("_off")).cast("long")
+        )
+        .where(F.col("running") <= F.lit(budget))
+        .drop("_bucket", "_off")
+    )

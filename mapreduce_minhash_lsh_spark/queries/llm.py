@@ -2455,3 +2455,99 @@ def q_streaming_lang_vocab_sketch(spark, sf):
     )
 
     return streaming_lang_vocab_sketch(spark, sf, m_bits=_LC_M)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation selection (round 14): source frequency capping and
+# token-budget prefix selection
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 20  # bench-scale literal, shared with the oracle
+
+
+@register(
+    "source_capped_docs",
+    f"""WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ({_BUCKET_SQL}), doc_id
+         ) AS BIGINT) AS key_rank
+  FROM documents
+)
+SELECT source, doc_id, key_rank FROM ranked
+WHERE key_rank <= {_CAP_PER_SOURCE}""",
+)
+def q_source_capped_docs(spark, sf):
+    """Per-source frequency capping (round 14) — the CCNet/RefinedWeb
+    "domain cap": keep at most N documents per source, chosen by
+    deterministic md5 rank (tie-broken on doc_id), so one prolific
+    domain cannot dominate the training mix and the SAME documents
+    survive on every run, engine, and partitioning.  One shuffle on
+    source; the hot-key regime and its pre-thin escape hatch are
+    documented on operators/sampling.cap_per_key."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf, "documents")
+    return cap_per_key(docs, "source", _CAP_PER_SOURCE, "doc_id").select(
+        "source", "doc_id", "key_rank"
+    )
+
+
+_TOKEN_BUDGET = 30_000  # bench-scale literal, shared with the oracle
+
+_Q_EXPR = f"""0.5 * least({_Q_SWR} * 4, 1.0)
+  + 0.3 * (1.0 - least({_Q_PR} * 5, 1.0))
+  + 0.2 * (CASE WHEN {_Q_CPT} >= 3 AND {_Q_CPT} <= 12 THEN 1.0 ELSE 0.0 END)"""
+
+
+@register(
+    "token_budget_selection",
+    f"""WITH scored AS (
+  SELECT doc_id, {_Q_EXPR} AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(text) > 0
+),
+run AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running
+  FROM scored
+)
+SELECT doc_id, quality, n_tokens, running FROM run
+WHERE running <= {_TOKEN_BUDGET}""",
+)
+def q_token_budget_selection(spark, sf):
+    """Token-budget corpus selection (round 14): take documents in
+    descending quality order until the token budget is spent — the
+    selection step a training run applies after scoring, when the
+    budget is "tokens we can afford to train on", not a row count.
+
+    The naive Spark expression of this is sum() OVER (ORDER BY ...) —
+    a no-partition window that moves the WHOLE corpus to one task.
+    operators/sampling.budget_prefix_select implements the distributed
+    two-pass cumulative sum instead (range-partition -> bounded
+    per-bucket totals -> offsets broadcast back, whole buckets past
+    the budget dropped before any rank runs); the kept set is a pure
+    function of the global order, so the oracle IS the naive
+    one-window SQL.  Quality and the running total are emitted so the
+    oracle checks every running sum, not just membership."""
+    from mapreduce_minhash_lsh_spark.functions import text as _t
+    from mapreduce_minhash_lsh_spark.operators.sampling import (
+        budget_prefix_select,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.length("text") > 0)
+    scored = docs.select(
+        "doc_id",
+        _t.quality_score(F.col("text")).alias("quality"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return budget_prefix_select(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        _TOKEN_BUDGET,
+    ).select("doc_id", "quality", "n_tokens", "running")

@@ -268,3 +268,15 @@ def test_cms_topk_candidate_sample_pushed_to_docs_scan(spark):
     # the global candidate distinct stays a partial+final aggregate
     # (map-side combine), not a repartition-then-distinct
     assert "HashAggregate" in p
+
+
+def test_token_budget_selection_no_global_window(spark):
+    """Round 14: budget selection must never run a no-partition window
+    (that moves the whole corpus to ONE task); every Window in the plan
+    partitions by the range bucket, and the bounded bucket-offset
+    relation joins back via broadcast."""
+    p = plan(registry.queries()["token_budget_selection"](spark, SF_SMALL))
+    win = [ln for ln in p.splitlines() if "Window" in ln]
+    assert win, "expected a per-bucket window"
+    assert all("_bucket" in ln for ln in win), win
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p

@@ -215,3 +215,88 @@ def test_cluster_balanced_sample_covers_every_cell(spark):
     assert all(len(v) <= 7 for v in per_list.values())
     again = cluster_balanced_sample(emb, per_cluster=7, n_lists=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# --- round 14: source frequency capping + token-budget selection -----------
+
+
+def test_cap_per_key_caps_and_is_partition_invariant(spark):
+    from mapreduce_minhash_lsh_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    kept = cap_per_key(docs, "source", 20, "doc_id")
+    per_key = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key and all(n <= 20 for n in per_key.values())
+    a = {(r.source, r.doc_id) for r in kept.collect()}
+    b = {
+        (r.source, r.doc_id)
+        for r in cap_per_key(docs.repartition(13), "source", 20, "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_budget_prefix_select_matches_global_window(spark):
+    """The distributed two-pass cumsum must keep EXACTLY the rows the
+    naive single-partition window keeps, with identical running sums."""
+    from pyspark.sql import Window
+
+    from mapreduce_minhash_lsh_spark.operators.sampling import budget_prefix_select
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.length("text") > 0)
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("w")
+    )
+    budget = 5_000
+    got = {
+        (r.doc_id, r.running)
+        for r in budget_prefix_select(
+            scored, [F.col("w").desc(), F.col("doc_id").asc()], "w", budget
+        ).collect()
+    }
+    naive_w = Window.orderBy(F.col("w").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.doc_id, r.running)
+        for r in scored.withColumn("running", F.sum("w").over(naive_w))
+        .where(F.col("running") <= budget)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_budget_prefix_select_bucketing_invariance(spark):
+    """Bucket count changes the plan, never the kept set."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import budget_prefix_select
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.length("text") > 0)
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("w")
+    )
+    order = [F.col("w").desc(), F.col("doc_id").asc()]
+    one = {
+        (r.doc_id, r.running)
+        for r in budget_prefix_select(scored, order, "w", 5_000, n_buckets=1).collect()
+    }
+    many = {
+        (r.doc_id, r.running)
+        for r in budget_prefix_select(scored, order, "w", 5_000, n_buckets=11).collect()
+    }
+    assert one == many and len(one) > 0
+
+
+def test_budget_prefix_select_tiny_budget(spark):
+    """A budget below the first row's weight keeps nothing (inclusive
+    prefix semantics); a budget of exactly the first weight keeps one."""
+    from mapreduce_minhash_lsh_spark.operators.sampling import budget_prefix_select
+
+    rows = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["doc_id", "w"]
+    )
+    order = [F.col("doc_id").asc()]
+    assert budget_prefix_select(rows, order, "w", 9).count() == 0
+    got = budget_prefix_select(rows, order, "w", 10).collect()
+    assert [(r.doc_id, r.running) for r in got] == [(1, 10)]
