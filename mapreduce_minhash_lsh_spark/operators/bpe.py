@@ -1,0 +1,225 @@
+"""Distributed BPE merge training — learn the tokenizer ON the corpus.
+
+``functions/bpe.py`` ships the classic driver-side trainer
+(``train_bpe``) over a word-frequency dict, which is how the frozen
+``BPE_MERGES`` asset is produced.  That is fine when the vocabulary
+fits in driver memory; at 100 TB you want the corpus-scale work on the
+cluster.  ``learn_bpe_merges`` is the distributed form of the SAME
+algorithm (Sennrich et al. 2016, greedy most-frequent-adjacent-pair):
+
+* the only corpus-scale job is ONE word-count shuffle
+  (explode -> groupBy word); everything after runs on the pruned
+  vocabulary table, which ``min_count`` / ``max_vocab`` bound hard
+  (production tokenizer training always prunes — a 100 TB crawl's
+  raw "vocabulary" is mostly noise seen once);
+* each merge iteration is one bounded aggregate on that table
+  (explode adjacent symbol pairs weighted by word count, argmax via
+  orderBy().limit(1) — Spark plans a TakeOrdered, no full sort
+  shuffle) plus a map-side fold that applies the merge;
+* the driver receives exactly ONE row per iteration (the winning
+  pair) — bounded by construction, the repo's standard stance;
+* the vocabulary table is localCheckpoint()ed each iteration so the
+  K-deep fold lineage never accumulates into one mega-codegen stage
+  (same convention as the Borůvka loop, operators/dedup.py).
+
+Determinism contract (shared with the driver-side trainer and the
+DuckDB oracle): ties between equally frequent pairs break on the pair
+lexicographically — (count DESC, left ASC, right ASC) — and a merge
+applies greedily left-to-right within a word (a symbol produced by
+this iteration's merge does not re-merge with its neighbour until the
+next iteration).  ``tests/test_bpe_train.py`` pins exact equality with
+``functions.bpe.train_bpe`` on the same frequency table.
+
+Reference anchor: the reference (Java MapReduce MinHash, ~603 lines)
+has no tokenizer surface; this extends the engine for the LLM-pipeline
+brief alongside ``bpe_token_counts`` (application of a shipped asset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the result: one row per learned merge, in learn order.
+MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("merge_rank", T.LongType(), False),
+        T.StructField("lhs", T.StringType(), False),
+        T.StructField("rhs", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+    ]
+)
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    word_pattern: str | None = None,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """(word, cnt) from whitespace-split ``text_col`` — the one
+    corpus-scale shuffle of BPE training.
+
+    ``word_pattern`` (a Java/RE2-common regex like ``^[a-z]+$``)
+    restricts the trained charset; ``min_count`` drops hapax noise;
+    ``max_vocab`` keeps the top-N words by (cnt DESC, word ASC) — both
+    prunes are deterministic, so the learned merges are a pure
+    function of the corpus.  ``max_vocab`` costs one extra bounded
+    TakeOrdered-style pass; leave it None when ``min_count`` already
+    bounds the table."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    if word_pattern is not None:
+        words = words.where(F.col("word").rlike(word_pattern))
+    freqs = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        freqs = freqs.where(F.col("cnt") >= F.lit(min_count))
+    if max_vocab is not None:
+        freqs = freqs.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_vocab)
+    return freqs
+
+
+def _apply_merge(seq, lhs: str, rhs: str):
+    """Fold ``seq`` (array<string> of symbols) applying merge
+    (lhs, rhs) greedily left-to-right: when the accumulator's last
+    symbol is ``lhs`` and the next symbol is ``rhs``, replace the last
+    with ``lhs+rhs`` (which cannot re-merge this iteration — the
+    standard BPE semantics, identical to functions.bpe.train_bpe's
+    while-loop and to the oracle's doubled-space REPLACE trick)."""
+    l, r, m = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+    return F.aggregate(
+        F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
+        F.slice(seq, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == l) & (x == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    word_pattern: str | None = None,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from ``docs`` and return
+    them as (merge_rank, lhs, rhs, merged), merge_rank starting at 1.
+
+    Stops early (fewer rows than ``n_merges``) if the vocabulary runs
+    out of adjacent pairs — every word fully merged to one symbol.
+    Exact-equal to ``functions.bpe.train_bpe`` on the same frequency
+    table (pinned by tests/test_bpe_train.py); the registered query's
+    DuckDB twin unrolls the same iterations as chained CTEs, so the
+    distributed trainer carries a full value oracle."""
+    spark = docs.sparkSession
+    freqs = word_frequencies(docs, text_col, word_pattern, min_count, max_vocab)
+    # Symbol sequences: one char per symbol.  split('') leaves a
+    # trailing '' (Java split with limit -1); array_remove drops it.
+    vocab = freqs.select(
+        "cnt", F.array_remove(F.split(F.col("word"), ""), "").alias("seq")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            # Filter BEFORE the pair transform: sequence(1, size-1)
+            # on a single-symbol word would DESCEND to index 0.
+            pairs = vocab.where(F.size("seq") >= 2).select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("seq") - 1),
+                        lambda i: F.struct(
+                            F.element_at("seq", i).alias("lhs"),
+                            F.element_at("seq", i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            best = (
+                pairs.groupBy("pair.lhs", "pair.rhs")
+                .agg(F.sum("cnt").alias("total"))
+                .orderBy(F.col("total").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()  # bounded: exactly one row per iteration
+            )
+            if not best:
+                break
+            lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+            merges.append((rank, lhs, rhs, lhs + rhs))
+            nxt = vocab.select(
+                "cnt", _apply_merge(F.col("seq"), lhs, rhs).alias("seq")
+            ).localCheckpoint()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def oracle_sql_for_merges(
+    n_merges: int,
+    table: str = "documents",
+    text_col: str = "text",
+    word_pattern: str | None = None,
+) -> str:
+    """The DuckDB twin of ``learn_bpe_merges``: the K iterations
+    UNROLLED as chained CTEs (SQL cannot loop, but it can repeat).
+    Per iteration: adjacent-pair counts via list unnest, argmax with
+    the shared (count DESC, lhs, rhs) tie-break, then the merge applied
+    with the doubled-space REPLACE trick — doubling every separator
+    makes each one independent, so left-to-right non-overlapping
+    REPLACE implements exactly the greedy fold (' a  a  a  a ' with
+    merge (a,a) -> ' aa  aa ', never a dropped adjacent occurrence).
+    Generated programmatically so Spark and oracle can never drift on
+    K."""
+    pat_filter = (
+        f"WHERE regexp_matches(word, '{word_pattern}')"
+        if word_pattern is not None
+        else "WHERE word <> ''"
+    )
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table})
+  {pat_filter} GROUP BY word
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT lst[i] AS lhs, lst[i + 1] AS rhs, cnt FROM (
+    SELECT cnt, lst, unnest(range(1, len(lst))) AS i
+    FROM (SELECT cnt, string_split(seq, ' ') AS lst FROM w{k})
+  )
+),
+b{k} AS (
+  SELECT lhs, rhs FROM p{k} GROUP BY lhs, rhs
+  ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT w.cnt,
+         trim(regexp_replace(
+           replace(' ' || replace(w.seq, ' ', '  ') || ' ',
+                   ' ' || b.lhs || '  ' || b.rhs || ' ',
+                   ' ' || b.lhs || b.rhs || ' '),
+           '  +', ' ', 'g')) AS seq
+  FROM w{k} w CROSS JOIN b{k} b
+)"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{selects}\n) ORDER BY merge_rank"
+    )

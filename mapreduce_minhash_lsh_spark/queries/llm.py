@@ -2551,3 +2551,41 @@ def q_token_budget_selection(spark, sf):
         "n_tokens",
         _TOKEN_BUDGET,
     ).select("doc_id", "quality", "n_tokens", "running")
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (round 14).
+
+_BPE_N_MERGES = 12  # bench-scale literal; oracle CTEs unroll to the same K
+_BPE_WORD_PAT = "^[a-z]+$"  # shared charset gate: keeps the char-split
+# engine-portable (Spark split('') vs DuckDB regexp per-codepoint agree
+# trivially on ASCII; the operator itself takes any pattern or None).
+
+
+def _bpe_oracle() -> str:
+    from mapreduce_minhash_lsh_spark.operators.bpe import oracle_sql_for_merges
+
+    return oracle_sql_for_merges(
+        _BPE_N_MERGES, "documents", "text", _BPE_WORD_PAT
+    )
+
+
+@register("bpe_learned_merges", _bpe_oracle())
+def q_bpe_learned_merges(spark, sf):
+    """Distributed BPE tokenizer training (round 14): learn the first
+    K merges from the corpus itself — the step BEFORE bpe_token_counts
+    (which applies a shipped asset).  One corpus-scale word-count
+    shuffle; every merge iteration runs on the pruned vocabulary table
+    and sends the driver exactly one argmax row.  The oracle is the
+    SAME K iterations unrolled as chained DuckDB CTEs (generated from
+    one literal, so Spark and SQL can never drift on K), with the
+    doubled-space REPLACE trick reproducing the greedy left-to-right
+    merge bit-for-bit; tie-break (count DESC, pair lexicographic) is
+    shared with functions.bpe.train_bpe, and tests/test_bpe_train.py
+    pins exact equality with that driver-side trainer."""
+    from mapreduce_minhash_lsh_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf, "documents")
+    return learn_bpe_merges(
+        docs, _BPE_N_MERGES, word_pattern=_BPE_WORD_PAT
+    )

@@ -1,0 +1,98 @@
+"""Distributed BPE merge training (operators/bpe.py) — exact equality
+with the driver-side trainer (functions/bpe.train_bpe), determinism,
+greedy-overlap semantics, and the unrolled-CTE oracle generator."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mapreduce_minhash_lsh_spark.functions.bpe import train_bpe
+from mapreduce_minhash_lsh_spark.operators.bpe import (
+    learn_bpe_merges,
+    oracle_sql_for_merges,
+    word_frequencies,
+)
+from mapreduce_minhash_lsh_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _merge_pairs(df):
+    return [(r.lhs, r.rhs) for r in df.orderBy("merge_rank").collect()]
+
+
+def test_matches_driver_trainer_on_corpus(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    freqs = {
+        r.word: r.cnt
+        for r in word_frequencies(docs, word_pattern="^[a-z]+$").collect()
+    }
+    got = _merge_pairs(learn_bpe_merges(docs, 12, word_pattern="^[a-z]+$"))
+    assert got == train_bpe(freqs, 12)
+    assert len(got) == 12
+
+
+def test_partition_invariant(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = _merge_pairs(learn_bpe_merges(docs, 6, word_pattern="^[a-z]+$"))
+    b = _merge_pairs(
+        learn_bpe_merges(docs.repartition(7), 6, word_pattern="^[a-z]+$")
+    )
+    assert a == b and len(a) == 6
+
+
+def test_greedy_overlap_and_early_stop(spark):
+    # "aaaa": (a,a) counts 3, merges left-to-right to [aa, aa] (the
+    # fresh symbol never re-merges within the iteration), then (aa,aa)
+    # fully merges the word — so K=5 stops after 2 merges.
+    docs = spark.createDataFrame([("d1", "aaaa")], ["doc_id", "text"])
+    out = learn_bpe_merges(docs, 5)
+    rows = out.orderBy("merge_rank").collect()
+    assert [(r.merge_rank, r.lhs, r.rhs, r.merged) for r in rows] == [
+        (1, "a", "a", "aa"),
+        (2, "aa", "aa", "aaaa"),
+    ]
+    assert train_bpe({"aaaa": 1}, 5) == [("a", "a"), ("aa", "aa")]
+
+
+def test_tie_breaks_lexicographically(spark):
+    # (a,b) and (c,d) both have weight 2 — the lexicographically
+    # smaller pair must win, same as the driver trainer's min key.
+    docs = spark.createDataFrame(
+        [("d1", "ab cd"), ("d2", "cd ab")], ["doc_id", "text"]
+    )
+    out = _merge_pairs(learn_bpe_merges(docs, 1))
+    assert out == [("a", "b")] == train_bpe({"ab": 2, "cd": 2}, 1)
+
+
+def test_min_count_prunes_noise(spark):
+    # "zq" appears once; min_count=2 must drop it, so (z,q) can never
+    # be learned even though "xy" is fully merged after one step.
+    docs = spark.createDataFrame(
+        [("d1", "xy xy xy zq")], ["doc_id", "text"]
+    )
+    out = _merge_pairs(learn_bpe_merges(docs, 5, min_count=2))
+    assert out == [("x", "y")]
+
+
+def test_oracle_generator_matches_driver_trainer():
+    # The unrolled-CTE oracle IS the trainer: run it in DuckDB on a
+    # crafted table covering the overlap and tie shapes and compare to
+    # train_bpe on the same frequency table.
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE TABLE docs(text VARCHAR); INSERT INTO docs VALUES"
+        " ('aaaa aaaa abab'), ('low lower lowest ab cd'), ('cd ab low')"
+    )
+    res = con.execute(oracle_sql_for_merges(8, "docs", "text")).fetchall()
+    freqs = dict(
+        con.execute(
+            "SELECT word, count(*) FROM (SELECT unnest(string_split"
+            "(text, ' ')) AS word FROM docs) WHERE word <> '' GROUP BY word"
+        ).fetchall()
+    )
+    assert [(r[1], r[2]) for r in res] == train_bpe(freqs, 8)
+    # ranks are 1..K and merged is the concatenation
+    assert [r[0] for r in res] == list(range(1, len(res) + 1))
+    assert all(r[3] == r[1] + r[2] for r in res)
