@@ -52,6 +52,21 @@ MERGES_SCHEMA = T.StructType(
 )
 
 
+def _words(
+    docs: DataFrame, text_col: str, word_pattern: str | None, *extra_cols: str
+) -> DataFrame:
+    """Exploded (``*extra_cols``, word) rows — the shared tokenization
+    of the train and apply paths, so both see the identical word
+    stream (empty strings dropped; ``word_pattern`` gates the charset
+    on BOTH paths or neither)."""
+    words = docs.select(
+        *extra_cols, F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    if word_pattern is not None:
+        words = words.where(F.col("word").rlike(word_pattern))
+    return words
+
+
 def word_frequencies(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,11 +84,7 @@ def word_frequencies(
     function of the corpus.  ``max_vocab`` costs one extra bounded
     TakeOrdered-style pass; leave it None when ``min_count`` already
     bounds the table."""
-    words = docs.select(
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
-    ).where(F.col("word") != "")
-    if word_pattern is not None:
-        words = words.where(F.col("word").rlike(word_pattern))
+    words = _words(docs, text_col, word_pattern)
     freqs = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         freqs = freqs.where(F.col("cnt") >= F.lit(min_count))
@@ -162,6 +173,67 @@ def learn_bpe_merges(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def trained_token_counts(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    word_pattern: str | None = None,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-then-encode in one call: learn ``n_merges`` merges from
+    ``docs``, then count each document's subword tokens UNDER THOSE
+    MERGES — (doc_id, n_words, n_bpe_tokens).  The complement of
+    ``bpe_token_counts`` (which applies the frozen shipped asset): here
+    the tokenizer is fit to the corpus at hand, and the apply path is
+    pure JVM — the K collected merges (bounded: a tokenizer is a
+    broadcastable asset by construction) become K chained map-side
+    folds over the exploded word stream, then ONE partial-aggregated
+    groupBy(doc_id).  No join, no Python, no persisted state outliving
+    the call.
+
+    Encoding semantics are sequential-by-rank (each learned merge
+    applied exhaustively left-to-right, in learn order — subword-nmt's
+    apply scheme), which reproduces the training-state segmentation
+    exactly for every in-vocabulary word; tests pin agreement with the
+    priority scheme (``functions.bpe.encode_word``) on the corpus
+    vocabulary.  Words failing ``word_pattern`` are outside the
+    tokenizer's charset and excluded from BOTH counts (documents with
+    no in-charset words drop out entirely) — the oracle applies the
+    identical gate.
+
+    At 100 TB the fold-per-occurrence apply trades compute for the
+    absence of a shuffle/join; if average document length makes that
+    wrong, fold per DISTINCT word instead (word_frequencies +
+    broadcast join back) — same result by construction."""
+    m_df = learn_bpe_merges(
+        docs, n_merges, text_col, word_pattern, min_count, max_vocab
+    )
+    pairs = [(r.lhs, r.rhs) for r in m_df.collect()]  # bounded: K rows
+    words = _words(docs, text_col, word_pattern, id_col)
+    # One PROJECTION per merge, each reading the previous level's
+    # named column: _apply_merge references its input three times, so
+    # nesting K folds into one expression is a 3^K tree (K=12 hung
+    # analysis); chained aliases keep it linear, and CollapseProject
+    # will not re-inline a non-cheap alias referenced more than once.
+    folded = words.select(
+        id_col, F.array_remove(F.split(F.col("word"), ""), "").alias("seq")
+    )
+    for lhs, rhs in pairs:
+        folded = folded.select(
+            id_col, _apply_merge(F.col("seq"), lhs, rhs).alias("seq")
+        )
+    return (
+        folded.select(id_col, F.size("seq").alias("word_tokens"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def oracle_sql_for_merges(
     n_merges: int,
     table: str = "documents",
@@ -178,17 +250,51 @@ def oracle_sql_for_merges(
     merge (a,a) -> ' aa  aa ', never a dropped adjacent occurrence).
     Generated programmatically so Spark and oracle can never drift on
     K."""
-    pat_filter = (
+    ctes = _training_ctes(n_merges, table, text_col, word_pattern)
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{selects}\n) ORDER BY merge_rank"
+    )
+
+
+def _pat_filter(word_pattern: str | None) -> str:
+    return (
         f"WHERE regexp_matches(word, '{word_pattern}')"
         if word_pattern is not None
         else "WHERE word <> ''"
     )
+
+
+def _dbl_space_replace(seq_expr: str, b: str) -> str:
+    """Apply merge (b.lhs, b.rhs) to a space-separated symbol string —
+    the doubled-space REPLACE trick (see oracle_sql_for_merges)."""
+    return f"""trim(regexp_replace(
+           replace(' ' || replace({seq_expr}, ' ', '  ') || ' ',
+                   ' ' || {b}.lhs || '  ' || {b}.rhs || ' ',
+                   ' ' || {b}.lhs || {b}.rhs || ' '),
+           '  +', ' ', 'g'))"""
+
+
+def _training_ctes(
+    n_merges: int, table: str, text_col: str, word_pattern: str | None
+) -> list[str]:
+    """The shared CTE chain: w0 (word freqs + char seqs), then per
+    iteration p{k} (pair counts), b{k} (argmax merge), w{k+1} (merge
+    applied).  Every multiply-referenced CTE is MATERIALIZED — DuckDB's
+    default inlining would otherwise expand the doubly-referenced chain
+    exponentially in K."""
     ctes = [
         f"""w0 AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS cnt,
          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
   FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table})
-  {pat_filter} GROUP BY word
+  {_pat_filter(word_pattern)} GROUP BY word
 )"""
     ]
     for k in range(n_merges):
@@ -205,21 +311,47 @@ b{k} AS (
 ),
 w{k + 1} AS MATERIALIZED (
   SELECT w.cnt,
-         trim(regexp_replace(
-           replace(' ' || replace(w.seq, ' ', '  ') || ' ',
-                   ' ' || b.lhs || '  ' || b.rhs || ' ',
-                   ' ' || b.lhs || b.rhs || ' '),
-           '  +', ' ', 'g')) AS seq
+         {_dbl_space_replace('w.seq', 'b')} AS seq
   FROM w{k} w CROSS JOIN b{k} b
 )"""
         )
-    selects = "\nUNION ALL ".join(
-        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lhs, rhs, "
-        f"lhs || rhs AS merged FROM b{k}"
-        for k in range(n_merges)
+    return ctes
+
+
+def oracle_sql_for_trained_token_counts(
+    n_merges: int,
+    table: str = "documents",
+    text_col: str = "text",
+    word_pattern: str | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB twin of ``trained_token_counts``: the training chain
+    (shared with ``oracle_sql_for_merges``) learns b0..b{K-1}, then an
+    e0..e{K} chain applies the same replaces to the exploded corpus
+    word stream and aggregates per document."""
+    ctes = _training_ctes(n_merges, table, text_col, word_pattern)
+    ctes.append(
+        f"""e0 AS MATERIALIZED (
+  SELECT {id_col}, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word
+        FROM {table})
+  {_pat_filter(word_pattern)}
+)"""
     )
+    for k in range(n_merges):
+        ctes.append(
+            f"""e{k + 1} AS MATERIALIZED (
+  SELECT e.{id_col},
+         COALESCE({_dbl_space_replace('e.seq', 'b')}, e.seq) AS seq
+  FROM e{k} e LEFT JOIN b{k} b ON true
+)"""
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT * FROM (\n{selects}\n) ORDER BY merge_rank"
+        + f"""
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM e{n_merges} GROUP BY {id_col}"""
     )

@@ -2589,3 +2589,33 @@ def q_bpe_learned_merges(spark, sf):
     return learn_bpe_merges(
         docs, _BPE_N_MERGES, word_pattern=_BPE_WORD_PAT
     )
+
+
+def _bpe_tc_oracle() -> str:
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        oracle_sql_for_trained_token_counts,
+    )
+
+    return oracle_sql_for_trained_token_counts(
+        _BPE_N_MERGES, "documents", "text", _BPE_WORD_PAT
+    )
+
+
+@register("bpe_trained_token_counts", _bpe_tc_oracle())
+def q_bpe_trained_token_counts(spark, sf):
+    """Train-then-encode (round 14): token accounting under a tokenizer
+    FIT TO THIS CORPUS — learn_bpe_merges' K merges applied as K
+    chained map-side folds over the exploded word stream, then one
+    partial-aggregated groupBy(doc_id).  Pure JVM apply path (the
+    collected merges are a bounded tokenizer asset, like the shipped
+    BPE_MERGES); the oracle extends the training CTE chain with an
+    apply chain replaying the same doubled-space replaces per corpus
+    word, so training AND encoding are value-checked end to end.
+    Complements bpe_token_counts, which applies the frozen asset via
+    pandas_udf."""
+    from mapreduce_minhash_lsh_spark.operators.bpe import trained_token_counts
+
+    docs = load_table(spark, sf, "documents")
+    return trained_token_counts(
+        docs, _BPE_N_MERGES, word_pattern=_BPE_WORD_PAT
+    )

@@ -4,6 +4,8 @@ greedy-overlap semantics, and the unrolled-CTE oracle generator."""
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 from pyspark.sql import functions as F
 
@@ -96,3 +98,58 @@ def test_oracle_generator_matches_driver_trainer():
     # ranks are 1..K and merged is the concatenation
     assert [r[0] for r in res] == list(range(1, len(res) + 1))
     assert all(r[3] == r[1] + r[2] for r in res)
+
+
+def test_trained_token_counts_matches_priority_encoder(spark):
+    # Sequential-by-rank apply (the operator) must agree with the
+    # priority scheme (encode_word) on every in-vocabulary word — the
+    # corpus vocabulary is in-vocab by construction.
+    from mapreduce_minhash_lsh_spark.functions.bpe import encode_word
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        trained_token_counts,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    freqs = {
+        r.word: r.cnt
+        for r in word_frequencies(docs, word_pattern="^[a-z]+$").collect()
+    }
+    merges = train_bpe(freqs, 12)
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r.text.split() if re.fullmatch("[a-z]+", w)]
+        if words:
+            expected[r.doc_id] = (
+                len(words),
+                sum(len(encode_word(w, merges)) for w in words),
+            )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in trained_token_counts(
+            docs, 12, word_pattern="^[a-z]+$"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_trained_token_counts_oracle_survives_exhaustion():
+    # K larger than the available merges: the apply chain must pass
+    # seqs through unchanged (LEFT JOIN + COALESCE), not vanish.
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        oracle_sql_for_trained_token_counts,
+    )
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE TABLE docs(doc_id INT, text VARCHAR);"
+        " INSERT INTO docs VALUES (1, 'aaaa aaaa'), (2, 'aaaa')"
+    )
+    res = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute(
+            oracle_sql_for_trained_token_counts(5, "docs", "text")
+        ).fetchall()
+    )
+    # merges exhaust after (a,a), (aa,aa): every word is 1 token
+    assert res == {1: (2, 2), 2: (1, 1)}
