@@ -37,7 +37,7 @@ brief alongside ``bpe_token_counts`` (application of a shipped asset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
