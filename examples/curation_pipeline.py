@@ -17,6 +17,9 @@ operator set composed end to end:
   4d. Bloom decontamination (round 11) — drop documents whose 3-grams
      mostly hit the held-out benchmark sketch (map-side bitmap test);
   5. BPE token accounting (the shipped merge asset) — the budget unit;
+  5b. corpus-fit tokenizer (round 14) — learn merges ON the surviving
+     corpus (learn_bpe_merges) and recount the budget under them: the
+     shipped-vs-fit delta is the tokenizer-drift question;
   6. a BM25 spot check that the surviving corpus still answers a
      relevance query.
 
@@ -42,6 +45,7 @@ from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
 from mapreduce_minhash_lsh_spark.functions import quality as q
 from mapreduce_minhash_lsh_spark.functions.bpe import count_text_tokens
 from mapreduce_minhash_lsh_spark.functions.text import word_ngrams
+from mapreduce_minhash_lsh_spark.operators.bpe import trained_token_counts
 from mapreduce_minhash_lsh_spark.operators.bloom import (
     bloom_build,
     bloom_might_contain,
@@ -175,6 +179,13 @@ def main() -> None:
     budget = docs.select(pandas_udf(counts, "long")(F.col("text")).alias("n")) \
                  .agg(F.sum("n").alias("tokens")).first()["tokens"]
 
+    # 5b. tokenizer fit to the survivors: 12 merges learned
+    # distributed, budget recounted under them
+    fit_budget = (
+        trained_token_counts(docs, 12, word_pattern="^[a-z]+$")
+        .agg(F.sum("n_bpe_tokens").alias("t")).first()["t"]
+    )
+
     # 6. relevance spot check on the survivors
     top = bm25_topk(docs, ("merge", "scan"), k=5).collect()
 
@@ -187,6 +198,7 @@ def main() -> None:
     print(f"after SemDeDup      {n6}")
     print(f"after bloom decon   {n7}")
     print(f"BPE token budget    {budget}")
+    print(f"corpus-fit budget   {fit_budget} (12 learned merges)")
     print("top-5 bm25:", [(r['doc_id'], round(r['bm25'], 3)) for r in top])
     spark.stop()
 
