@@ -128,8 +128,18 @@ def learn_bpe_merges(
     table (pinned by tests/test_bpe_train.py); the registered query's
     DuckDB twin unrolls the same iterations as chained CTEs, so the
     distributed trainer carries a full value oracle."""
-    spark = docs.sparkSession
-    freqs = word_frequencies(docs, text_col, word_pattern, min_count, max_vocab)
+    return learn_bpe_merges_from_freqs(
+        word_frequencies(docs, text_col, word_pattern, min_count, max_vocab),
+        n_merges,
+    )
+
+
+def learn_bpe_merges_from_freqs(freqs: DataFrame, n_merges: int) -> DataFrame:
+    """The training loop over an existing (word, cnt) frequency table —
+    the entry point for callers that maintain the counts themselves
+    (``streaming/jobs.streaming_bpe_merges`` folds its count log and
+    trains here, so batch and streaming cannot drift)."""
+    spark = freqs.sparkSession
     # Symbol sequences: one char per symbol.  split('') leaves a
     # trailing '' (Java split with limit -1); array_remove drops it.
     vocab = freqs.select(

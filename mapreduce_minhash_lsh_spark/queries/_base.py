@@ -211,9 +211,10 @@ def register(name: str, sql: str | None = None):
 #      embedding_dedup_drop_ids adding embedding-dedup coverage;
 #      text_stats retires with repeated_spans + edit_distance_pairs +
 #      word_bigram_jaccard_sample keeping the text-feature dimension.
-#   r15 (pre-committed): promote the three r14 registrations
-#      (source_capped_docs, token_budget_selection, bpe_learned_merges
-#      — new-operator rule: a new operator earns its driver row the
+#   r15 (pre-committed): promote the r14 registrations
+#      (source_capped_docs, token_budget_selection, bpe_learned_merges,
+#      bpe_trained_token_counts, and any further r14 additions — the
+#      new-operator rule: a new operator earns its driver row the
 #      round after it lands); retirees per the family-representative
 #      rule at r15.
 _PRIORITY: list[str] = [

@@ -2619,3 +2619,27 @@ def q_bpe_trained_token_counts(spark, sf):
     return trained_token_counts(
         docs, _BPE_N_MERGES, word_pattern=_BPE_WORD_PAT
     )
+
+
+@register("streaming_bpe_merges", _bpe_oracle())
+def q_streaming_bpe_merges(spark, sf):
+    """bpe_learned_merges with the word-frequency table maintained
+    INCREMENTALLY (round 14): the corpus streams in micro-batches and
+    each batch appends its per-word count deltas to a
+    batch_id-partitioned log, compacted on read with one groupBy SUM
+    (streaming/jobs.streaming_bpe_merges).  Integer count sums are
+    associative and a replayed batch overwrites its own partition, so
+    the folded frequency table equals batch word_frequencies exactly
+    under any micro-batching — and training runs through the SAME
+    learn_bpe_merges_from_freqs loop, which is why the oracle is
+    bpe_learned_merges' SQL verbatim (batch equivalence, the streaming
+    family's standard check).  Continuous-crawl tokenizer story: as
+    new data lands, the counts absorb it and retraining needs no
+    corpus re-scan."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_bpe_merges,
+    )
+
+    return streaming_bpe_merges(
+        spark, sf, n_merges=_BPE_N_MERGES, word_pattern=_BPE_WORD_PAT
+    )

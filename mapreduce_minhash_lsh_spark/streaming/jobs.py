@@ -1087,6 +1087,109 @@ def streaming_lang_vocab_sketch(
             shutil.rmtree(state_dir, ignore_errors=True)
     return result
 
+def streaming_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    n_merges: int = 12,
+    word_pattern: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """BPE merge training with the word-frequency table maintained
+    INCREMENTALLY: stream the documents table in micro-batches, append
+    each batch's per-word count DELTAS to a batch_id-partitioned
+    parquet count log, then train on the folded counts — the
+    continuous-crawl shape of ``operators/bpe.learn_bpe_merges``,
+    extending the streaming x model matrix (Bloom bit log: membership;
+    DSIR / bigram-LM count logs: frequencies; LC bit log: cardinality;
+    this: the tokenizer itself).  As new crawl lands, the frequency
+    table absorbs it and retraining needs no corpus re-scan — the
+    corpus-scale word-count shuffle is amortized across ingestion.
+
+    The log is compacted ON READ with one groupBy SUM; integer count
+    sums are associative, so the folded table is EXACTLY the
+    batch-computed ``word_frequencies`` under any micro-batching, and
+    a checkpoint replay overwrites its own ``batch_id=`` partition
+    instead of double-counting (dynamic partition overwrite — the
+    family's idempotency contract).  Training goes through
+    ``learn_bpe_merges_from_freqs``, the same loop the batch operator
+    uses, so the oracle is ``bpe_learned_merges``' SQL verbatim (batch
+    equivalence).  Each batch's delta relation is bounded by the
+    BATCH vocabulary (the ``counts_bigram`` shape, not a fixed
+    geometry); :func:`compact_state` (kind "sum") bounds the log's
+    growth with batch count.
+
+    STATE-REUSE CONTRACT: a caller state_dir means "resume THIS
+    corpus's count log" — the fingerprint pins corpus and
+    word_pattern (what the LOG depends on; n_merges/min_count are
+    read-side and free to vary across runs on the same log)."""
+    import shutil
+    import tempfile
+
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        _words,
+        learn_bpe_merges_from_freqs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="bpe_stream_")
+    split_dir = fs_join(state_dir, "docs_split")
+    cnt_path = fs_join(state_dir, "counts_word")
+    meta_path = fs_join(state_dir, "source_meta")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = (
+            _words(batch_df, "text", word_pattern)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        (
+            deltas.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cnt_path)
+        )
+
+    try:
+        _init_or_verify_split_state(
+            spark, state_dir, split_dir, meta_path,
+            f"{sf_dir}|bpe_words|{word_pattern}",
+            lambda: docs.repartition(4).write.mode("overwrite").parquet(split_dir),
+            label="BPE word-count log",
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(split_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", fs_join(state_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        freqs = (
+            spark.read.parquet(cnt_path)
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        if min_count > 1:
+            freqs = freqs.where(F.col("cnt") >= F.lit(min_count))
+        # The training loop collects its bounded per-iteration argmax
+        # rows eagerly and returns a driver-created relation, so
+        # nothing in the result depends on the state dir afterwards.
+        result = learn_bpe_merges_from_freqs(freqs, n_merges)
+    finally:
+        if own_state:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Log compaction (round 13 — VERDICT r12 "What's missing" #2)
 # ---------------------------------------------------------------------------
@@ -1108,6 +1211,7 @@ _LOG_SPECS: dict[str, tuple[str, list[str], list[str]]] = {
     "lc_bits": ("or", ["lang", "word"], ["bits"]),     # streaming_lang_vocab_sketch
     "counts_bucket": ("sum", ["bucket"], ["c_bg", "c_tg"]),  # streaming_dsir_logweights
     "counts_bigram": ("sum", ["bigram"], ["c"]),       # streaming_lm_scores
+    "counts_word": ("sum", ["word"], ["cnt"]),         # streaming_bpe_merges
     "counts_prefix": ("sum", ["w1"], ["c"]),           # streaming_lm_scores
     "tokens": ("set", ["tok"], []),                    # streaming_lm_scores
     "bands": ("rows", [], []),                         # incremental_similar_pairs

@@ -729,3 +729,83 @@ def test_compact_state_is_idempotent(spark, tmp_path):
     again = sorted(map(tuple, streaming_lang_vocab_sketch(
         spark, SF_SMALL, state_dir=state).collect()))
     assert base == again
+
+
+def test_streaming_bpe_equals_batch_trainer(spark):
+    """The incrementally accumulated word-frequency table must train
+    the exact batch merge list (count sums are associative —
+    micro-batching cannot move a single argmax)."""
+    from mapreduce_minhash_lsh_spark.operators.bpe import learn_bpe_merges
+    from mapreduce_minhash_lsh_spark.sources.tables import load_table
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_bpe_merges,
+    )
+
+    streamed = sorted(
+        map(
+            tuple,
+            streaming_bpe_merges(
+                spark, SF_SMALL, n_merges=6, word_pattern="^[a-z]+$"
+            ).collect(),
+        )
+    )
+    docs = load_table(spark, SF_SMALL, "documents")
+    batch = sorted(
+        map(
+            tuple,
+            learn_bpe_merges(docs, 6, word_pattern="^[a-z]+$").collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 6
+
+
+def test_streaming_bpe_state_reuse_and_fingerprint(spark, tmp_path):
+    """Replay over committed offsets is idempotent; a different
+    word_pattern (log-side) fails fast, while a different n_merges
+    (read-side) trains fine on the same log."""
+    import pytest
+
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_bpe_merges,
+    )
+
+    state = str(tmp_path / "bpe_state")
+    a = sorted(map(tuple, streaming_bpe_merges(
+        spark, SF_SMALL, state_dir=state, n_merges=4,
+        word_pattern="^[a-z]+$",
+    ).collect()))
+    b = sorted(map(tuple, streaming_bpe_merges(
+        spark, SF_SMALL, state_dir=state, n_merges=4,
+        word_pattern="^[a-z]+$",
+    ).collect()))
+    assert a == b and len(a) == 4
+    # read-side knob varies freely on the same log, and the shorter
+    # list is a strict prefix family of the longer one
+    c = sorted(map(tuple, streaming_bpe_merges(
+        spark, SF_SMALL, state_dir=state, n_merges=2,
+        word_pattern="^[a-z]+$",
+    ).collect()))
+    assert c == a[:2]
+    with pytest.raises(ValueError, match="refusing to resume"):
+        streaming_bpe_merges(
+            spark, SF_SMALL, state_dir=state, word_pattern="^[a-z]{2,}$"
+        )
+
+
+def test_compact_state_bpe_word_log(spark, tmp_path):
+    """The BPE word-count SUM log folds like the DSIR/LM ones:
+    ingest -> compact -> ingest more must train the identical merges."""
+    from mapreduce_minhash_lsh_spark.streaming.jobs import (
+        streaming_bpe_merges,
+    )
+
+    def run(state):
+        return streaming_bpe_merges(
+            spark, SF_SMALL, state_dir=state, n_merges=4,
+            word_pattern="^[a-z]+$",
+        )
+
+    stats = _compact_equivalence(
+        spark, tmp_path, run, lambda df: sorted(map(tuple, df.collect()))
+    )
+    assert "counts_word" in stats
