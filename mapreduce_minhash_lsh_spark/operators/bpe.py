@@ -365,3 +365,47 @@ SELECT {id_col},
        CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe_tokens
 FROM e{n_merges} GROUP BY {id_col}"""
     )
+
+
+def save_merges(df: DataFrame, path: str) -> None:
+    """Ship the learned tokenizer: write a ``learn_bpe_merges`` result
+    as a JSON asset file (rank-ordered merge list) through the
+    scheme-resolved FileSystem API — exactly how production pipelines
+    freeze a tokenizer once and ship it to every consumer (the
+    ``BPE_MERGES`` literal in functions/bpe.py is the in-repo instance
+    of the same practice).  The merge list is bounded by construction
+    (K rows), so the collect is a manifest write, not a data move."""
+    import json
+
+    from mapreduce_minhash_lsh_spark.sources.fs import fs_write_text
+
+    rows = df.orderBy("merge_rank").collect()  # bounded: K rows
+    asset = {
+        "format": "bpe_merges/v1",
+        "n_merges": len(rows),
+        "merges": [[r.lhs, r.rhs] for r in rows],
+    }
+    fs_write_text(df.sparkSession, path, json.dumps(asset, indent=2))
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a ``save_merges`` asset as the rank-ordered pair list —
+    directly consumable by ``functions.bpe.encode_word`` (priority
+    scheme) and the fold-apply path.  Fails loudly on a foreign or
+    future format rather than mis-tokenizing silently."""
+    import json
+
+    from mapreduce_minhash_lsh_spark.sources.fs import fs_read_text
+
+    asset = json.loads(fs_read_text(spark, path))
+    if asset.get("format") != "bpe_merges/v1":
+        raise ValueError(
+            f"not a bpe_merges/v1 asset: {asset.get('format')!r} at {path}"
+        )
+    merges = [(l, r) for l, r in asset["merges"]]
+    if len(merges) != asset["n_merges"]:
+        raise ValueError(
+            f"corrupt merges asset at {path}: n_merges={asset['n_merges']} "
+            f"but {len(merges)} merge rows"
+        )
+    return merges

@@ -153,3 +153,42 @@ def test_trained_token_counts_oracle_survives_exhaustion():
     )
     # merges exhaust after (a,a), (aa,aa): every word is 1 token
     assert res == {1: (2, 2), 2: (1, 1)}
+
+
+def test_max_vocab_caps_deterministically(spark):
+    # max_vocab keeps the top-N words by (cnt DESC, word ASC): with
+    # the two rare words excluded, their unique chars can never merge.
+    docs = spark.createDataFrame(
+        [("d1", "xy xy xy ab ab zq vw")], ["doc_id", "text"]
+    )
+    out = _merge_pairs(learn_bpe_merges(docs, 5, max_vocab=2))
+    assert out == [("x", "y"), ("a", "b")] == train_bpe(
+        {"xy": 3, "ab": 2}, 5
+    )
+
+
+def test_merges_asset_round_trip(spark, tmp_path):
+    from mapreduce_minhash_lsh_spark.functions.bpe import encode_word
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        load_merges,
+        save_merges,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    trained = learn_bpe_merges(docs, 8, word_pattern="^[a-z]+$")
+    path = str(tmp_path / "tokenizer.json")
+    save_merges(trained, path)
+    merges = load_merges(spark, path)
+    assert merges == _merge_pairs(trained)
+    # the loaded asset drives the priority encoder directly
+    assert encode_word("merge", merges) == encode_word(
+        "merge", _merge_pairs(trained)
+    )
+    # foreign format fails loudly
+    import json
+    import pytest
+
+    bad = str(tmp_path / "bad.json")
+    (tmp_path / "bad.json").write_text(json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="not a bpe_merges/v1"):
+        load_merges(spark, bad)
