@@ -134,6 +134,33 @@ def learn_bpe_merges(
     )
 
 
+def _pair_argmax(vocab: DataFrame) -> DataFrame:
+    """The per-iteration winning pair: adjacent-pair explode weighted
+    by word count, then (total DESC, lhs, rhs) limit 1 — Spark plans a
+    TakeOrderedAndProject over the partial-aggregated pair counts (no
+    full sort shuffle; plan-pinned by tests/test_plan_shape.py)."""
+    # Filter BEFORE the pair transform: sequence(1, size-1) on a
+    # single-symbol word would DESCEND to index 0.
+    pairs = vocab.where(F.size("seq") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - 1),
+                lambda i: F.struct(
+                    F.element_at("seq", i).alias("lhs"),
+                    F.element_at("seq", i + 1).alias("rhs"),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair.lhs", "pair.rhs")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.col("total").desc(), "lhs", "rhs")
+        .limit(1)
+    )
+
+
 def learn_bpe_merges_from_freqs(freqs: DataFrame, n_merges: int) -> DataFrame:
     """The training loop over an existing (word, cnt) frequency table —
     the entry point for callers that maintain the counts themselves
@@ -148,27 +175,8 @@ def learn_bpe_merges_from_freqs(freqs: DataFrame, n_merges: int) -> DataFrame:
     merges: list[tuple[int, str, str, str]] = []
     try:
         for rank in range(1, n_merges + 1):
-            # Filter BEFORE the pair transform: sequence(1, size-1)
-            # on a single-symbol word would DESCEND to index 0.
-            pairs = vocab.where(F.size("seq") >= 2).select(
-                "cnt",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("seq") - 1),
-                        lambda i: F.struct(
-                            F.element_at("seq", i).alias("lhs"),
-                            F.element_at("seq", i + 1).alias("rhs"),
-                        ),
-                    )
-                ).alias("pair"),
-            )
-            best = (
-                pairs.groupBy("pair.lhs", "pair.rhs")
-                .agg(F.sum("cnt").alias("total"))
-                .orderBy(F.col("total").desc(), "lhs", "rhs")
-                .limit(1)
-                .collect()  # bounded: exactly one row per iteration
-            )
+            # bounded: exactly one row per iteration
+            best = _pair_argmax(vocab).collect()
             if not best:
                 break
             lhs, rhs = best[0]["lhs"], best[0]["rhs"]

@@ -280,3 +280,42 @@ def test_token_budget_selection_no_global_window(spark):
     assert win, "expected a per-bucket window"
     assert all("_bucket" in ln for ln in win), win
     assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_bpe_argmax_is_take_ordered(spark):
+    """The per-iteration winning pair (round 14) must be a
+    TakeOrderedAndProject over partially-aggregated pair counts — a
+    global Sort exchange for a LIMIT-1 argmax would shuffle the whole
+    pair vocabulary every merge iteration."""
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        _pair_argmax,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    vocab = word_frequencies(docs, word_pattern="^[a-z]+$").select(
+        "cnt", F.array_remove(F.split(F.col("word"), ""), "").alias("seq")
+    )
+    p = plan(_pair_argmax(vocab))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_sum" in p
+    assert p.count("Sort ") == 0  # no global sort node
+
+
+def test_bpe_trained_token_counts_single_exchange_chained_folds(spark):
+    """Round 14: the train-then-encode apply path must stay K chained
+    Projects (one per merge — CollapseProject re-inlining would
+    rebuild the 3^K expression tree) feeding ONE partial-aggregated
+    exchange on doc_id."""
+    from mapreduce_minhash_lsh_spark.operators.bpe import (
+        trained_token_counts,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = trained_token_counts(docs, 8, word_pattern="^[a-z]+$")
+    p = plan(df)
+    assert p.count("Exchange") == 1
+    assert p.count("+- Project") >= 8  # one surviving Project per merge
+    assert "partial_count" in p or "partial_sum" in p
+    # the chained-alias structure keeps the plan string linear in K
+    assert len(p) < 200_000
