@@ -64,27 +64,38 @@ def doc_feature_buckets(
 ) -> DataFrame:
     """(doc_id, [carry...], bucket) with multiplicity: hashed word
     unigrams plus word bigrams, folded to ``n_buckets`` via the
-    engine-portable md5 hash.  Map-side only (two explodes unioned);
-    the bigram branch guards ``>= 2`` tokens because word_ngrams'
-    sequence() would descend on shorter docs.  ``carry`` columns ride
-    the explode unchanged (e.g. a target flag) so callers never need a
-    join to re-attach per-doc attributes."""
+    engine-portable md5 hash.  Map-side only — ONE explode: the
+    unigram and bigram arrays are concatenated per document (r14
+    optimization, guide §1.2: the former two-explode union scanned and
+    re-tokenized the corpus twice per side, so dsir_logweights paid
+    four corpus passes where two suffice).  The bigram branch guards
+    ``>= 2`` tokens inside a when() because word_ngrams' sequence()
+    would descend on shorter docs; a when-branch is evaluated lazily,
+    so short docs never touch it.  The emitted (doc, feat) multiset is
+    identical to the old union — order differs, but every consumer
+    aggregates.  ``carry`` columns ride the explode unchanged (e.g. a
+    target flag) so callers never need a join to re-attach per-doc
+    attributes."""
     text = F.col(text_col)
     extras = [F.col(c) for c in (carry or [])]
-    uni = docs.where(F.length(text) > 0).select(
-        F.col(id_col).alias("doc_id"),
-        *extras,
-        F.explode(tokens(text)).alias("feat"),
+    feats = F.concat(
+        tokens(text),
+        F.when(
+            F.size(tokens(text)) >= 2, word_ngrams(text, 2)
+        ).otherwise(F.array().cast("array<string>")),
     )
-    bi = docs.where(F.size(tokens(text)) >= 2).select(
-        F.col(id_col).alias("doc_id"),
-        *extras,
-        F.explode(word_ngrams(text, 2)).alias("feat"),
-    )
-    return uni.unionByName(bi).select(
-        "doc_id",
-        *[F.col(c) for c in (carry or [])],
-        (md5_long(F.col("feat")) % F.lit(n_buckets)).alias("bucket"),
+    return (
+        docs.where(F.length(text) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *extras,
+            F.explode(feats).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            *[F.col(c) for c in (carry or [])],
+            (md5_long(F.col("feat")) % F.lit(n_buckets)).alias("bucket"),
+        )
     )
 
 
