@@ -31,6 +31,27 @@ def dot_scaled(a: Column, b: Column) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
+def dot_scaled_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`dot_scaled` — parses to the semantically
+    identical expression (same casts, same double scale literal, same
+    int64 fold), producing bit-identical values.
+
+    Exists for the literal-enumerating callers (ADC lookup tables:
+    m x n_codes dot products against codebook literals).  Built through
+    the Column API each ``dot_scaled`` costs ~40 py4j round trips for
+    its two lambdas; at 8 x 16 codebook entries that is ~5 s of
+    DRIVER-SIDE PYTHON per query construction (measured, r14 — the
+    dominant cost of ann_ivfpq_topk at bench scale).  One
+    ``F.expr(...)`` over this string is a single round trip.  Kept in
+    lockstep with ``dot_scaled`` and pinned bit-equal by
+    tests/test_ann.py::test_lut_sql_matches_column_path."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {SCALE!r}D) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
 def dot_exact(a: Column, b: Column) -> Column:
     """Order-independent dot product, as double."""
     return dot_scaled(a, b) / F.lit(SCALE)

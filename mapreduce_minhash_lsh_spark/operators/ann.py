@@ -196,7 +196,9 @@ def _srp_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def srp_bucket(vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42) -> F.Column:
+def srp_bucket(
+    vec_col: F.Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> F.Column:
     """Signed-random-projection bucket id: n_planes sign bits packed into
     a long.  Map-side only — the corpus is hashed in one pass.
 
@@ -204,11 +206,28 @@ def srp_bucket(vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42) -
     the sign — and therefore the bucket id — is independent of summation
     order and identical across engines: the DuckDB oracle for
     ``ann_lsh_topk`` reproduces the exact same buckets.  (A float fold
-    could flip the sign of a near-zero projection between engines.)"""
-    from mapreduce_minhash_lsh_spark.functions.vectors import dot_scaled
+    could flip the sign of a near-zero projection between engines.)
 
+    Accepts a plain Column (original loop) or a column NAME, which
+    builds the whole bucket as ONE SQL-parsed expression — the r14
+    construction fix (see functions/vectors.dot_scaled_sql): the
+    Column-API loop costs n_planes x (dim F.lit + two lambdas) of py4j
+    round trips per call, pure driver-side Python."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import (
+        dot_scaled,
+        dot_scaled_sql,
+    )
+
+    planes = _srp_planes(dim, n_planes, seed)
+    if isinstance(vec_col, str):
+        terms = " + ".join(
+            f"(CASE WHEN {dot_scaled_sql(f'`{vec_col}`', 'array(' + ','.join(_dfmt(x) for x in plane) + ')')}"
+            f" > CAST(0 AS BIGINT) THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(_srp_planes(dim, n_planes, seed)):
+    for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
         d = dot_scaled(vec_col, lit_plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
@@ -233,9 +252,9 @@ def lsh_topk(
     cb = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        srp_bucket(vec_col, dim, n_planes, seed).alias("bucket"),
     )
-    base = srp_bucket(F.col(vec_col), dim, n_planes, seed)
+    base = srp_bucket(vec_col, dim, n_planes, seed)
     probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
     qb = queries.select(
         F.col(id_col).alias("query_id"),
@@ -282,6 +301,36 @@ def _dfmt(x: float) -> str:
             "unparseable SQL literal and driver/engine divergence)"
         )
     return repr(x) + "D"
+
+
+def _lut_cols(
+    books: list[list[tuple[int, list[float]]]], vec_col: str, sub: int
+) -> list[F.Column]:
+    """Per-subspace ADC lookup arrays (``lut{j}`` = the query
+    subvector's scaled-int dot against each codebook entry) built as
+    ONE SQL-parsed expression per subspace.
+
+    The Column-API form (m x n_codes ``dot_scaled`` calls, two lambdas
+    each) costs thousands of py4j round trips — measured 5-6 s of
+    driver-side Python per ivfpq_query construction at the bench
+    config (8 x 16), which dominated ann_ivfpq_topk's wall clock.  The
+    SQL text parses to the semantically identical tree
+    (functions/vectors.dot_scaled_sql — bit-equal, pinned by test), so
+    the scan arithmetic and every downstream value are unchanged."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import dot_scaled_sql
+
+    return [
+        F.expr(
+            "array(" + ",".join(
+                dot_scaled_sql(
+                    f"slice(`{vec_col}`, {j * sub + 1}, {sub})",
+                    f"array({','.join(_dfmt(x) for x in cvec)})",
+                )
+                for _cid, cvec in books[j]
+            ) + ")"
+        ).alias(f"lut{j}")
+        for j in range(len(books))
+    ]
 
 
 def _dlit_array(vals: list[float]) -> F.Column:
@@ -765,18 +814,7 @@ def pq_query(
     sub = dim // m
     luts = queries.select(
         F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[
-                    dot_scaled(
-                        F.slice(F.col(vec_col), j * sub + 1, sub),
-                        _dlit_array(cvec),
-                    )
-                    for _cid, cvec in books[j]
-                ]
-            ).alias(f"lut{j}")
-            for j in range(m)
-        ],
+        *_lut_cols(books, vec_col, sub),
     )
     adc = _adc_score(m)
     scored = (
@@ -941,18 +979,7 @@ def ivfpq_query(
     sub = dim // m
     luts = queries.select(
         F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[
-                    dot_scaled(
-                        F.slice(F.col(vec_col), j * sub + 1, sub),
-                        _dlit_array(cvec),
-                    )
-                    for _cid, cvec in books[j]
-                ]
-            ).alias(f"lut{j}")
-            for j in range(m)
-        ],
+        *_lut_cols(books, vec_col, sub),
         F.explode(_assign_col(cents, F.col(vec_col), n_probe, assign)).alias("list_id"),
     )
     if prune:

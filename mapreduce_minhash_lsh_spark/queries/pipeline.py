@@ -250,12 +250,18 @@ def q_word_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     toks = F.split(F.col("text"), " ")
     docs = load_table(spark, sf, "documents").where(F.size(toks) >= 2)
+    # No persist: similar_pairs_from_shingles consumes the shingle
+    # relation exactly ONCE (signature_set_relation computes signatures
+    # and verify-sets in a single aggregate), so caching it was pure
+    # write-side overhead — and a cache leak, since nothing unpersisted
+    # it (r14 optimization; the flagship docstring makes the same
+    # single-consumption argument).
     wsh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_text.word_ngrams(F.col("text"), 2))).alias(
             "shingle"
         ),
-    ).persist()
+    )
     return similar_pairs_from_shingles(wsh, _CFG, threshold=_WORD_THRESHOLD)
 
 

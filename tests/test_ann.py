@@ -426,3 +426,38 @@ def test_ivfpq_parquet_index_partition_prunes(spark, tmp_path):
         cents, books, stored, emb, q, dim=64, k=5, n_probe=1, prune=False
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_lut_sql_matches_column_path(spark):
+    """The SQL-text ADC lookup tables (_lut_cols / dot_scaled_sql — the
+    r14 driver-side construction fix) must be BIT-IDENTICAL to the
+    Column-API dot_scaled form they replaced, per subspace and per
+    codebook entry."""
+    from mapreduce_minhash_lsh_spark.functions.vectors import dot_scaled
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        _dlit_array,
+        _lut_cols,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = pq_codebooks(emb, dim=64, m=4, n_codes=8, iters=2)
+    sub = 64 // len(books)
+    old = emb.select(
+        "vec_id",
+        *[
+            F.array(
+                *[
+                    dot_scaled(
+                        F.slice(F.col("embedding"), j * sub + 1, sub),
+                        _dlit_array(cvec),
+                    )
+                    for _cid, cvec in books[j]
+                ]
+            ).alias(f"lut{j}")
+            for j in range(len(books))
+        ],
+    )
+    new = emb.select("vec_id", *_lut_cols(books, "embedding", sub))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
