@@ -117,56 +117,67 @@ def bands_for(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
 
 def _key_array(signatures: DataFrame, cfg: MinHashLSHConfig):
     """Column: array of num_bands compact band keys (one long per band),
-    under cfg.band_key_strategy — the per-doc band-key vector."""
+    under cfg.band_key_strategy — the per-doc band-key vector.
+
+    Built as ONE SQL-parsed expression (r14): the Column form cost
+    ~0.2-0.5 s of driver-side py4j per construction, paid by every
+    similarity-family query; the parsed tree (and so the plan and every
+    key value) is identical — md5_long's conv/substring parse and the
+    band-indexed xxhash64 are rendered verbatim."""
     r = cfg.rows_per_band
     if "sig" in signatures.columns:
-        def cols(band: int) -> list:
-            return [F.col("sig")[band * r + i] for i in range(r)]
-        def joined(band: int):
-            return F.array_join(
-                F.transform(
-                    F.slice("sig", band * r + 1, r), lambda x: x.cast("string")
-                ),
-                ",",
+        def cols_sql(band: int) -> list[str]:
+            return [f"sig[{band * r + i}]" for i in range(r)]
+        def joined_sql(band: int) -> str:
+            return (
+                f"array_join(transform(slice(sig, {band * r + 1}, {r}), "
+                "x -> CAST(x AS STRING)), ',')"
             )
     else:
-        def cols(band: int) -> list:
-            return [F.col(f"mh_{band * r + i}") for i in range(r)]
-        def joined(band: int):
-            return F.concat_ws(",", *cols(band))
+        def cols_sql(band: int) -> list[str]:
+            return [f"mh_{band * r + i}" for i in range(r)]
+        def joined_sql(band: int) -> str:
+            return "concat_ws(','," + ",".join(cols_sql(band)) + ")"
     if cfg.band_key_strategy == "xxhash":
-        return F.array(*[
-            F.xxhash64(F.lit(band), *cols(band)) for band in range(cfg.num_bands)
-        ])
-    return F.array(*[md5_long(joined(band)) for band in range(cfg.num_bands)])
+        keys = ",".join(
+            f"xxhash64({band}," + ",".join(cols_sql(band)) + ")"
+            for band in range(cfg.num_bands)
+        )
+    else:
+        keys = ",".join(
+            f"CAST(conv(substring(md5({joined_sql(band)}), 1, 15), 16, 10) AS BIGINT)"
+            for band in range(cfg.num_bands)
+        )
+    return F.expr(f"array({keys})")
 
 
 def _not_earlier(
     cfg: MinHashLSHConfig,
-    keys_a,
-    keys_b,
-    survs_a=None,
+    keys_a: str,
+    keys_b: str,
+    survs_a: str | None = None,
 ):
     """CASE-over-band filter: keep a band match only if NO earlier band
     also matched (and, when a survival vector is supplied, survived the
-    bucket-size cap).  ``keys_a``/``keys_b``/``survs_a`` are callables
-    j -> Column.  Plain getItem+AND/OR chains stay inside whole-stage
-    codegen (no higher-order functions); survival is a bucket property,
-    so when keys agree at band j both sides' survival flags are equal
-    and side a's suffices."""
-    def match(j: int):
-        c = keys_a(j) == keys_b(j)
+    bucket-size cap).  ``keys_a``/``keys_b``/``survs_a`` are SQL
+    fragment templates with a ``{j}`` placeholder (e.g. ``"a.keys[{j}]"``)
+    — the whole CASE is rendered as text and parsed once (r14: the
+    Column-built chain cost ~0.4-0.5 s of driver-side py4j per
+    construction; the parsed tree is identical).  Plain getItem+AND/OR
+    chains stay inside whole-stage codegen (no higher-order functions);
+    survival is a bucket property, so when keys agree at band j both
+    sides' survival flags are equal and side a's suffices."""
+    def match(j: int) -> str:
+        c = f"({keys_a.format(j=j)} = {keys_b.format(j=j)})"
         if survs_a is not None:
-            c = c & survs_a(j)
+            c = f"({c} AND {survs_a.format(j=j)})"
         return c
 
-    not_earlier = F.when(F.col("band") == 0, F.lit(True))
+    whens = ["WHEN band = 0 THEN true"]
     for bi in range(1, cfg.num_bands):
-        earlier = match(0)
-        for j in range(1, bi):
-            earlier = earlier | match(j)
-        not_earlier = not_earlier.when(F.col("band") == bi, ~earlier)
-    return not_earlier
+        earlier = " OR ".join(match(j) for j in range(bi))
+        whens.append(f"WHEN band = {bi} THEN NOT ({earlier})")
+    return F.expr("CASE " + " ".join(whens) + " END")
 
 
 def banded_pairs(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
@@ -194,13 +205,7 @@ def banded_pairs(signatures: DataFrame, cfg: MinHashLSHConfig) -> DataFrame:
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(
-            _not_earlier(
-                cfg,
-                lambda j: F.col("a.keys")[j],
-                lambda j: F.col("b.keys")[j],
-            )
-        )
+        .where(_not_earlier(cfg, "a.keys[{j}]", "b.keys[{j}]"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -299,13 +304,7 @@ def banded_cross_pairs(
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_id_a") != F.col("doc_id_b"))
-        .where(
-            _not_earlier(
-                cfg,
-                lambda j: F.col("keys_a")[j],
-                lambda j: F.col("keys_b")[j],
-            )
-        )
+        .where(_not_earlier(cfg, "keys_a[{j}]", "keys_b[{j}]"))
         .select("doc_id_a", "doc_id_b")
     )
 
@@ -455,10 +454,7 @@ def _capped_pairs(
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .where(
                 _not_earlier(
-                    cfg,
-                    lambda j: F.col("a.keys")[j],
-                    lambda j: F.col("b.keys")[j],
-                    lambda j: F.col("a.survs")[j],
+                    cfg, "a.keys[{j}]", "b.keys[{j}]", "a.survs[{j}]"
                 )
             )
             .select(
@@ -475,11 +471,7 @@ def _capped_pairs(
         if oversize == "split"
         else max(max_bucket_size, auto_split_threshold)
     )
-    ne = _not_earlier(
-        cfg,
-        lambda j: F.col("a.keys")[j],
-        lambda j: F.col("b.keys")[j],
-    )
+    ne = _not_earlier(cfg, "a.keys[{j}]", "b.keys[{j}]")
     small_rows = rows.where(F.col("_n") <= thr).drop("_n")
     a, b = small_rows.alias("a"), small_rows.alias("b")
     small = (
@@ -501,11 +493,7 @@ def _capped_pairs(
     # ~n^2/2 rows, vs n^2/cap replica rows here — twice, strictly more
     # bytes whenever cap >> num_bands/2.)
     nblk = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("int")
-    ne_prefix = _not_earlier(
-        cfg,
-        lambda j: F.col("a.pkeys")[j],
-        lambda j: F.col("b.pkeys")[j],
-    )
+    ne_prefix = _not_earlier(cfg, "a.pkeys[{j}]", "b.pkeys[{j}]")
     big_rows = (
         rows.where(F.col("_n") > thr)
         .select(

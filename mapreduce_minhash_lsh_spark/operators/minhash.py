@@ -18,11 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.functions.hashing import (
-    affine_hash,
-    md5_id,
-    xxhash_id,
-)
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_id, xxhash_id
 from mapreduce_minhash_lsh_spark.operators.shingling import vocabulary
 
 
@@ -74,7 +70,9 @@ def minhash_signatures_array(
     wide = minhash_signatures(doc_shingles, cfg)
     return wide.select(
         "doc_id",
-        F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"mh_{j}" for j in range(cfg.num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -87,8 +85,12 @@ def minhash_signatures(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFr
     MinHashLSH.java:43-143).
     """
     ids = shingle_ids(doc_shingles, cfg)
+    # SQL-text aggregates (r14): the Column form (F.min(affine_hash(..)))
+    # costs ~5 py4j round trips per hash — 1.5-2.4 s of driver-side
+    # Python per construction at n=128 (measured; see
+    # similarity._sig_set_from_base).  Parsed trees are identical.
     aggs = [
-        F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
+        F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime})").alias(f"mh_{j}")
         for j, (a, b) in enumerate(cfg.hash_params())
     ]
     return ids.groupBy("doc_id").agg(*aggs)
@@ -230,8 +232,16 @@ def oph_sig_expr(bm, cfg: MinHashLSHConfig):
             probes.setdefault(s, []).append(d)
     # Literal n x T donor matrix; CreateArray-of-literals constant-folds,
     # so the generated code carries one array literal, not 2 048 nodes.
-    probe_lit = F.array(
-        *[F.array(*[F.lit(d) for d in probes[s]]) for s in range(n)]
+    # Built as ONE SQL-parsed expression (r14): the Column form was
+    # n x T F.lit py4j round trips (~1-2 s of driver-side Python per
+    # OPH construction at n=128, T=16).
+    probe_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(d) for d in probes[s]) + ")"
+            for s in range(n)
+        )
+        + ")"
     )
 
     def sig_from_vals(vals):

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_minhash_lsh_spark.config import MinHashLSHConfig
-from mapreduce_minhash_lsh_spark.functions.hashing import affine_hash, md5_long
+from mapreduce_minhash_lsh_spark.functions.hashing import md5_long
 from mapreduce_minhash_lsh_spark.operators.lsh import (
     banded_pairs,
     banded_pairs_capped,
@@ -362,14 +362,24 @@ def _sig_set_from_base(
         return _materialize(
             rel.select("doc_id", "sig", "sh_set"), checkpoint_dir, eager
         )
+    # The 128 affine-min aggregates are built as SQL text, one F.expr
+    # per aggregate (r14): the Column form (F.min(affine_hash(...)))
+    # costs ~5 py4j round trips per hash — measured 1.5-2.4 s of pure
+    # DRIVER-SIDE PYTHON per flagship construction, roughly a third of
+    # the whole query's wall clock, paid by every similarity-family
+    # query.  The parsed trees are identical (same literals, same
+    # `(a * x + b) % p` shape — affine_hash's contract), so the plan
+    # and every value are unchanged.
     aggs = [
-        F.min(affine_hash(F.col("shingle_id"), a, b, cfg.prime)).alias(f"mh_{j}")
+        F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime})").alias(f"mh_{j}")
         for j, (a, b) in enumerate(cfg.hash_params())
     ]
     aggs.append(F.collect_set("sid").alias("sh_set"))
     rel = base.groupBy("doc_id").agg(*aggs).select(
         "doc_id",
-        F.array(*[F.col(f"mh_{j}") for j in range(cfg.num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"mh_{j}" for j in range(cfg.num_hashes)) + ")"
+        ).alias("sig"),
         "sh_set",
     )
     return _materialize(rel, checkpoint_dir)
