@@ -133,6 +133,18 @@ def test_similar_groups_equals_groups_of_similar_pairs(spark):
         )
         assert got == want, f"threshold={threshold}"
         assert len(want) > 15  # the corpus actually grouped things
+        # the r14 direct-verify tier and the Borůvka loop must agree:
+        # force the loop (budget None) and compare against the default
+        # (which takes the direct path at this volume)
+        loop = sorted(
+            map(
+                tuple,
+                similar_groups(
+                    docs, cfg, threshold=threshold, direct_verify_budget=None
+                ).collect(),
+            )
+        )
+        assert loop == want, f"Borůvka path diverged at threshold={threshold}"
 
 
 def test_similar_groups_capped_and_empty(spark):
