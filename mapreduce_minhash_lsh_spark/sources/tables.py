@@ -36,8 +36,19 @@ TABLE_KEYS = {
 }
 
 
+# (applicationId, source path, key, minimum) -> the repartition
+# decision of ensure_min_partitions.  Probing the decision is the
+# expensive part (plan statistics + df.rdd materializes the physical
+# RDD — measured 0.13-0.19 s PER load_table call, and a 6-table star
+# join pays it six times per query); for a fixed session and source
+# file the decision is deterministic, so it is probed once (r14).
+# Entries from other applications are dropped on access.
+_MIN_PART_MEMO: dict[tuple[str, str, str, int], bool] = {}
+
+
 def ensure_min_partitions(
-    df: DataFrame, key: str, minimum: int | None = None
+    df: DataFrame, key: str, minimum: int | None = None,
+    memo_path: str | None = None,
 ) -> DataFrame:
     """Hash-repartition on ``key`` — but ONLY when the scan under-splits.
 
@@ -62,20 +73,52 @@ def ensure_min_partitions(
     is deliberately low because bytes-on-disk undersell post-scan
     fan-out (documents is ~600 KB compressed at sf0.1 but explodes to
     7M+ shingle rows).
+
+    ``memo_path``: opt-in per-session memo of the DECISION (see
+    _MIN_PART_MEMO) — callers reading a source that is stable for the
+    session's lifetime (load_table over the immutable testdata) skip
+    the probes on every call after the first.  Callers whose input can
+    change under the same path must leave it None.
     """
     spark = df.sparkSession
     minimum = minimum or spark.sparkContext.defaultParallelism
+    app = spark.sparkContext.applicationId
+    mk = None
+    if memo_path is not None:
+        for stale in [k for k in _MIN_PART_MEMO if k[0] != app]:
+            del _MIN_PART_MEMO[stale]
+        mk = (app, memo_path, key, minimum)
+        if mk in _MIN_PART_MEMO:
+            if _MIN_PART_MEMO[mk]:
+                return df.repartition(minimum, F.col(key))
+            return df
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size < 128 * 1024:
-        return df
-    if df.rdd.getNumPartitions() < minimum:
+    need = size >= 128 * 1024 and df.rdd.getNumPartitions() < minimum
+    if mk is not None:
+        _MIN_PART_MEMO[mk] = need
+    if need:
         return df.repartition(minimum, F.col(key))
     return df
+
+
+# (applicationId, sf_dir, name) -> the fully-derived table DataFrame.
+# DataFrames are immutable plans, so handing every caller the same
+# object is safe; re-CONSTRUCTING it (parquet footer/schema read,
+# relation + column py4j calls) measured ~0.1-0.15 s per call, paid up
+# to six times per star-join query.  The testdata contract makes the
+# memo sound: a (sf_dir, name) parquet is immutable for the session.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _TABLE_MEMO if k[0] != app]:
+        del _TABLE_MEMO[stale]
+    mk = (app, sf_dir, name)
+    if mk in _TABLE_MEMO:
+        return _TABLE_MEMO[mk]
     # Calendar functions (year/date_trunc) are session-timezone dependent;
     # the testdata timestamps are naive-UTC and the DuckDB oracle reads
     # them naively, so pin UTC regardless of who built this session.
@@ -94,13 +137,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ts_us = F.expr("ts div 1000").cast("long")
         else:
             ts_us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
-        return ensure_min_partitions(
-            df.withColumn("ts_us", ts_us), TABLE_KEYS[name]
+        out = ensure_min_partitions(
+            df.withColumn("ts_us", ts_us), TABLE_KEYS[name],
+            memo_path=os.path.join(sf_dir, f"{name}.parquet"),
         )
-    return ensure_min_partitions(
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")),
-        TABLE_KEYS[name],
-    )
+    else:
+        out = ensure_min_partitions(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")),
+            TABLE_KEYS[name],
+            memo_path=os.path.join(sf_dir, f"{name}.parquet"),
+        )
+    _TABLE_MEMO[mk] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -369,3 +369,26 @@ def test_scratch_dir_refuses_squatted_root(spark, monkeypatch, tmp_path):
     p = fsmod.scratch_dir(spark, "x")
     assert os.path.isdir(p)
     assert (os.lstat(root).st_mode & 0o777) == 0o700
+
+
+def test_ensure_min_partitions_memo(spark):
+    """The r14 per-session memo must reproduce the probed decision: a
+    second load_table of the same table returns a plan with the same
+    repartition shape as the first (exchange present for real tables,
+    absent for tiny dimensions), without re-probing."""
+    from mapreduce_minhash_lsh_spark.sources import tables as T
+
+    T._MIN_PART_MEMO.clear()
+    T._TABLE_MEMO.clear()
+    first = T.load_table(spark, SF_SMALL, "lineitem")
+    assert T._MIN_PART_MEMO, "first call must populate the memo"
+    T._TABLE_MEMO.clear()  # force reconstruction through the decision memo
+    second = T.load_table(spark, SF_SMALL, "lineitem")
+    p1 = first._jdf.queryExecution().optimizedPlan().toString()
+    p2 = second._jdf.queryExecution().optimizedPlan().toString()
+    assert ("RepartitionByExpression" in p1) == ("RepartitionByExpression" in p2)
+    # tiny dimension: decision is 'no repartition' on both calls
+    r1 = T.load_table(spark, SF_SMALL, "region")
+    r2 = T.load_table(spark, SF_SMALL, "region")
+    assert "RepartitionByExpression" not in r1._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in r2._jdf.queryExecution().optimizedPlan().toString()
