@@ -342,19 +342,54 @@ def _dlit_array(vals: list[float]) -> F.Column:
     return F.expr(f"array({','.join(_dfmt(x) for x in vals)})")
 
 
-def _cent_literal(cents: list[tuple[int, list[float]]]) -> F.Column:
-    """Centroids as an array<struct<cid,cvec>> literal (broadcast-sized);
-    single SQL-parsed expression — see :func:`_dlit_array` for why."""
+def _cent_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """Centroids as array<struct<cid,cvec>> literal SQL text."""
     parts = ",".join(
         f"struct({int(cid)} AS cid, array({','.join(_dfmt(x) for x in vec)}) AS cvec)"
         for cid, vec in cents
     )
-    return F.expr(f"array({parts})")
+    return f"array({parts})"
 
 
-def _assign_expr(cents: list[tuple[int, list[float]]], vec: F.Column, top: int) -> F.Column:
+def _cent_literal(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Centroids as an array<struct<cid,cvec>> literal (broadcast-sized);
+    single SQL-parsed expression — see :func:`_dlit_array` for why."""
+    return F.expr(_cent_sql(cents))
+
+
+def _assign_expr(
+    cents: list[tuple[int, list[float]]], vec: F.Column | str, top: int
+) -> F.Column:
     """Array of the `top` nearest centroid ids by exact cosine,
-    deterministic tie-break (cosine desc, cid asc)."""
+    deterministic tie-break (cosine desc, cid asc).
+
+    Accepts a plain Column (original form) or a SQL fragment STRING
+    naming the vector (e.g. ``"`embedding`"`` or a slice(...) text),
+    which renders the whole assignment as ONE SQL-parsed expression —
+    the r15 construction fix, same recipe as ``_lut_cols``/``srp_bucket``:
+    the Column form's three ``dot_scaled`` lambdas cost ~120 py4j round
+    trips (~0.12 s measured) PER call, and an IVF-PQ index build makes
+    1 + m + 1 such calls.  The parsed tree is identical (same scaled-int
+    dot, same neg-cos/cid sort key — pinned bit-equal and plan-equal by
+    tests/test_ann.py::test_assign_sql_matches_column_path)."""
+    if isinstance(vec, str):
+        from mapreduce_minhash_lsh_spark.functions.vectors import (
+            SCALE,
+            dot_scaled_sql,
+        )
+
+        s = f"{SCALE!r}D"
+        dot = f"({dot_scaled_sql(vec, 'c.cvec')} / {s})"
+        n2v = f"({dot_scaled_sql(vec, vec)} / {s})"
+        n2c = f"({dot_scaled_sql('c.cvec', 'c.cvec')} / {s})"
+        cos = f"({dot} / (SQRT({n2v}) * SQRT({n2c})))"
+        scored = (
+            f"transform({_cent_sql(cents)}, "
+            f"c -> struct(-{cos} AS neg_cos, c.cid AS cid))"
+        )
+        return F.expr(
+            f"transform(slice(array_sort({scored}), 1, {top}), s -> s.cid)"
+        )
     scored = F.transform(
         _cent_literal(cents),
         lambda c: F.struct(
@@ -416,17 +451,24 @@ def _assign_fast_udf(cents: list[tuple[int, list[float]]], top: int):
 
 
 def _assign_col(
-    cents: list[tuple[int, list[float]]], vec: F.Column, top: int, assign: str
+    cents: list[tuple[int, list[float]]],
+    vec: F.Column | str,
+    top: int,
+    assign: str,
 ) -> F.Column:
     """Nearest-``top`` centroid ids for ``vec`` under the chosen
     strategy: 'exact' (oracle-bit-reproducible expression arithmetic),
     'fast' (Arrow-batch matmul), or 'auto' (fast iff
-    len(cents) > ASSIGN_FAST_THRESHOLD)."""
+    len(cents) > ASSIGN_FAST_THRESHOLD).  ``vec`` may be a Column or a
+    SQL fragment string (see :func:`_assign_expr`); the string form is
+    the cheap-construction path every internal caller uses."""
     if assign == "auto":
         assign = "fast" if len(cents) > ASSIGN_FAST_THRESHOLD else "exact"
     if assign == "exact":
         return _assign_expr(cents, vec, top)
     if assign == "fast":
+        if isinstance(vec, str):
+            vec = F.expr(vec)
         return _assign_fast_udf(cents, top)(vec)
     raise ValueError(f"assign must be 'exact', 'fast' or 'auto', got {assign!r}")
 
@@ -595,7 +637,7 @@ def ivf_index(
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(_assign_col(cents, F.col(vec_col), 1, assign), 1).alias("list_id"),
+        F.element_at(_assign_col(cents, f"`{vec_col}`", 1, assign), 1).alias("list_id"),
     )
     return cents, corpus
 
@@ -626,7 +668,7 @@ def ivf_query(
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_assign_col(cents, F.col(vec_col), n_probe, assign)).alias("list_id"),
+        F.explode(_assign_col(cents, f"`{vec_col}`", n_probe, assign)).alias("list_id"),
     )
     if prune:
         lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
@@ -744,7 +786,7 @@ def pq_encode(
     sub = dim // len(books)
     cols = [
         F.element_at(
-            _assign_col(books[j], F.slice(F.col(vec_col), j * sub + 1, sub), 1, assign),
+            _assign_col(books[j], f"slice(`{vec_col}`, {j * sub + 1}, {sub})", 1, assign),
             1,
         ).cast("integer").alias(f"code{j}")
         for j in range(len(books))
@@ -937,11 +979,11 @@ def ivfpq_index(
     sub = dim // m
     codes = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.element_at(_assign_col(cents, F.col(vec_col), 1, assign), 1).alias("list_id"),
+        F.element_at(_assign_col(cents, f"`{vec_col}`", 1, assign), 1).alias("list_id"),
         *[
             F.element_at(
                 _assign_col(
-                    books[j], F.slice(F.col(vec_col), j * sub + 1, sub), 1, assign
+                    books[j], f"slice(`{vec_col}`, {j * sub + 1}, {sub})", 1, assign
                 ),
                 1,
             ).cast("integer").alias(f"code{j}")
@@ -980,7 +1022,7 @@ def ivfpq_query(
     luts = queries.select(
         F.col(id_col).alias("query_id"),
         *_lut_cols(books, vec_col, sub),
-        F.explode(_assign_col(cents, F.col(vec_col), n_probe, assign)).alias("list_id"),
+        F.explode(_assign_col(cents, f"`{vec_col}`", n_probe, assign)).alias("list_id"),
     )
     if prune:
         lists = [r.list_id for r in luts.select("list_id").distinct().collect()]

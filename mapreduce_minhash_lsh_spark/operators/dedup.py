@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
 _NOMINATIONS = 4
 
 
-def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
+def near_dup_groups(
+    pairs: DataFrame, max_iter: int | None = None, prepared: bool = False
+) -> DataFrame:
     """Connected components over an undirected edge list
     (doc_id_a, doc_id_b) -> (doc_id, group_id = min doc id of component).
 
@@ -98,22 +100,34 @@ def near_dup_groups(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
     wrong labels on a long-chain component (and diverge from the
     transitive-closure oracle).  Pass ``max_iter`` to bound rounds
     explicitly; exhaustion then raises rather than mislabeling.
+
+    ``prepared=True`` (r15, guide §2.4 — remove shuffles outright) is a
+    PERFORMANCE hint for composition callers whose ``pairs`` is already
+    a unique (a < b) edge list projected off an eagerly materialized
+    relation — exactly what the flagship's verified output is: a
+    filter + select over the checkpointed overlap-counts relation.  For
+    such input the symmetrizing ``distinct`` is a no-op shuffle (the
+    union of the two directions of unique a < b rows cannot collide)
+    and the eager localCheckpoint is a redundant barrier (the lineage
+    each iteration replays is one map-side filter over checkpointed
+    blocks).  The labels themselves are provably unchanged either way:
+    duplicate or self-loop edges cannot alter connected components
+    (min over a multiset ignores multiplicity), so the hint can only
+    ever cost performance, never correctness — tests pin both paths
+    output-equal on the flagship composition.
     """
     # Materialize the edge list eagerly: the incoming pairs may carry an
     # arbitrarily deep lineage (e.g. the whole LSH pipeline) that must not
-    # be replayed once per iteration.
-    edges = (
-        pairs.select("doc_id_a", "doc_id_b")
-        .unionByName(
-            pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
+    # be replayed once per iteration.  (Skipped under ``prepared`` — see
+    # docstring; the per-iteration replay is then a map-side projection.)
+    edges = pairs.select("doc_id_a", "doc_id_b").unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"),
+            F.col("doc_id_a").alias("doc_id_b"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
     )
-    edges = _reset_stats(edges)
+    if not prepared:
+        edges = _reset_stats(edges.distinct().localCheckpoint(eager=True))
     labels = (
         edges.select(F.col("doc_id_a").alias("doc_id"))
         .distinct()
@@ -314,8 +328,11 @@ def similar_groups(
             >= threshold
         ).select("doc_id_a", "doc_id_b")
         # every endpoint of a verified edge is in a >= 2-doc component,
-        # so near_dup_groups' labels are exactly this operator's output
-        return near_dup_groups(verified, max_iter=max_iter)
+        # so near_dup_groups' labels are exactly this operator's output.
+        # prepared: verified is a unique (a < b) filter over the
+        # checkpointed counts relation — CC needs no dedup shuffle and
+        # no second materialization barrier (r15).
+        return near_dup_groups(verified, max_iter=max_iter, prepared=True)
     labels = _materialize(
         edges.select(F.col("doc_id_a").alias("doc_id"))
         .unionByName(edges.select(F.col("doc_id_b").alias("doc_id")))
@@ -453,7 +470,11 @@ def similar_groups(
                 # borderline merges, each paying a full residual
                 # relabel join): take this round's merges, then sweep.
                 exhaustive = True
-        cc = near_dup_groups(comp_edges).select(
+        # prepared: comp_edges is eagerly materialized just above (its
+        # possible duplicate component pairs cannot change CC labels —
+        # see near_dup_groups' hint contract), so the per-round dedup
+        # shuffle + checkpoint barrier inside CC are both redundant.
+        cc = near_dup_groups(comp_edges, prepared=True).select(
             F.col("doc_id").alias("_c"), F.col("group_id").alias("_g")
         )
         labels = _materialize(
@@ -681,7 +702,9 @@ def hybrid_dedup_drop_ids(
     if n_lists is None:
         n_lists = max(1, math.isqrt(emb.count()))
     pairs = similar_pairs(docs, cfg)
-    groups = near_dup_groups(pairs)
+    # prepared: the flagship's verified pairs are unique (a < b) rows
+    # projected off the checkpointed counts relation (r15 fusion).
+    groups = near_dup_groups(pairs, prepared=True)
     t = groups.where(F.col("doc_id") != F.col("group_id")).select(
         "doc_id", F.lit(True).alias("by_text")
     )

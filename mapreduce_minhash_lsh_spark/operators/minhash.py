@@ -89,8 +89,13 @@ def minhash_signatures(doc_shingles: DataFrame, cfg: MinHashLSHConfig) -> DataFr
     # costs ~5 py4j round trips per hash — 1.5-2.4 s of driver-side
     # Python per construction at n=128 (measured; see
     # similarity._sig_set_from_base).  Parsed trees are identical.
+    # (The alias rides inside each expr string — r15: one round trip per
+    # aggregate instead of two.  The wide n-column contract needs n
+    # NamedExpressions, so this form cannot batch further without adding
+    # a struct-unpack Project; the hot flagship path avoids the wide
+    # shape entirely via _sig_set_from_base's array-valued aggregate.)
     aggs = [
-        F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime})").alias(f"mh_{j}")
+        F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime}) AS mh_{j}")
         for j, (a, b) in enumerate(cfg.hash_params())
     ]
     return ids.groupBy("doc_id").agg(*aggs)

@@ -100,13 +100,15 @@ def semdedup_pairs(
         raise ValueError(f"soft_assign must be >= 1, got {soft_assign}")
     if cents is None:
         cents = _centroids(emb, n_lists, lloyd_iters, id_col, vec_col, assign)
+    # SQL-fragment vec (r15): one parsed expression instead of ~120 py4j
+    # round trips per assignment construction — see ann._assign_expr.
     if soft_assign == 1:
         cell = F.element_at(
-            _assign_col(cents, F.col(vec_col), 1, assign), 1
+            _assign_col(cents, f"`{vec_col}`", 1, assign), 1
         ).alias("list_id")
     else:
         cell = F.explode(
-            _assign_col(cents, F.col(vec_col), soft_assign, assign)
+            _assign_col(cents, f"`{vec_col}`", soft_assign, assign)
         ).alias("list_id")
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),

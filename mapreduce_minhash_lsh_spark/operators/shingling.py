@@ -119,21 +119,44 @@ def expand_weighted_shingles(
     — weighted Jaccard IS plain set Jaccard on the expanded relation,
     so the entire MinHash/LSH/verify pipeline (and its DuckDB oracle)
     runs unchanged on this output: weighted near-dup detection costs
-    one extra (doc, shingle) aggregate, nothing else.  The cap bounds
-    the expansion to <= cap x the distinct-shingle relation and makes
+    one map-side projection, nothing else.  The cap bounds the
+    expansion to <= cap x the distinct-shingle relation and makes
     repetition saturate (a page that repeats its boilerplate 100x is
     not 100x more similar to another copy of it).  Fixed-k shingles
     make the '#i' suffix parse unambiguous.
+
+    MAP-SIDE (r15, guide §2.4 — remove shuffles outright): every
+    occurrence of a shingle lives in the SAME input row (the document),
+    so the per-(doc, shingle) tf never needs a shuffle.  The previous
+    form exploded the raw occurrence relation and ran a
+    groupBy(doc_id, shingle) count — a full exchange of the widest
+    relation of the weighted pipeline, paid before the flagship's own
+    signature aggregate.  Here the k-gram array is sorted per document
+    (equal grams become contiguous), so an occurrence's rank is decided
+    by at most ``cap`` look-backs: position i holds rank r iff
+    s[i-1..i-r+1] == s[i] and s[i-r] != s[i] — O(cap) comparisons per
+    gram, whole-stage codegen, zero exchanges.  The emitted multiset
+    {shingle || '#' || r : 1 <= r <= min(tf, cap)} is identical by
+    construction (tests pin row-level equality against the aggregate
+    form on the golden corpus).
     """
-    raw = explode_shingles(docs, k, id_col, text_col, distinct=False)
-    tf = raw.groupBy("doc_id", "shingle").agg(
-        F.least(F.count("*"), F.lit(cap)).alias("tf")
+    c = F.col(text_col)
+    d = docs.where(F.length(c) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(shingle_array(c, k)).alias("_s"),
     )
-    return tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("i"),
-        "shingle",
-    ).select(
-        "doc_id",
-        F.concat_ws("#", "shingle", F.col("i").cast("string")).alias("shingle"),
-    )
+    s = F.col("_s")
+
+    def _suffixed(x: F.Column, i: F.Column) -> F.Column:
+        # rank-(cap+1)-or-more occurrences are dropped (NULL, filtered
+        # below); get() is 0-based and NULL out of bounds, and grams are
+        # never NULL, so eqNullSafe treats the array edge as "different
+        # gram" exactly like a run starting at position 0.
+        expr = F.lit(None).cast("string")
+        for r in range(cap, 0, -1):
+            differs = ~F.get(s, i - F.lit(r)).eqNullSafe(x)
+            expr = F.when(differs, F.concat_ws("#", x, F.lit(str(r)))).otherwise(expr)
+        return expr
+
+    expanded = F.filter(F.transform(s, _suffixed), lambda e: e.isNotNull())
+    return d.select("doc_id", F.explode(expanded).alias("shingle"))

@@ -362,25 +362,27 @@ def _sig_set_from_base(
         return _materialize(
             rel.select("doc_id", "sig", "sh_set"), checkpoint_dir, eager
         )
-    # The 128 affine-min aggregates are built as SQL text, one F.expr
-    # per aggregate (r14): the Column form (F.min(affine_hash(...)))
-    # costs ~5 py4j round trips per hash — measured 1.5-2.4 s of pure
-    # DRIVER-SIDE PYTHON per flagship construction, roughly a third of
-    # the whole query's wall clock, paid by every similarity-family
-    # query.  The parsed trees are identical (same literals, same
-    # `(a * x + b) % p` shape — affine_hash's contract), so the plan
-    # and every value are unchanged.
-    aggs = [
-        F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime})").alias(f"mh_{j}")
-        for j, (a, b) in enumerate(cfg.hash_params())
-    ]
-    aggs.append(F.collect_set("sid").alias("sh_set"))
-    rel = base.groupBy("doc_id").agg(*aggs).select(
-        "doc_id",
-        F.expr(
-            "array(" + ",".join(f"mh_{j}" for j in range(cfg.num_hashes)) + ")"
-        ).alias("sig"),
-        "sh_set",
+    # The 128 affine-min aggregates are built as SQL text (r14): the
+    # Column form (F.min(affine_hash(...))) costs ~5 py4j round trips
+    # per hash — measured 1.5-2.4 s of pure DRIVER-SIDE PYTHON per
+    # flagship construction, roughly a third of the whole query's wall
+    # clock, paid by every similarity-family query.  r15: even one
+    # F.expr(...).alias(...) PER aggregate was still ~2 round trips each
+    # (~0.25 s at n=128, profiled as the largest pure-construction item
+    # left in the family).  The whole signature now rides ONE
+    # array-valued aggregate expression — array(min_0, ..., min_{n-1})
+    # directly in the agg list, which is exactly the resultExpressions
+    # shape the optimizer produced from the old mh_j-columns + array()
+    # projection after CollapseProject, so the optimized plan (same
+    # literals, same `(a * x + b) % p` shape — affine_hash's contract)
+    # and every value are unchanged; 2 F.expr calls instead of ~130.
+    mins = ",".join(
+        f"min(({a} * shingle_id + {b}) % {cfg.prime})"
+        for a, b in cfg.hash_params()
+    )
+    rel = base.groupBy("doc_id").agg(
+        F.expr(f"array({mins}) AS sig"),
+        F.expr("collect_set(sid) AS sh_set"),
     )
     return _materialize(rel, checkpoint_dir)
 

@@ -388,20 +388,26 @@ GROUP BY f.cohort_day, d.day - f.cohort_day""",
 def q_events_retention_cohorts(spark, sf):
     """Retention-cohort matrix: users grouped by their first active day,
     counted distinct on each subsequent day offset — the standard
-    engagement rollup.  The first-day aggregate shuffles once on
-    user_id and joins back on the same key (no re-shuffle: the join
-    reuses the aggregation's hash partitioning); epoch-day integer
-    buckets keep both engines exact, pre-1970 included (pmod floor
-    rule, same as events_pivot_daily)."""
+    engagement rollup.  SINGLE-PASS (r15, guide §2.4): cohort_day is a
+    min() WINDOW over the user_id partition (unbounded frame — no sort
+    needed beyond the window's own, and no second consumer of the
+    events relation), where the r14 form aggregated first days and
+    joined back — one extra join (and at scale, when the scan is not
+    pre-partitioned by user_id, a second full exchange of the events
+    relation feeding it).  cohort_day per user is identical either way,
+    so the (cohort_day, day_offset, count distinct user) rollup — and
+    the DuckDB oracle — are unchanged.  Epoch-day integer buckets keep
+    both engines exact, pre-1970 included (pmod floor rule, same as
+    events_pivot_daily)."""
     e = load_table(spark, sf, "events")
     us_per_day = F.lit(86_400_000_000)
     day = (
         (F.col("ts_us") - F.pmod(F.col("ts_us"), us_per_day)) / us_per_day
     ).cast("long")
     d = e.select("user_id", day.alias("day"))
-    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        d.join(first, "user_id")
+        d.select("user_id", "day", cohort.alias("cohort_day"))
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )

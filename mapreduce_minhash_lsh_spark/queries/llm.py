@@ -165,7 +165,7 @@ def q_near_dup_groups(spark, sf):
     """Connected components over the flagship similar-pairs edges; oracle
     is a recursive-CTE transitive closure (components are tiny cliques)."""
     pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
-    return _dedup.near_dup_groups(pairs)
+    return _dedup.near_dup_groups(pairs, prepared=True)
 
 
 @register(
@@ -862,7 +862,7 @@ def q_near_dup_drop_best_quality(spark, sf):
     engine-portable score, so keep/drop decisions hash-match."""
     docs = load_table(spark, sf, "documents")
     pairs = similar_pairs(docs, _CFG)
-    groups = _dedup.near_dup_groups(pairs)
+    groups = _dedup.near_dup_groups(pairs, prepared=True)
     scored = docs.where(F.length("text") > 0).select(
         "doc_id", _text.quality_score(F.col("text")).alias("quality")
     )
@@ -1040,7 +1040,7 @@ def q_near_dup_drop_ids(spark, sf):
     pair list is quadratic in clique size (see SCALE.md §7's 80x note).
     Exact-dedup analog: `dedup_drop_ids`."""
     pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
-    groups = _dedup.near_dup_groups(pairs)
+    groups = _dedup.near_dup_groups(pairs, prepared=True)
     return (
         groups.where(F.col("doc_id") != F.col("group_id"))
         .select(F.col("doc_id").alias("drop_id"), F.col("group_id").alias("keep_id"))
@@ -1385,7 +1385,7 @@ def q_near_dup_group_sizes(spark, sf):
     dedup-by-group answer SCALE.md §7 gives for quadratic pair
     volume."""
     pairs = similar_pairs(load_table(spark, sf, "documents"), _CFG)
-    groups = _dedup.near_dup_groups(pairs)
+    groups = _dedup.near_dup_groups(pairs, prepared=True)
     sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
     return sizes.groupBy("group_size").agg(
         F.count("*").cast("long").alias("n_groups")

@@ -461,3 +461,41 @@ def test_lut_sql_matches_column_path(spark):
     new = emb.select("vec_id", *_lut_cols(books, "embedding", sub))
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_assign_sql_matches_column_path(spark):
+    """The SQL-text centroid assignment (_assign_expr with a string vec
+    — the r15 construction fix) must be BIT-IDENTICAL and PLAN-IDENTICAL
+    (modulo expr/plan ids) to the Column-API form it replaces, for both
+    top=1 (encode/corpus assignment) and top=2 (probes), on whole
+    vectors and on subspace slices."""
+    import re as _re
+
+    from mapreduce_minhash_lsh_spark.operators.ann import (
+        _assign_expr,
+        _centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = _centroids(emb, 8, 2, "vec_id", "embedding")
+
+    def norm_plan(df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        s = df._jdf.queryExecution().explainString(mode)
+        s = _re.sub(r"#\d+L?", "#X", s)
+        s = _re.sub(r"plan_id=\d+", "plan_id=X", s)
+        # lambda variable ids differ per construction
+        return _re.sub(r"lambda '?\w+", "lambda X", s)
+
+    for top, vec_col, vec_sql in [
+        (1, F.col("embedding"), "`embedding`"),
+        (2, F.col("embedding"), "`embedding`"),
+        (1, F.slice(F.col("embedding"), 17, 16), "slice(`embedding`, 17, 16)"),
+    ]:
+        old = emb.select("vec_id", _assign_expr(cents, vec_col, top).alias("a"))
+        new = emb.select("vec_id", _assign_expr(cents, vec_sql, top).alias("a"))
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        assert norm_plan(old) == norm_plan(new), (top, vec_sql)

@@ -319,3 +319,63 @@ def test_bpe_trained_token_counts_single_exchange_chained_folds(spark):
     assert "partial_count" in p or "partial_sum" in p
     # the chained-alias structure keeps the plan string linear in K
     assert len(p) < 200_000
+
+
+def test_batched_signature_aggregate_plan_and_values_match_r14_form(spark):
+    """r15: the flagship's 128 min-aggregates ride ONE array-valued
+    F.expr instead of one expr per aggregate (a ~0.7 s driver-side
+    construction saving at n=128, paid by every similarity query).  The
+    optimized physical plan must be BYTE-IDENTICAL to the r14
+    column-per-aggregate + array() projection form (modulo plan/expr
+    ids) and the (sig, sh_set) values bit-equal — the batched text is a
+    pure construction-cost change, not a plan change."""
+    import re as _re
+
+    from mapreduce_minhash_lsh_spark.functions.hashing import md5_id, md5_long
+    from mapreduce_minhash_lsh_spark.operators.shingling import explode_shingles
+    from mapreduce_minhash_lsh_spark.operators.similarity import _sig_set_from_base
+
+    cfg = registry.PIPELINE_CFG
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = explode_shingles(docs, cfg.k)
+    base = sh.select(
+        "doc_id",
+        md5_id(F.col("shingle"), cfg.prime).alias("shingle_id"),
+        md5_long(F.col("shingle")).alias("sid"),
+    )
+
+    def r14_form(base, cfg):
+        aggs = [
+            F.expr(f"min(({a} * shingle_id + {b}) % {cfg.prime})").alias(f"mh_{j}")
+            for j, (a, b) in enumerate(cfg.hash_params())
+        ]
+        aggs.append(F.collect_set("sid").alias("sh_set"))
+        return base.groupBy("doc_id").agg(*aggs).select(
+            "doc_id",
+            F.expr(
+                "array(" + ",".join(f"mh_{j}" for j in range(cfg.num_hashes)) + ")"
+            ).alias("sig"),
+            "sh_set",
+        )
+
+    def r15_form(base, cfg):
+        mins = ",".join(
+            f"min(({a} * shingle_id + {b}) % {cfg.prime})"
+            for a, b in cfg.hash_params()
+        )
+        return base.groupBy("doc_id").agg(
+            F.expr(f"array({mins}) AS sig"), F.expr("collect_set(sid) AS sh_set")
+        )
+
+    def norm(df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        s = df._jdf.queryExecution().explainString(mode)
+        s = _re.sub(r"#\d+L?", "#X", s)
+        return _re.sub(r"plan_id=\d+", "plan_id=X", s)
+
+    old_df, new_df = r14_form(base, cfg), r15_form(base, cfg)
+    assert norm(old_df) == norm(new_df)
+    key = lambda r: (r.doc_id, tuple(r.sig), tuple(sorted(r.sh_set)))  # noqa: E731
+    assert sorted(map(key, old_df.collect())) == sorted(map(key, new_df.collect()))

@@ -64,3 +64,49 @@ def test_golden_posting_list_multiplicity(spark, golden_docs):
     postings = {r.shingle: r.doc_ids for r in shingle_postings(golden_docs).collect()}
     assert postings["oth"] == [3, 3]
     assert postings["I a"] == [0, 2]
+
+
+def test_weighted_expansion_mapside_equals_aggregate_form(spark):
+    """The r15 map-side weighted expansion (sorted-array rank suffixing)
+    must emit EXACTLY the multiset of the r14 aggregate form (raw
+    explode -> groupBy(doc, shingle) least(count, cap) -> sequence
+    explode) — seeded-random texts with heavy repetition so every rank
+    branch (1..cap and the >cap drop) is exercised, plus edge shapes."""
+    import random
+
+    from mapreduce_minhash_lsh_spark.operators.shingling import (
+        expand_weighted_shingles,
+    )
+
+    rng = random.Random(1715)
+    texts = [
+        "",                      # filtered out by both forms
+        "ab",                    # shorter than k
+        "aaaaaaaaaa",            # one gram family far past the cap
+        "xyxyxyxyxy",            # tf exactly around the cap
+    ] + [
+        " ".join(rng.choice(["ab", "abc", "the fox", "zz", "q"]) for _ in range(rng.randrange(1, 40)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    def aggregate_form(docs, k, cap):
+        raw = explode_shingles(docs, k, distinct=False)
+        tf = raw.groupBy("doc_id", "shingle").agg(
+            F.least(F.count("*"), F.lit(cap)).alias("tf")
+        )
+        return tf.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("i"),
+            "shingle",
+        ).select(
+            "doc_id",
+            F.concat_ws("#", "shingle", F.col("i").cast("string")).alias("shingle"),
+        )
+
+    for k, cap in [(3, 4), (2, 1), (3, 7)]:
+        got = sorted(
+            map(tuple, expand_weighted_shingles(docs, k=k, cap=cap).collect())
+        )
+        want = sorted(map(tuple, aggregate_form(docs, k, cap).collect()))
+        assert got == want, (k, cap)
