@@ -13,6 +13,7 @@ Covers SURVEY.md §2.1:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,11 @@ TABLE_KEYS = {
 # join pays it six times per query); for a fixed session and source
 # file the decision is deterministic, so it is probed once (r14).
 # Entries from other applications are dropped on access.
+# Both memos are mutated AND swept from concurrent driver threads (the
+# repo submits jobs via ThreadPoolExecutor; ADVICE r14) — one lock
+# guards every access; the guarded sections are pure dict ops plus, at
+# worst, one plan-statistics probe, so contention is negligible.
+_MEMO_LOCK = threading.Lock()
 _MIN_PART_MEMO: dict[tuple[str, str, str, int], bool] = {}
 
 
@@ -85,17 +91,20 @@ def ensure_min_partitions(
     app = spark.sparkContext.applicationId
     mk = None
     if memo_path is not None:
-        for stale in [k for k in _MIN_PART_MEMO if k[0] != app]:
-            del _MIN_PART_MEMO[stale]
         mk = (app, memo_path, key, minimum)
-        if mk in _MIN_PART_MEMO:
-            if _MIN_PART_MEMO[mk]:
+        with _MEMO_LOCK:
+            for stale in [k for k in _MIN_PART_MEMO if k[0] != app]:
+                del _MIN_PART_MEMO[stale]
+            hit = _MIN_PART_MEMO.get(mk)
+        if hit is not None:
+            if hit:
                 return df.repartition(minimum, F.col(key))
             return df
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     need = size >= 128 * 1024 and df.rdd.getNumPartitions() < minimum
     if mk is not None:
-        _MIN_PART_MEMO[mk] = need
+        with _MEMO_LOCK:
+            _MIN_PART_MEMO[mk] = need
     if need:
         return df.repartition(minimum, F.col(key))
     return df
@@ -114,15 +123,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _TABLE_MEMO if k[0] != app]:
-        del _TABLE_MEMO[stale]
-    mk = (app, sf_dir, name)
-    if mk in _TABLE_MEMO:
-        return _TABLE_MEMO[mk]
     # Calendar functions (year/date_trunc) are session-timezone dependent;
     # the testdata timestamps are naive-UTC and the DuckDB oracle reads
-    # them naively, so pin UTC regardless of who built this session.
+    # them naively, so pin UTC regardless of who built this session — on
+    # EVERY call, memo hit or not (ADVICE r14: re-pinning only on misses
+    # let a caller that mutated the timezone after the first load drift
+    # calendar queries away from the oracle).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mk = (app, sf_dir, name)
+    with _MEMO_LOCK:
+        for stale in [k for k in _TABLE_MEMO if k[0] != app]:
+            del _TABLE_MEMO[stale]
+        hit = _TABLE_MEMO.get(mk)
+    if hit is not None:
+        return hit
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and expose ts_us
@@ -147,7 +161,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             TABLE_KEYS[name],
             memo_path=os.path.join(sf_dir, f"{name}.parquet"),
         )
-    _TABLE_MEMO[mk] = out
+    with _MEMO_LOCK:
+        _TABLE_MEMO[mk] = out
     return out
 
 
